@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.plans.LogSumExp.logsumexp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bayesian colocalisation over aligned locus overlaps.
+  *
+  * Input: one row per (pair, tagVariantId) with a `statistics` struct of
+  * `left_/right_{logBF, posteriorProbability, beta, ...}` — the output
+  * of [[Overlaps.findOverlaps]].
+  *
+  * Unlike the reference — which collect_lists all logBFs per pair and
+  * runs NumPy UDFs over the vectors (reference:
+  * src/gentropy/method/colocalisation.py:240-448) — the hypothesis
+  * log-Bayes-factors are computed with a streaming logsumexp aggregate
+  * ([[graft.plans.LogSumExpAgg]]): map-side partials, O(1) state per
+  * pair, no per-pair array materialisation. That is what keeps COLOC
+  * viable when a pair's credible sets hold millions of tags.
+  */
+object Coloc {
+
+  val PseudoCount = 1e-10
+  val OverlapSizeCutoff = 5
+  val PosteriorCutoff = 0.5
+
+  private def tagVariantSource(stats: Column): Column =
+    when(stats.getField("left_posteriorProbability").isNotNull &&
+      stats.getField("right_posteriorProbability").isNotNull, lit("both"))
+      .when(stats.getField("left_posteriorProbability").isNotNull, lit("left"))
+      .otherwise(lit("right"))
+
+  /** COLOC posteriors h0..h4 per overlapping pair.
+    * reference: src/gentropy/method/colocalisation.py:193-448 */
+  def colocalise(
+      overlaps: DataFrame,
+      priorC1: Double = 1e-4,
+      priorC2: Double = 1e-4,
+      priorC12: Double = 1e-5): DataFrame = {
+
+    val s = col("statistics")
+    val lbf = coalesce(s.getField("left_logBF"), lit(0.0))
+    val rbf = coalesce(s.getField("right_logBF"), lit(0.0))
+    val lpp = coalesce(s.getField("left_posteriorProbability"), lit(0.0))
+    val rpp = coalesce(s.getField("right_posteriorProbability"), lit(0.0))
+    val isBoth = tagVariantSource(s) === "both"
+
+    val grouped = overlaps
+      .groupBy("chromosome", "leftStudyLocusId", "rightStudyLocusId", "rightStudyType")
+      .agg(
+        sum(when(isBoth, 1L).otherwise(0L)).as("numberColocalisingVariants"),
+        logsumexp(lbf).as("logsum1"),
+        logsumexp(rbf).as("logsum2"),
+        logsumexp(lbf + rbf).as("logsum12"),
+        (max(when(isBoth && lpp > PosteriorCutoff && rpp > PosteriorCutoff, 1)
+          .otherwise(0)) > 0).as("anySnpBothSidesHigh"))
+
+    val sumlogsum = col("logsum1") + col("logsum2")
+    val mx = greatest(sumlogsum, col("logsum12"))
+    val logdiff = when(sumlogsum === col("logsum12"), lit(PseudoCount))
+      .otherwise(mx + log(exp(sumlogsum - mx) - exp(col("logsum12") - mx)))
+
+    val lH0 = lit(0.0)
+    val lH1 = lit(math.log(priorC1)) + col("logsum1")
+    val lH2 = lit(math.log(priorC2)) + col("logsum2")
+    val lH3 = lit(math.log(priorC1) + math.log(priorC2)) + col("logdiff")
+    val lH4 = lit(math.log(priorC12)) + col("logsum12")
+
+    val withBf = grouped
+      .filter(col("numberColocalisingVariants") > OverlapSizeCutoff ||
+        col("anySnpBothSidesHigh"))
+      .withColumn("logdiff", logdiff)
+      .withColumn("lH0", lH0).withColumn("lH1", lH1).withColumn("lH2", lH2)
+      .withColumn("lH3", lH3).withColumn("lH4", lH4)
+
+    // softmax over the 5 hypothesis BFs, in pure column math
+    val hs = Seq("lH0", "lH1", "lH2", "lH3", "lH4").map(col)
+    val hmax = greatest(hs: _*)
+    val denom = hs.map(h => exp(h - hmax)).reduce(_ + _)
+
+    withBf
+      .withColumn("h0", exp(col("lH0") - hmax) / denom)
+      .withColumn("h1", exp(col("lH1") - hmax) / denom)
+      .withColumn("h2", exp(col("lH2") - hmax) / denom)
+      .withColumn("h3", exp(col("lH3") - hmax) / denom)
+      .withColumn("h4", exp(col("lH4") - hmax) / denom)
+      .drop("logsum1", "logsum2", "logsum12", "logdiff",
+        "lH0", "lH1", "lH2", "lH3", "lH4", "anySnpBothSidesHigh")
+      .withColumn("colocalisationMethod", lit("COLOC"))
+      .join(
+        calculateBetaRatio(overlaps),
+        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
+        "left")
+  }
+
+  /** eCAVIAR CLPP: Σ left_pp·right_pp per pair.
+    * reference: src/gentropy/method/colocalisation.py:98-190 */
+  def eCaviar(overlaps: DataFrame): DataFrame = {
+    val s = col("statistics")
+    val isBoth = tagVariantSource(s) === "both"
+    overlaps
+      .groupBy("leftStudyLocusId", "rightStudyLocusId", "rightStudyType", "chromosome")
+      .agg(
+        sum(when(isBoth, 1L).otherwise(0L)).as("numberColocalisingVariants"),
+        sum(s.getField("left_posteriorProbability") *
+          s.getField("right_posteriorProbability")).as("clpp"))
+      .withColumn("colocalisationMethod", lit("eCAVIAR"))
+      .join(
+        calculateBetaRatio(overlaps),
+        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
+        "left")
+  }
+
+  /** Average sign of left/right beta ratio per pair.
+    * reference: src/gentropy/dataset/study_locus_overlap.py:55-83 */
+  def calculateBetaRatio(overlaps: DataFrame): DataFrame = {
+    val s = col("statistics")
+    val lb = s.getField("left_beta")
+    val rb = s.getField("right_beta")
+    overlaps
+      .filter(lb.isNotNull && rb.isNotNull && lb =!= 0 && rb =!= 0)
+      .withColumn("betaRatioSign", signum(lb / rb))
+      .groupBy("leftStudyLocusId", "rightStudyLocusId", "chromosome")
+      .agg(avg("betaRatioSign").as("betaRatioSignAverage"))
+  }
+}

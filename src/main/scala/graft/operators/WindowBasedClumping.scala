@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.ArrayFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distance-window clumping of significant summary-statistics rows into
+  * lead variants.
+  *
+  * Semantics match the reference
+  * (reference: src/gentropy/method/window_based_clumping.py:94-258):
+  *  1. gap-based sessionisation: a new cluster starts when the gap to
+  *     the previous variant exceeds `distance` (lag + running
+  *     last(ignoreNulls) forward fill — one shuffle on
+  *     (studyId, chromosome));
+  *  2. within each cluster, variants rank by significance and the
+  *     rank-1 row greedily selects leads among the cluster's positions
+  *     listed by p-value: a variant is a lead iff no stronger lead is
+  *     within `distance`;
+  *  3. non-leads get the WINDOW_CLUMPED QC flag.
+  *
+  * The greedy kernel runs as a Scala UDF over the one collected
+  * position array per cluster (not per row), so the shuffle layout and
+  * per-cluster O(n·leads) cost match the reference without any Python
+  * worker boundary. Cluster sizes are bounded by the session window, so
+  * the collected array stays small regardless of total data size.
+  */
+object WindowBasedClumping {
+
+  val QcFlag = "Variant not found in LD reference" // placeholder vocab entry
+  val WindowClumpedFlag = "WINDOW_CLUMPED"
+
+  /** Session-window cluster id (W3).
+    * reference: src/gentropy/method/window_based_clumping.py:94-112 */
+  def clusterPeaks(study: Column, chromosome: Column, position: Column,
+                   windowLength: Int): Column = {
+    val byPos = Window.partitionBy(study, chromosome).orderBy(position)
+    val prev = lag(position, 1).over(byPos)
+    val boundary = when(prev.isNull || (position - prev) > windowLength,
+      concat_ws("_", study, chromosome, position))
+    when(boundary.isNull,
+      last(boundary, ignoreNulls = true)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .otherwise(boundary)
+  }
+
+  /** Greedy lead selection over positions sorted by ascending p-value:
+    * 1.0 = lead, 0.0 = clumped into an earlier lead.
+    * reference: src/gentropy/method/window_based_clumping.py:114-153 */
+  private[operators] def pruneLeads(positions: Seq[Long], window: Long): Seq[Double] = {
+    val leads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    positions.map { p =>
+      if (leads.exists(l => math.abs(l - p) < window)) 0.0
+      else { leads += p; 1.0 }
+    }
+  }
+
+  private val pruneLeadsUdf =
+    udf((positions: Seq[Long], window: Long) => pruneLeads(positions, window))
+
+  /** Clump pre-filtered significant associations; flags non-lead rows
+    * with WINDOW_CLUMPED in `qualityControls` (initialising the column
+    * when absent). reference: src/gentropy/method/window_based_clumping.py:155-258 */
+  def clump(df: DataFrame, distance: Int = 500000): DataFrame = {
+    val clusterWindow = Window
+      .partitionBy("studyId", "chromosome", "cluster_id")
+      .orderBy(col("pValueExponent").asc, col("pValueMantissa").asc)
+
+    val withLeads = df
+      .withColumn("cluster_id",
+        clusterPeaks(col("studyId"), col("chromosome"), col("position"), distance))
+      .withColumn("pvRank", row_number().over(clusterWindow))
+      .withColumn("collectedPositions",
+        when(col("pvRank") === 1,
+          collect_list(col("position").cast("long")).over(
+            clusterWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .otherwise(array()))
+      .withColumn("semiIndices",
+        when(size(col("collectedPositions")) > 0,
+          pruneLeadsUdf(col("collectedPositions"), lit(distance.toLong))))
+      .withColumn("semiIndices",
+        when(col("semiIndices").isNull,
+          first(col("semiIndices"), ignoreNulls = true).over(clusterWindow))
+          .otherwise(col("semiIndices")))
+
+    val notLead = col("semiIndices")(col("pvRank") - 1) <= 0
+    val qc =
+      if (df.columns.contains("qualityControls"))
+        ArrayFns.updateQualityFlag(col("qualityControls"), notLead, WindowClumpedFlag)
+      else
+        when(notLead, array(lit(WindowClumpedFlag)))
+          .otherwise(array().cast("array<string>"))
+
+    withLeads
+      .withColumn("studyLocusId",
+        ArrayFns.generateIdentifier(Seq(col("studyId"), col("variantId"))))
+      .withColumn("qualityControls", qc)
+      .drop("pvRank", "collectedPositions", "semiIndices", "cluster_id")
+  }
+
+  /** Leads only — rows that survived clumping. */
+  def leads(df: DataFrame, distance: Int = 500000): DataFrame =
+    clump(df, distance)
+      .filter(ArrayFns.validRows(col("qualityControls"), Seq(WindowClumpedFlag)))
+}

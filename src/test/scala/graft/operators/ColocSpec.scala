@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden numbers from the reference's COLOC/eCAVIAR tests
+  * (reference: tests/gentropy/method/test_colocalisation_method.py:28-260),
+  * themselves validated against the R COLOC package.
+  */
+class ColocSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def overlapDf(
+      rows: Seq[(String, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]): DataFrame =
+    rows
+      .toDF("tagVariantId", "left_logBF", "right_logBF", "left_beta",
+        "right_beta", "left_pp", "right_pp")
+      .select(
+        lit("1").as("leftStudyLocusId"),
+        lit("2").as("rightStudyLocusId"),
+        lit("eqtl").as("rightStudyType"),
+        lit("1").as("chromosome"),
+        col("tagVariantId"),
+        struct(
+          col("left_logBF"), col("right_logBF"),
+          col("left_pp").as("left_posteriorProbability"),
+          col("right_pp").as("right_posteriorProbability"),
+          col("left_beta"), col("right_beta")).as("statistics"))
+
+  private def assertH(df: DataFrame, want: Seq[Double]): Unit = {
+    val got = df.select("h0", "h1", "h2", "h3", "h4").head
+    want.zipWithIndex.foreach { case (w, i) =>
+      // 1e-9 abs: the streaming logsumexp aggregate accumulates in a
+      // different order than the reference's batch NumPy logsumexp
+      // (reference tests themselves compare at pandas rtol=1e-5)
+      assert(math.abs(got.getDouble(i) - w) < 1e-9, s"h$i: ${got.getDouble(i)} vs $w")
+    }
+  }
+
+  test("single overlapping SNP matches R COLOC") {
+    val df = overlapDf(Seq(
+      ("snp", Some(10.3), Some(10.5), Some(0.1), Some(0.2), Some(0.91), Some(0.92))))
+    assertH(Coloc.colocalise(df), Seq(
+      9.254841951638903e-5, 2.7517068829182966e-4, 3.3609423764447284e-4,
+      9.254841952564387e-13, 0.9992961866536217))
+  }
+
+  test("mismatched posterior probabilities are filtered out") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(1.2), Some(10.5), Some(0.001), Some(0.2), Some(0.001), Some(0.92)),
+      ("snp2", Some(10.3), Some(3.8), Some(0.3), Some(0.005), Some(0.91), Some(0.01))))
+    assert(Coloc.colocalise(df).count() == 0)
+  }
+
+  test("significant PP overlap matches R COLOC") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(10.2), Some(10.5), Some(0.5), Some(0.2), Some(0.91), Some(0.92)),
+      ("snp2", Some(1.2), Some(3.8), Some(0.003), Some(0.005), Some(0.001), Some(0.01))))
+    assertH(Coloc.colocalise(df), Seq(
+      1.02277006860577e-4, 2.7519169183135977e-4, 3.718812819512325e-4,
+      1.3533048074295033e-6, 0.9992492967145488))
+  }
+
+  test("one-sided tag (left-only) fills zeros and matches R COLOC") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(1.2), None, Some(0.003), None, Some(0.001), Some(0.01)),
+      ("snp2", Some(1.2), Some(3.8), Some(0.003), Some(0.005), Some(0.001), Some(0.01)),
+      ("snp3", Some(10.2), Some(10.5), Some(0.5), Some(0.2), Some(0.91), Some(0.92))))
+    assertH(Coloc.colocalise(df), Seq(
+      1.02277006860577e-4, 2.752255943423052e-4, 3.718914358059273e-4,
+      1.5042926116520848e-6, 0.9992491016906891))
+  }
+
+  test("high left PP but low right PP filtered out") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(1.2), None, Some(0.003), None, Some(0.001), Some(0.01)),
+      ("snp2", Some(1.2), Some(3.8), Some(0.003), Some(0.005), Some(0.001), Some(0.01)),
+      ("snp3", Some(10.2), Some(10.5), Some(0.5), Some(0.2), Some(0.36), Some(0.92))))
+    assert(Coloc.colocalise(df).count() == 0)
+  }
+
+  test("irrelevant logBF yields high h0, low h4") {
+    val df = overlapDf(Seq(
+      ("snp", None, None, Some(0.1), Some(0.2), Some(0.91), Some(0.92))))
+    val r = Coloc.colocalise(df).select("h0", "h4").head
+    assert(r.getDouble(0) > 0.99 && r.getDouble(1) < 1e-5)
+  }
+
+  test("eCAVIAR CLPP is sum of PP products with both-source count") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(1.0), Some(1.0), Some(0.1), Some(0.2), Some(0.5), Some(0.5)),
+      ("snp2", Some(1.0), Some(1.0), Some(0.1), Some(0.2), Some(0.25), Some(0.75)),
+      ("snp3", Some(1.0), None, Some(0.1), None, Some(0.2), None)))
+    val r = Coloc.eCaviar(df)
+      .select("clpp", "numberColocalisingVariants", "betaRatioSignAverage").head
+    assert(math.abs(r.getDouble(0) - (0.25 + 0.1875)) < 1e-12)
+    assert(r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("betaRatio averages the sign, ignoring null/zero betas") {
+    val df = overlapDf(Seq(
+      ("snp1", Some(1.0), Some(1.0), Some(0.1), Some(0.2), Some(0.5), Some(0.5)),
+      ("snp2", Some(1.0), Some(1.0), Some(-0.1), Some(0.2), Some(0.25), Some(0.75)),
+      ("snp3", Some(1.0), Some(1.0), Some(0.0), Some(0.2), Some(0.2), Some(0.2)),
+      ("snp4", Some(1.0), Some(1.0), None, Some(0.2), Some(0.2), Some(0.2))))
+    val r = Coloc.calculateBetaRatio(df).select("betaRatioSignAverage").head
+    assert(math.abs(r.getDouble(0) - 0.0) < 1e-12) // (+1 - 1) / 2
+  }
+}
