@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is a pure shuffle-bounded dataflow —
+  * no driver collects, no unbounded per-group state. The LSH paths
+  * exist precisely so the O(n²) candidate space never materialises:
+  * candidates come from equi-joins on (band, bandHash) buckets, which
+  * shuffle-partition evenly unless a bucket is pathologically hot
+  * (AQE skew-join handles that).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Keep one row per exact text duplicate group (smallest id wins).
+    * A hash-groupBy: one shuffle on the 128-bit digest, no window. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of the normalised text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-component MinHash signature over the shingle set. Each
+    * component h applies an affine rehash of the shingle hash and
+    * takes the min — the standard (a·x+b) family with fixed odd
+    * multipliers, computed in a 32-bit domain so ANSI-mode long
+    * arithmetic can never overflow. Deterministic across runs. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), h => {
+      val a = h * 2 + 1 // odd multiplier per component (<= 2k+1)
+      val b = h * lit(0x9E3779B9L)
+      // upper 32 bits of xxhash64 -> value in [0, 2^32)
+      array_min(transform(shingleArr,
+        s => a * shiftrightunsigned(xxhash64(s), 32) + b))
+    })
+
+  /** LSH band keys: hash each band of `rowsPerBand` signature
+    * components; docs sharing any band key are candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            c => c.cast("string")))).as("bandHash")))
+
+  /** Estimated Jaccard = fraction of matching signature components. */
+  def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** Near-duplicate pairs via MinHash + LSH banding.
+    *
+    * Pipeline: shingle → signature → band-explode → equi-self-join on
+    * (band, bandHash) → distinct candidate pairs → signature-similarity
+    * filter. Only bucket-mates are ever compared.
+    */
+  def minhashDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val signed = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = signed
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bandHash"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .dropDuplicates("idA", "idB")
+    pairs
+      .withColumn("similarity", signatureSimilarity(col("sigA"), col("sigB")))
+      .filter(col("similarity") >= threshold)
+      .select("idA", "idB", "similarity")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit position, sum ±1
+    * over token hashes and keep the sign. */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(bit_get(xxhash64(t), i) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    // pack the 64 sign bits with bitwiseOR against literal powers of
+    // two (1L << 63 wraps to Long.MinValue, a valid bit pattern) —
+    // never overflows, unlike multiply-folds under ANSI mode
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(bits, powers, (b, p) => when(b === 1L, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc bitwiseOR x)
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a pair
+    * within Hamming distance 3 of 64 bits must agree on at least one
+    * quarter), then filter by exact Hamming distance. */
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val quartered = hashed
+      .select(col("id"), col("sh"), posexplode(array(
+        col("sh").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sh"), 32).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sh"), 48).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "q", "col" -> "qh"))
+    quartered.alias("a")
+      .join(quartered.alias("b"),
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle-inverted-index
+    * join: explode distinct shingles, equi-join on shingle, count
+    * common per pair, Jaccard = |∩| / (|A|+|B|−|∩|). Candidates are
+    * only pairs sharing ≥1 shingle. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("idA"), col("b.id").as("idB"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "idA", "n" -> "nA")), Seq("idA"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "idB", "n" -> "nB")), Seq("idB"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nA") + col("nB") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `functions._` column compositions — codegen'd, no UDFs, so
+  * they run at scan speed over a 100 TB `documents` table and push no
+  * data to the driver.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited word tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digits, and punctuation each
+    * count as one token — a cheap, deterministic proxy for subword
+    * tokenizer counts. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+      "with", "as", "his", "on", "be", "at", "by", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del",
+      "las", "por", "con", "una", "para", "es", "al", "como"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+      "dans", "qui", "que", "pour", "sur", "au", "pas", "plus"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist",
+      "des", "im", "nicht", "ein", "eine", "auf", "als", "auch", "es"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    val toks = tokens(text)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID over {en,es,fr,de}: highest stopword ratio
+    * wins; "und" (undetermined) when no stopwords hit at all. */
+  def languageId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang")))
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: long-enough text, moderate
+    * punctuation, some stopwords, sane mean word length. Weights are
+    * heuristic; the point is the shape (cheap, columnar, monotone in
+    * each signal). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
+    val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    round(lengthScore * 0.3 + punctScore * 0.3 + swScore * 0.2 + wordLenScore * 0.2, 6)
+  }
+
+  /** Document fingerprint: 64-bit hash of the whitespace-normalised
+    * lowercased text. Identical up to whitespace ⇒ identical prints. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different text about spark engines and scala code"),
+    (5L, "THE  QUICK brown fox jumps over the lazy dog") // dup modulo case/space
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps smallest id per identical text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles produce word n-grams; short docs fall back to full text") {
+    val sh = Seq(("a b c d", 1)).toDF("t", "i")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(("a b", 1)).toDF("t", "i")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].head
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash LSH finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical -> sig identical
+    assert(pairs.contains((1L, 5L))) // identical after normalisation
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+    // near-dup 1-3 share 6 of 7 shingles (jaccard ~0.5): may or may not
+    // clear banding; exact-dup coverage above is the hard guarantee
+  }
+
+  test("signatureSimilarity is 1 for identical docs, low for unrelated") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"))
+    val bySelf = sigs.alias("a").join(sigs.alias("b"),
+      col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(Dedup.signatureSimilarity(col("a.sig"), col("b.sig"))).head.getDouble(0)
+    assert(bySelf == 1.0)
+    val unrelated = sigs.alias("a").join(sigs.alias("b"),
+      col("a.doc_id") === 1 && col("b.doc_id") === 4)
+      .select(Dedup.signatureSimilarity(col("a.sig"), col("b.sig"))).head.getDouble(0)
+    assert(unrelated < 0.3)
+  }
+
+  test("simhash: identical texts collide, near dups within small hamming") {
+    val pairs = Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 10)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 0)
+    assert(byPair((1L, 5L)) == 0)
+    assert(byPair.get((1L, 3L)).forall(_ <= 10)) // one word changed
+    assert(!byPair.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard computes exact overlap coefficient") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    // docs 1,3: shingles 7 each, 6 shared -> 6/8 = 0.75
+    assert(math.abs(pairs((1L, 3L)) - 0.75) < 1e-12)
+    assert(!pairs.contains((1L, 4L)))
+  }
+}

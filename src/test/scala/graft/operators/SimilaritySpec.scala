@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f))
+  ).toDF("id", "embedding")
+
+  test("cosine similarity basics") {
+    val df = vecs.alias("a").crossJoin(vecs.alias("b"))
+      .filter(col("a.id") === 0 && col("b.id").isin(1, 2, 4))
+      .select(col("b.id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(df(1L) - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(math.abs(df(2L)) < 1e-12)
+    assert(math.abs(df(4L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest first, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 0), 2)
+      .select("neighbourId", "rank").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((1L, 1), (2L, 2)) || top.head == (1L, 1))
+    assert(top.head._1 == 1L) // closest is the 0.9/0.1 vector
+  }
+
+  test("LSH top-k finds the true nearest neighbour for clustered vectors") {
+    // vectors 0 and 1 point the same way -> same halfspace sub-signature
+    // in at least one of the OR-amplified tables w.h.p.
+    val top = Similarity.lshTopK(vecs, vecs.filter(col("id") === 0), 1,
+      tables = 8, planesPerTable = 2)
+      .select("neighbourId").as[Long].collect()
+    assert(top.nonEmpty && top.head == 1L)
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 0), 1)
+      .select("neighbourId").as[Long].head()
+    assert(brute == 1L)
+  }
+
+  test("embeddingDupPairs finds only true near-duplicates") {
+    val dups = Similarity.embeddingDupPairs(vecs, threshold = 0.95, planes = 4)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(dups.subsetOf(Set((0L, 1L)))) // only 0-1 are ~parallel
+  }
+
+  test("real embeddings table: brute force top-k self-consistency") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") === 0)
+    val top3 = Similarity.bruteForceTopK(emb, q, 3).collect()
+    assert(top3.length == 3)
+    val sims = top3.map(_.getAs[Double]("similarity"))
+    assert(sims.sorted.reverse.sameElements(sims)) // descending
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! 42", "  spaced   out  ", "").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.bpeishTokenCount(col("t")).as("b"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows(0) == ((3, 6))) // [hello, world, 42] / [Hello][,][world][!][4][2]
+    assert(rows(1)._1 == 2)
+    assert(rows(2)._1 == 0)
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "el gato se sienta en la alfombra y es feliz",
+      "le chat est sur le tapis et il est content",
+      "die katze sitzt auf der matte und ist gluecklich",
+      "zzz qqq xxx").toDF("t")
+      .select(TextAnalysis.languageId(col("t")).as("lang"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("quality score is bounded and orders garbage below prose") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and keeps on running through the field for quite a while longer.",
+      "!!!???@@@ ### $$$ %%% ^^^").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val Array(good, bad) = df.as[Double].collect()
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("fingerprint ignores whitespace/case differences only") {
+    val df = Seq(
+      ("a", "The quick  brown\tfox"),
+      ("b", "the quick brown fox"),
+      ("c", "the quick brown ox")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fp = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b") && fp("a") != fp("c"))
+  }
+
+  test("multimodal blob plumbing: encode, decode stub, features") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text")
+    assert(blobs.schema("payload").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(spark, blobs.repartition(3))
+    val feats = Multimodal.features(decoded.toDF())
+    val n = docs.count()
+    assert(decoded.count() == n && feats.count() == n)
+    // deterministic: same payload -> same dims regardless of partitioning
+    val d1 = decoded.filter(col("id") === 1).select("width", "height").head
+    val d2 = Multimodal.decode(spark, blobs.repartition(7))
+      .filter(col("id") === 1).select("width", "height").head
+    assert(d1 == d2)
+    val r = feats.select(min("width"), max("width")).head
+    assert(r.getInt(0) >= 64 && r.getInt(1) <= 1023)
+  }
+
+  test("frame sampling plan from metadata only") {
+    val df = Seq(100, 5, 0).toDF("nFrames")
+      .select(Multimodal.frameSamplePlan(col("nFrames"), 10, 8).as("frames"))
+    val rows = df.as[Seq[Long]].collect()
+    assert(rows(0) == Seq(0L, 10L, 20L, 30L, 40L, 50L, 60L, 70L))
+    assert(rows(1) == Seq(0L))
+    assert(rows(2) == Seq(0L))
+  }
+}
