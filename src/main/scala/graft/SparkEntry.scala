@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Oracles, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers the SURVEY §2 operator inventory over the driver's
+  * TPC-H-ish tables; every SQL-expressible query has a DuckDB oracle in
+  * [[graft.queries.Oracles]] (same key). Queries without an oracle
+  * (iterative kernels, hash-dependent ops, Gaussian sf) get the
+  * driver's weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: overlaps → COLOC end-to-end on sf0.001 (namesake
+    * capability of the reference engine). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Q.overlapsColocE2E(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / filters / projections
+    "q_s2_scan_prune" -> (Q.scanPrune _),
+    "q_p1_pvalue_filter" -> (Q.pvalueFilter _),
+    "q_p4_region_filter" -> (Q.regionFilter _),
+    // joins
+    "q_j1_self_join_pairs" -> (Q.selfJoinPairs _),
+    "q_j2_outer_align" -> (Q.outerAlign _),
+    "q_j3_range_join" -> (Q.rangeJoin _),
+    "q_j5_semi_join" -> (Q.semiJoin _),
+    "q_j7_star_join" -> (Q.starJoin _),
+    "q_j8_validation_join" -> (Q.validationJoin _),
+    // aggregations
+    "q_a1_collect_sorted" -> (Q.collectSorted _),
+    "q_a2_sum_products" -> (Q.sumProducts _),
+    "q_a3_sign_avg" -> (Q.signAvg _),
+    "q_a5_stats_battery" -> (Q.statsBattery _),
+    "q_a9_pivot" -> (Q.pivotEvents _),
+    "q_a10_melt" -> (Q.meltLineitem _),
+    // windows
+    "q_w1_top1_per_group" -> (Q.top1PerGroup _),
+    "q_w3_sessionize" -> (Q.sessionize _),
+    "q_w4_rank_scan" -> (Q.rankScan _),
+    "q_w5_running_frame" -> (Q.runningFrame _),
+    "q_w7_medians" -> (Q.medians _),
+    // set ops
+    "q_set_union_distinct" -> (Q.setOps _),
+    // scalar function library
+    "q_f9_harmonic_sum" -> (Q.harmonicSum _),
+    "q_f20_cumsum_flags" -> (Q.cumsumFlags _),
+    "q_f3_pvalue_codec" -> (Q.pvalueCodec _),
+    // genetics operators (oracle-checked)
+    "q_gx_coloc" -> (Q.coloc _),
+    "q_gx_ecaviar" -> (Q.ecaviar _),
+    "q_gx_cluster_top1" -> (Q.clusterTop1 _),
+    "q_gx_qc_metrics" -> (Q.qcMetrics _),
+    // training-data pipeline (oracle-checked)
+    "q_dedup_exact" -> (Q.dedupExact _),
+    "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
+    "q_text_stats" -> (Q.textStats _),
+    "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
+    "q_ann_topk" -> (Q.annTopK _),
+    "q_mm_blob_meta" -> (Q.blobMeta _),
+    // rows-only (no SQL-expressible oracle)
+    "q_gx_window_clump" -> (Q.windowClumpFull _),
+    "q_gx_overlaps_coloc_e2e" -> (Q.overlapsColocE2E _),
+    "q_gx_pics" -> (Q.picsFinemap _),
+    "q_gx_locus_breaker" -> (Q.locusBreaker _),
+    "q_gx_qc_battery_full" -> (Q.qcBatteryFull _),
+    "q_dedup_minhash" -> (Q.minhashPairs _),
+    "q_dedup_simhash" -> (Q.simhashPairs _),
+    "q_ann_lsh" -> (Q.annLsh _),
+    "q_mm_decode" -> (Q.multimodalDecode _))
+
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,465 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Q]].
+  *
+  * Engine-parity rules mirrored from Q:
+  *  - quantisation literal: CAST(FLOOR(x * 10^d + 0.500000001) AS BIGINT);
+  *  - counts via count(*) / FILTER so DuckDB yields BIGINT (not HUGEINT
+  *    as sum(CASE...) would);
+  *  - mixed-case aliases quoted so DuckDB preserves them;
+  *  - Spark's exact `percentile` = DuckDB `quantile_cont`.
+  */
+object Oracles {
+
+  private def q(expr: String, d: Int): String =
+    s"CAST(FLOOR(($expr) * 1e$d + 0.500000001) AS BIGINT)"
+
+  val scanPrune: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+      |FROM lineitem WHERE l_quantity > 45""".stripMargin
+
+  val pvalueFilter: String =
+    s"""WITH p AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |         (l_discount + 0.0015) AS pv,
+      |         CAST(FLOOR(log10(l_discount + 0.0015)) AS INT) AS exponent
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |       ${q("pv / POWER(10.0, exponent)", 6)} AS m_q6, exponent
+      |FROM p
+      |WHERE exponent < -2 OR (exponent = -2 AND pv / POWER(10.0, exponent) <= 5.0)
+      |""".stripMargin
+
+  val regionFilter: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 50 AND 150
+      |  AND l_partkey NOT BETWEEN 90 AND 99 AND l_returnflag <> 'A'""".stripMargin
+
+  val selfJoinPairs: String =
+    """SELECT a.user_id AS user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.event_type <> b.event_type
+      |GROUP BY 1""".stripMargin
+
+  val outerAlign: String =
+    """WITH po AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+      |            FROM orders GROUP BY 1),
+      |     rich AS (SELECT c_custkey AS custkey, 1 AS is_rich
+      |              FROM customer WHERE c_acctbal > 9000)
+      |SELECT COALESCE(po.custkey, rich.custkey) AS custkey,
+      |       COALESCE(n_orders, 0) AS n_orders,
+      |       CAST(COALESCE(is_rich, 0) AS BIGINT) AS is_rich
+      |FROM po FULL OUTER JOIN rich ON po.custkey = rich.custkey""".stripMargin
+
+  val rangeJoin: String =
+    s"""WITH bands AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS bandkey,
+      |         CAST(n_regionkey % 5 AS BIGINT) AS chrom,
+      |         n_nationkey * 400 AS lo, n_nationkey * 400 + 500 AS hi
+      |  FROM nation),
+      |li AS (SELECT l_suppkey % 5 AS chrom, (l_partkey * 97) % 10000 AS position,
+      |              l_extendedprice FROM lineitem)
+      |SELECT bandkey, count(*) AS n, ${q("sum(l_extendedprice)", 0)} AS revenue_q0
+      |FROM li JOIN bands ON li.chrom = bands.chrom
+      |                  AND li.position BETWEEN bands.lo AND bands.hi
+      |GROUP BY 1""".stripMargin
+
+  val semiJoin: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)""".stripMargin
+
+  val starJoin: String =
+    s"""SELECT r_name, count(*) AS n,
+      |       ${q("sum(l_extendedprice * (1.0 - l_discount))", 0)} AS revenue_q0
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  val validationJoin: String =
+    """WITH rich AS (SELECT c_custkey, 1 AS hit FROM customer WHERE c_acctbal > 5000)
+      |SELECT o_orderstatus,
+      |       CAST(CASE WHEN hit IS NULL THEN 1 ELSE 0 END AS BIGINT) AS missing,
+      |       count(*) AS n
+      |FROM orders LEFT JOIN rich ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  val collectSorted: String =
+    """SELECT l_orderkey,
+      |       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')
+      |         AS quantities
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val sumProducts: String =
+    s"""SELECT l_returnflag, ${q("sum(l_extendedprice * l_discount)", 0)} AS sp_q0
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val signAvg: String =
+    s"""SELECT l_linestatus, ${q("avg(sign(l_quantity - 25.5))", 6)} AS avg_sign_q6
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val statsBattery: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+      |       ${q("avg(l_discount)", 6)} AS mean_q6,
+      |       ${q("stddev_samp(l_discount)", 6)} AS sd_q6
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val pivotEvents: String =
+    """SELECT user_id % 10 AS bucket,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  val meltLineitem: String =
+    """WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |                  l_quantity, l_discount, l_tax
+      |           FROM lineitem WHERE l_orderkey < 100)
+      |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM b
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b""".stripMargin
+
+  val top1PerGroup: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin
+
+  val sessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |       count(*) FILTER (gap IS NULL OR gap > 600000000) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM e GROUP BY 1""".stripMargin
+
+  val rankScan: String =
+    """SELECT o_custkey, o_orderkey,
+      |       row_number() OVER w AS rnk,
+      |       first_value(o_totalprice) OVER w - o_totalprice AS gap_to_best
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
+  val runningFrame: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_suppkey,
+      |       max(CAST(l_quantity AS BIGINT)) OVER w AS run_max_qty,
+      |       lag(l_orderkey) OVER w AS prev_okey
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |                      l_extendedprice, l_discount, l_tax
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val medians: String =
+    s"""SELECT l_returnflag,
+      |       ${q("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_q4,
+      |       ${q("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90_q4
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val setOps: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+      |UNION
+      |SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier""".stripMargin
+
+  val harmonicSum: String =
+    s"""WITH r AS (
+      |  SELECT l_orderkey, l_discount,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_discount DESC) AS rn
+      |  FROM lineitem)
+      |SELECT l_orderkey,
+      |       ${q("sum(l_discount / (rn * rn)) / sum(1.0 / (rn * rn))", 6)}
+      |         AS harmonic_q6
+      |FROM r GROUP BY 1""".stripMargin
+
+  val cumsumFlags: String =
+    """WITH r AS (
+      |  SELECT l_orderkey,
+      |         COALESCE(sum(l_discount) OVER
+      |           (PARTITION BY l_orderkey ORDER BY l_discount DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prev
+      |  FROM lineitem)
+      |SELECT l_orderkey, count(*) FILTER (prev < 0.155) AS n_core
+      |FROM r GROUP BY 1""".stripMargin
+
+  val pvalueCodec: String =
+    """WITH p AS (
+      |  SELECT (l_partkey % 9) + 1 AS m, (l_suppkey % 30) + 2 AS e2
+      |  FROM lineitem),
+      |parsed AS (
+      |  SELECT CAST(string_split(m || 'e-' || e2, 'e-')[1] AS BIGINT) AS mantissa,
+      |         -CAST(string_split(m || 'e-' || e2, 'e-')[2] AS BIGINT) AS exponent
+      |  FROM p)
+      |SELECT mantissa, exponent, count(*) AS n FROM parsed GROUP BY 1, 2""".stripMargin
+
+  /** Shared synthetic-overlap CTE (must mirror Q.synthOverlaps). */
+  private val synthOverlapCte: String =
+    """ov AS (
+      |  SELECT * FROM (
+      |    SELECT 'L' || (l_orderkey % 20) AS "leftStudyLocusId",
+      |           'R' || (l_partkey % 10) AS "rightStudyLocusId",
+      |           'eqtl' AS "rightStudyType",
+      |           CAST(l_suppkey % 3 AS VARCHAR) AS chromosome,
+      |           'v' || (l_partkey % 200) AS "tagVariantId",
+      |           l_extendedprice / 5000 AS lbf,
+      |           l_quantity / 10 AS rbf,
+      |           l_discount * 9 AS lpp,
+      |           l_tax * 10 AS rpp,
+      |           l_extendedprice / 10000 - 2 AS lbeta,
+      |           l_tax * 10 - 0.4 AS rbeta,
+      |           row_number() OVER (PARTITION BY 'L' || (l_orderkey % 20),
+      |                              'R' || (l_partkey % 10), 'v' || (l_partkey % 200)
+      |                              ORDER BY l_orderkey, l_linenumber, l_suppkey,
+      |                                       l_partkey, l_extendedprice,
+      |                                       l_quantity, l_discount, l_tax) AS rn
+      |    FROM lineitem)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val betaRatioCte: String =
+    s"""br AS (
+      |  SELECT "leftStudyLocusId", "rightStudyLocusId", chromosome,
+      |         avg(sign(lbeta / rbeta)) AS bra
+      |  FROM ov
+      |  WHERE lbeta IS NOT NULL AND rbeta IS NOT NULL
+      |    AND lbeta <> 0 AND rbeta <> 0
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  val coloc: String =
+    s"""WITH $synthOverlapCte,
+      |$betaRatioCte,
+      |g0 AS (
+      |  SELECT *, max(lbf) OVER w AS mx1, max(rbf) OVER w AS mx2,
+      |         max(lbf + rbf) OVER w AS mx12
+      |  FROM ov
+      |  WINDOW w AS (PARTITION BY chromosome, "leftStudyLocusId",
+      |               "rightStudyLocusId", "rightStudyType")),
+      |g AS (
+      |  SELECT chromosome, "leftStudyLocusId", "rightStudyLocusId",
+      |         "rightStudyType",
+      |         count(*) AS n,
+      |         max(CASE WHEN lpp > 0.5 AND rpp > 0.5 THEN 1 ELSE 0 END) AS anyhigh,
+      |         max(mx1) + ln(sum(exp(lbf - mx1))) AS ls1,
+      |         max(mx2) + ln(sum(exp(rbf - mx2))) AS ls2,
+      |         max(mx12) + ln(sum(exp(lbf + rbf - mx12))) AS ls12
+      |  FROM g0 GROUP BY 1, 2, 3, 4),
+      |h AS (
+      |  SELECT *, ls1 + ls2 AS sumls, greatest(ls1 + ls2, ls12) AS mx,
+      |         CASE WHEN ls1 + ls2 = ls12 THEN 1e-10
+      |              ELSE greatest(ls1 + ls2, ls12)
+      |                   + ln(exp(ls1 + ls2 - greatest(ls1 + ls2, ls12))
+      |                        - exp(ls12 - greatest(ls1 + ls2, ls12)))
+      |         END AS logdiff
+      |  FROM g WHERE n > 5 OR anyhigh = 1),
+      |bf AS (
+      |  SELECT *, 0.0 AS lh0, ln(1e-4) + ls1 AS lh1, ln(1e-4) + ls2 AS lh2,
+      |         ln(1e-4) + ln(1e-4) + logdiff AS lh3, ln(1e-5) + ls12 AS lh4
+      |  FROM h),
+      |post AS (
+      |  SELECT *, greatest(lh0, lh1, lh2, lh3, lh4) AS hmax,
+      |         exp(lh0 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh1 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh2 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh3 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh4 - greatest(lh0, lh1, lh2, lh3, lh4)) AS denom
+      |  FROM bf)
+      |SELECT post."leftStudyLocusId", post."rightStudyLocusId", post.chromosome,
+      |       CAST(n AS BIGINT) AS "numberColocalisingVariants",
+      |       ${q("exp(lh0 - hmax) / denom", 4)} AS h0_q4,
+      |       ${q("exp(lh1 - hmax) / denom", 4)} AS h1_q4,
+      |       ${q("exp(lh2 - hmax) / denom", 4)} AS h2_q4,
+      |       ${q("exp(lh3 - hmax) / denom", 4)} AS h3_q4,
+      |       ${q("exp(lh4 - hmax) / denom", 4)} AS h4_q4,
+      |       ${q("bra", 6)} AS beta_ratio_q6
+      |FROM post LEFT JOIN br
+      |  ON post."leftStudyLocusId" = br."leftStudyLocusId"
+      | AND post."rightStudyLocusId" = br."rightStudyLocusId"
+      | AND post.chromosome = br.chromosome""".stripMargin
+
+  val ecaviar: String =
+    s"""WITH $synthOverlapCte,
+      |$betaRatioCte,
+      |agg AS (
+      |  SELECT "leftStudyLocusId", "rightStudyLocusId", chromosome,
+      |         count(*) AS n, sum(lpp * rpp) AS clpp
+      |  FROM ov GROUP BY 1, 2, 3)
+      |SELECT agg."leftStudyLocusId", agg."rightStudyLocusId", agg.chromosome,
+      |       CAST(n AS BIGINT) AS "numberColocalisingVariants",
+      |       ${q("clpp", 6)} AS clpp_q6,
+      |       ${q("bra", 6)} AS beta_ratio_q6
+      |FROM agg LEFT JOIN br
+      |  ON agg."leftStudyLocusId" = br."leftStudyLocusId"
+      | AND agg."rightStudyLocusId" = br."rightStudyLocusId"
+      | AND agg.chromosome = br.chromosome""".stripMargin
+
+  /** Shared synthetic-sumstats CTE (must mirror Q.synthSumstats). */
+  private val synthSumstatsCte: String =
+    """ss AS (
+      |  SELECT 's' || (l_orderkey % 5) AS "studyId",
+      |         CAST(l_suppkey % 3 AS VARCHAR) AS chromosome,
+      |         (l_partkey * 97) % 1000000 AS position,
+      |         'v' || l_orderkey || '_' || l_linenumber AS "variantId",
+      |         CAST((l_partkey % 90) / 10.0 + 1.0 AS REAL) AS mant,
+      |         CAST(-(l_suppkey % 12) - 4 AS INT) AS expo,
+      |         l_extendedprice / 5000 - 10 AS beta,
+      |         l_tax + 0.01 AS se,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem)""".stripMargin
+
+  val clusterTop1: String =
+    s"""WITH $synthSumstatsCte,
+      |cl AS (
+      |  SELECT *,
+      |         CASE WHEN position - lag(position) OVER w IS NULL
+      |                OR position - lag(position) OVER w > 10000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM ss
+      |  WINDOW w AS (PARTITION BY "studyId", chromosome
+      |               ORDER BY position, l_orderkey, l_linenumber)),
+      |cl2 AS (
+      |  SELECT *, sum(is_new) OVER
+      |    (PARTITION BY "studyId", chromosome
+      |     ORDER BY position, l_orderkey, l_linenumber
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+      |  FROM cl),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY "studyId", chromosome, cluster
+      |     ORDER BY expo, mant, position, l_orderkey, l_linenumber) AS rnk,
+      |         count(*) OVER (PARTITION BY "studyId", chromosome, cluster)
+      |           AS n_in_cluster
+      |  FROM cl2)
+      |SELECT "studyId", chromosome, cluster,
+      |       CAST(position AS BIGINT) AS lead_position,
+      |       CAST(expo AS BIGINT) AS lead_exponent, n_in_cluster
+      |FROM ranked WHERE rnk = 1""".stripMargin
+
+  val qcMetrics: String =
+    s"""WITH $synthSumstatsCte
+      |SELECT "studyId",
+      |       ${q("avg(beta)", 6)} AS mean_beta_q6,
+      |       count(*) AS n_variants,
+      |       count(*) FILTER (log10(mant) + expo <= log10(5e-8)) AS n_variants_sig,
+      |       ${q("quantile_cont((beta / se) * (beta / se), 0.5) / 0.4549364231195724", 6)}
+      |         AS gc_lambda_q6
+      |FROM ss GROUP BY 1""".stripMargin
+
+  val dedupExact: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents)),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w
+      |           AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS "idA", b.doc_id AS "idB", count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT "idA", "idB",
+      |       ${q("c * 1.0 / (sa.n + sb.n - c)", 6)} AS jaccard_q6
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = "idA"
+      |JOIN sizes sb ON sb.doc_id = "idB"
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4""".stripMargin
+
+  val textStats: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                       x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        x -> x IN ('the','of','and','to','in','is','that','it'))) AS BIGINT)
+      |    AS n_stopwords
+      |FROM documents""".stripMargin
+
+  val fingerprintSummary: String =
+    """SELECT count(*) AS n_docs,
+      |       count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |         AS n_distinct
+      |FROM documents""".stripMargin
+
+  val annTopK: String =
+    s"""WITH eu AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM eu GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid, sum(q.x * e.x) AS dot
+      |  FROM eu q JOIN eu e ON q.i = e.i
+      |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id
+      |  GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT qid, nid, dot / (nq.nrm * ne.nrm) AS s
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid
+      |            JOIN norms ne ON ne.vec_id = nid)
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+      |            AS BIGINT) AS rank,
+      |       ${q("s", 4)} AS sim_q4
+      |FROM sim
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 5""".stripMargin
+
+  val blobMeta: String =
+    """SELECT CAST(doc_id AS BIGINT) AS id, 'image' AS kind,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS "nBytes"
+      |FROM documents""".stripMargin
+
+  /** name → oracle SQL, keyed identically to SparkEntry.queries. */
+  val all: Map[String, String] = Map(
+    "q_s2_scan_prune" -> scanPrune,
+    "q_p1_pvalue_filter" -> pvalueFilter,
+    "q_p4_region_filter" -> regionFilter,
+    "q_j1_self_join_pairs" -> selfJoinPairs,
+    "q_j2_outer_align" -> outerAlign,
+    "q_j3_range_join" -> rangeJoin,
+    "q_j5_semi_join" -> semiJoin,
+    "q_j7_star_join" -> starJoin,
+    "q_j8_validation_join" -> validationJoin,
+    "q_a1_collect_sorted" -> collectSorted,
+    "q_a2_sum_products" -> sumProducts,
+    "q_a3_sign_avg" -> signAvg,
+    "q_a5_stats_battery" -> statsBattery,
+    "q_a9_pivot" -> pivotEvents,
+    "q_a10_melt" -> meltLineitem,
+    "q_w1_top1_per_group" -> top1PerGroup,
+    "q_w3_sessionize" -> sessionize,
+    "q_w4_rank_scan" -> rankScan,
+    "q_w5_running_frame" -> runningFrame,
+    "q_w7_medians" -> medians,
+    "q_set_union_distinct" -> setOps,
+    "q_f9_harmonic_sum" -> harmonicSum,
+    "q_f20_cumsum_flags" -> cumsumFlags,
+    "q_f3_pvalue_codec" -> pvalueCodec,
+    "q_gx_coloc" -> coloc,
+    "q_gx_ecaviar" -> ecaviar,
+    "q_gx_cluster_top1" -> clusterTop1,
+    "q_gx_qc_metrics" -> qcMetrics,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_text_stats" -> textStats,
+    "q_text_fingerprint_summary" -> fingerprintSummary,
+    "q_ann_topk" -> annTopK,
+    "q_mm_blob_meta" -> blobMeta)
+}

@@ -1,0 +1,508 @@
+package graft.queries
+
+import graft.functions.{ArrayFns, PValues}
+import graft.operators._
+import graft.plans.ArrayCumSum.array_cumsum
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The t2 correctness-gate query inventory: one query per SURVEY §2
+  * operator class, each with a DuckDB oracle (`Oracles`). Queries run
+  * over the driver's TPC-H-ish tables; genetics-shaped inputs are
+  * synthesised deterministically from `lineitem` with the identical
+  * formula on both engines.
+  *
+  * Cross-engine determinism rules:
+  *  - every float aggregate is quantised with [[Q.q]] — floor(x·10^d +
+  *    0.500000001) — the same IEEE formula both engines evaluate, so
+  *    results are bit-identical unless the engines disagree by >1e-9;
+  *  - raw doubles are only emitted when they are copied (or exactly
+  *    derived) from parquet values, never when accumulated;
+  *  - all orderings carry a total tie-break.
+  */
+object Q {
+
+  /** Quantise a double to d decimal digits as a long, engine-stable. */
+  def q(c: Column, d: Int): Column =
+    floor(c * math.pow(10, d) + lit(0.500000001)).cast("long")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- scans
+
+  /** S2/P: projection + filter, pushed to the parquet scan. */
+  def scanPrune(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+
+  /** P1/F3: p-value decomposition + two-term significance filter. */
+  def pvalueFilter(s: SparkSession, dir: String): DataFrame = {
+    val p = col("l_discount") + 0.0015
+    val e = floor(log10(p)).cast("int")
+    val m = p / pow(lit(10.0), e)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        m.as("mantissa"), e.as("exponent"))
+      .filter(PValues.significanceFilter(col("mantissa"), col("exponent"), 0.05))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        q(col("mantissa"), 6).as("m_q6"), col("exponent"))
+  }
+
+  /** P4: genomic-region-style inclusion + exclusion band predicate. */
+  def regionFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey").between(50, 150) &&
+        !col("l_partkey").between(90, 99) && col("l_returnflag") =!= "A")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"))
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1: self equi+theta join — pairs of same-user events. */
+  def selfJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.alias("a").join(e.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** J2: full outer alignment with null-side flags. */
+  def outerAlign(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders").groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"), lit(1L).as("is_rich"))
+    perCust.join(rich, Seq("custkey"), "outer")
+      .select(col("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("is_rich"), lit(0L)).as("is_rich"))
+  }
+
+  /** J3: broadcast banded range join (equi key + position band). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("bandkey"),
+      (col("n_regionkey") % 5).cast("long").as("chrom"),
+      (col("n_nationkey") * 400L).as("lo"),
+      (col("n_nationkey") * 400L + 500L).as("hi"))
+    val li = t(s, dir, "lineitem").select(
+      (col("l_suppkey") % 5).as("chrom"),
+      ((col("l_partkey") * 97) % 10000).as("position"),
+      col("l_extendedprice"))
+    li.join(broadcast(bands),
+        li("chrom") === bands("chrom") &&
+          col("position").between(col("lo"), col("hi")))
+      .groupBy("bandkey")
+      .agg(count(lit(1)).as("n"), q(sum("l_extendedprice"), 0).as("revenue_q0"))
+  }
+
+  /** J5: left-semi join (orders with any max-quantity line). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").alias("o")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 50).alias("l"),
+        col("o.o_orderkey") === col("l.l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+
+  /** J7: star join over broadcast dims. */
+  def starJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"),
+        q(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0)
+          .as("revenue_q0"))
+
+  /** J8: validation left join + null-probe flag. */
+  def validationJoin(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), lit(1).as("hit"))
+    t(s, dir, "orders")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left")
+      .withColumn("missing", col("hit").isNull.cast("long"))
+      .groupBy("o_orderstatus", "missing")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ----------------------------------------------------------------- aggs
+
+  /** A1/A4: per-group sorted collect rendered as a string. */
+  def collectSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("l_quantity").cast("long")))).as("quantities"))
+
+  /** A2: eCAVIAR-shaped sum of products. */
+  def sumProducts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(q(sum(col("l_extendedprice") * col("l_discount")), 0).as("sp_q0"))
+
+  /** A3: average sign. */
+  def signAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_linestatus")
+      .agg(q(avg(signum(col("l_quantity") - 25.5)), 6).as("avg_sign_q6"))
+
+  /** A5: stats battery — count/mean/stddev/min/max. */
+  def statsBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        q(mean("l_discount"), 6).as("mean_q6"),
+        q(stddev("l_discount"), 6).as("sd_q6"),
+        col("l_returnflag").as("rf2"))
+      .drop("rf2")
+
+  /** A9: pivot long→wide (event type counts per user bucket). */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** A10: melt wide→long via unpivot. */
+  def meltLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+
+  // -------------------------------------------------------------- windows
+
+  /** W1: top-1 per group with total tie-break. */
+  def top1PerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** W3: gap-based sessionisation of the event stream. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      // ts is read as raw ns (nanosAsLong); integer-div to µs matches
+      // DuckDB's epoch_us
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("is_new",
+        (col("gap").isNull || col("gap") > 600L * 1000000L).cast("long"))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** W4: rank scan + distance-to-best within group (exact doubles). */
+  def rankScan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("gap_to_best",
+        first("o_totalprice").over(w) - col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("gap_to_best"))
+  }
+
+  /** W5: running max + lag over a per-supplier ordered frame. */
+  def runningFrame(s: SparkSession, dir: String): DataFrame = {
+    // full tie-break: (l_orderkey, l_linenumber) alone is not unique
+    val w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    t(s, dir, "lineitem")
+      .withColumn("run_max_qty",
+        max(col("l_quantity").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_okey", lag("l_orderkey", 1).over(w))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_suppkey"), col("run_max_qty"), col("prev_okey"))
+  }
+
+  /** W7: exact per-group percentiles. */
+  def medians(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        q(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_q4"),
+        q(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_q4"))
+
+  // -------------------------------------------------------------- set ops
+
+  /** Union-distinct of two key sets. */
+  def setOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("long").as("k"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("k")))
+      .distinct()
+
+  // ------------------------------------------------------ scalar functions
+
+  /** F9: harmonic sum over per-group score arrays. */
+  def harmonicSum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(q(ArrayFns.harmonicSum(collect_list(col("l_discount"))), 6)
+        .as("harmonic_q6"))
+
+  /** F20: credible-set-style exclusive prefix sums (O(n) cumsum). */
+  def cumsumFlags(s: SparkSession, dir: String): DataFrame = {
+    val sorted = sort_array(collect_list(col("l_discount")), asc = false)
+    t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(sorted.as("d"))
+      .withColumn("cum", array_cumsum(col("d")))
+      .withColumn("prev", zip_with(col("cum"), col("d"), (c, p) => c - p))
+      .select(col("l_orderkey"),
+        size(filter(col("prev"), p => p < 0.155)).cast("long").as("n_core"))
+  }
+
+  /** F3: p-value string codec round trip. */
+  def pvalueCodec(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("l_partkey") % 9) + 1
+    val e = (col("l_suppkey") % 30) + 2
+    t(s, dir, "lineitem")
+      .withColumn("pstr", concat(m, lit("e-"), e))
+      .withColumn("mantissa", split(col("pstr"), "e-").getItem(0).cast("long"))
+      .withColumn("exponent", -split(col("pstr"), "e-").getItem(1).cast("long"))
+      .groupBy("mantissa", "exponent")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ------------------------------------------- genetics-shaped (synth)
+
+  /** Shared synthetic StudyLocusOverlap rows from lineitem — the same
+    * formula is written in SQL inside the oracles. */
+  def synthOverlaps(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // the full column tie-break makes the kept row engine-independent
+    val w = Window
+      .partitionBy(
+        concat(lit("L"), col("l_orderkey") % 20),
+        concat(lit("R"), col("l_partkey") % 10),
+        concat(lit("v"), col("l_partkey") % 200))
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax")
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        concat(lit("L"), col("l_orderkey") % 20).as("leftStudyLocusId"),
+        concat(lit("R"), col("l_partkey") % 10).as("rightStudyLocusId"),
+        lit("eqtl").as("rightStudyType"),
+        (col("l_suppkey") % 3).cast("string").as("chromosome"),
+        concat(lit("v"), col("l_partkey") % 200).as("tagVariantId"),
+        (col("l_extendedprice") / 5000).as("left_logBF"),
+        (col("l_quantity") / 10).as("right_logBF"),
+        (col("l_discount") * 9).as("left_pp"),
+        (col("l_tax") * 10).as("right_pp"),
+        (col("l_extendedprice") / 10000 - 2).as("left_beta"),
+        (col("l_tax") * 10 - 0.4).as("right_beta"))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("rightStudyType"), col("chromosome"), col("tagVariantId"),
+        struct(
+          col("left_logBF"), col("right_logBF"),
+          col("left_pp").as("left_posteriorProbability"),
+          col("right_pp").as("right_posteriorProbability"),
+          col("left_beta"), col("right_beta")).as("statistics"))
+  }
+
+  /** COLOC over the synthetic overlaps (quantised posteriors). */
+  def coloc(s: SparkSession, dir: String): DataFrame =
+    Coloc.colocalise(synthOverlaps(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"), col("chromosome"),
+        col("numberColocalisingVariants"),
+        q(col("h0"), 4).as("h0_q4"), q(col("h1"), 4).as("h1_q4"),
+        q(col("h2"), 4).as("h2_q4"), q(col("h3"), 4).as("h3_q4"),
+        q(col("h4"), 4).as("h4_q4"),
+        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
+
+  /** eCAVIAR over the synthetic overlaps. */
+  def ecaviar(s: SparkSession, dir: String): DataFrame =
+    Coloc.eCaviar(synthOverlaps(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"), col("chromosome"),
+        col("numberColocalisingVariants"),
+        q(col("clpp"), 6).as("clpp_q6"),
+        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
+
+  /** Synthetic summary statistics from lineitem. */
+  def synthSumstats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
+      (col("l_suppkey") % 3).cast("string").as("chromosome"),
+      ((col("l_partkey") * 97) % 1000000).cast("int").as("position"),
+      concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("variantId"),
+      ((col("l_partkey") % 90) / 10.0 + 1.0).cast("float").as("pValueMantissa"),
+      (-(col("l_suppkey") % 12) - 4).cast("int").as("pValueExponent"),
+      (col("l_extendedprice") / 5000 - 10).as("beta"),
+      (col("l_tax") + 0.01).as("standardError"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  /** W3+W1 on sumstats: session clusters + deterministic top-1 lead. */
+  def clusterTop1(s: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy("studyId", "chromosome")
+      .orderBy(col("position"), col("l_orderkey"), col("l_linenumber"))
+    val ss = synthSumstats(s, dir)
+      .withColumn("gap", col("position") - lag("position", 1).over(byPos))
+      .withColumn("is_new", (col("gap").isNull || col("gap") > 10000).cast("long"))
+      .withColumn("cluster",
+        sum("is_new").over(byPos.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val lead = Window.partitionBy("studyId", "chromosome", "cluster")
+      .orderBy(col("pValueExponent"), col("pValueMantissa"), col("position"),
+        col("l_orderkey"), col("l_linenumber"))
+    ss.withColumn("rnk", row_number().over(lead))
+      .withColumn("n_in_cluster",
+        count(lit(1)).over(Window.partitionBy("studyId", "chromosome", "cluster")))
+      .filter(col("rnk") === 1)
+      .select(col("studyId"), col("chromosome"), col("cluster"),
+        col("position").cast("long").as("lead_position"),
+        col("pValueExponent").cast("long").as("lead_exponent"),
+        col("n_in_cluster"))
+  }
+
+  /** QC subset with an exact-percentile GC lambda (oracle-friendly). */
+  def qcMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ss = synthSumstats(s, dir)
+    val beta = SumstatQC.betaCheck(ss)
+      .select(col("studyId"), q(col("mean_beta"), 6).as("mean_beta_q6"))
+    val counts = SumstatQC.numberOfSnps(ss, 5e-8)
+    val lambda = ss
+      .select(col("studyId"), pow(col("beta") / col("standardError"), 2).as("z2"))
+      .groupBy("studyId")
+      .agg(q(expr("percentile(z2, 0.5)") /
+        graft.functions.StatMath.chi2Ppf(0.5, 1.0), 6).as("gc_lambda_q6"))
+    beta.join(counts, Seq("studyId")).join(lambda, Seq("studyId"))
+  }
+
+  // --------------------------------------------- documents / embeddings
+
+  /** Exact dedup keeping the smallest doc id per text. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Exact n-gram Jaccard near-dup pairs. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, threshold = 0.4)
+      .select(col("idA"), col("idB"), q(col("jaccard"), 6).as("jaccard_q6"))
+
+  /** Token/stopword text statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      size(filter(TextAnalysis.tokens(col("text")),
+        tk => tk.isin("the", "of", "and", "to", "in", "is", "that", "it"))).cast("long")
+        .as("n_stopwords"))
+  }
+
+  /** Fingerprint-style whitespace-normalised dup summary. */
+  def fingerprintSummary(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(s, dir, "documents")
+      .select(norm.as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct"))
+  }
+
+  /** Brute-force cosine top-k for the first five query vectors. */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("id") < 5), 5)
+      .select(col("queryId"), col("neighbourId"), col("rank").cast("long").as("rank"),
+        q(col("similarity"), 4).as("sim_q4"))
+  }
+
+  /** Multimodal metadata (payload byte length without decode). */
+  def blobMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id"), col("kind"), col("nBytes"))
+
+  // ------------------------------------------------- rows-only queries
+
+  /** Full greedy window clumping (iterative kernel — no SQL oracle). */
+  def windowClumpFull(s: SparkSession, dir: String): DataFrame =
+    WindowBasedClumping.leads(synthSumstats(s, dir), distance = 10000)
+      .select("studyId", "chromosome", "position", "variantId", "studyLocusId")
+
+  /** Overlaps → COLOC end-to-end over synthesised credible sets. */
+  def overlapsColocE2E(s: SparkSession, dir: String): DataFrame = {
+    val cred = t(s, dir, "lineitem")
+      .select(
+        concat(lit("L"), col("l_orderkey") % 40).as("studyLocusId"),
+        concat(lit("s"), col("l_orderkey") % 7).as("studyId"),
+        when(col("l_orderkey") % 2 === 0, "gwas").otherwise("eqtl").as("studyType"),
+        (col("l_partkey") % 3).cast("string").as("chromosome"),
+        lit("r").as("region"),
+        concat(lit("v"), col("l_partkey") % 50).as("variantId"),
+        (col("l_extendedprice") / 1000).as("logBF"),
+        (col("l_discount") * 10).as("posteriorProbability"),
+        col("l_tax").as("beta"),
+        lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
+      .groupBy("studyLocusId", "studyId", "studyType", "chromosome", "region")
+      .agg(collect_list(struct(col("variantId"), col("logBF"),
+        col("posteriorProbability"), col("beta"),
+        col("pValueMantissa"), col("pValueExponent"))).as("locus"))
+    Coloc.colocalise(Overlaps.findOverlaps(cred))
+  }
+
+  /** PICS fine-mapping (Gaussian sf — no SQL oracle). */
+  def picsFinemap(s: SparkSession, dir: String): DataFrame = {
+    val locus = t(s, dir, "lineitem")
+      .groupBy(concat(lit("L"), col("l_orderkey") % 100).as("studyLocusId"))
+      .agg(
+        first(((col("l_partkey") % 9) + 1).cast("float")).as("pValueMantissa"),
+        first((-(col("l_suppkey") % 12) - 4).cast("int")).as("pValueExponent"),
+        collect_list(struct(
+          concat(lit("v"), col("l_partkey")).as("tagVariantId"),
+          (col("l_discount") * 10).as("r2Overall"))).as("ldSet"))
+    PICS.finemap(locus)
+      .select(col("studyLocusId"), explode(col("locus")).as("tag"))
+      .select(col("studyLocusId"), col("tag.variantId"),
+        col("tag.posteriorProbability"))
+  }
+
+  /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** SimHash near-dup pairs (no SQL oracle). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDupPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+
+  /** LSH ANN top-k (no SQL oracle). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.lshTopK(emb, emb.filter(col("id") < 5), 5,
+      tables = 16, planesPerTable = 3)
+  }
+
+  /** Multimodal decode stub + features (no SQL oracle). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(
+      Multimodal.decode(s,
+        Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")).toDF())
+
+  /** Full QC battery incl. approx percentiles + chi2 (no SQL oracle). */
+  def qcBatteryFull(s: SparkSession, dir: String): DataFrame =
+    SumstatQC.qualityControlMetrics(synthSumstats(s, dir))
+
+  /** Locus-breaker clumping (no SQL oracle; overlapping window specs). */
+  def locusBreaker(s: SparkSession, dir: String): DataFrame =
+    LocusBreakerClumping.clump(synthSumstats(s, dir),
+      baselinePValueCutoff = 1e-4, distanceCutoff = 20000,
+      pValueCutoff = 1e-8, flankingDistance = 5000)
+}
