@@ -1,0 +1,72 @@
+package graft.finemap
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-parallel fine-mapping: loci fine-map inside `mapGroups`,
+  * replacing the reference's per-locus driver loop
+  * (reference: src/gentropy/susie_finemapper.py:461-691, which moves
+  * each locus to the driver via `toPandas` and runs NumPy there).
+  *
+  * Input grain: one row per (locusId, variantId) with a z-score, plus
+  * long-format LD `(locusId, i, j, r)` — the Hail-free LD
+  * representation recommended in SURVEY §7. Both sides shuffle once on
+  * locusId; each group materialises its dense LD block only inside the
+  * executor task, bounded by the locus size.
+  */
+object DistributedFineMapper {
+
+  case class LocusVariant(locusId: String, variantId: String, z: Double, idx: Int)
+  case class LdEntry(locusId: String, i: Int, j: Int, r: Double)
+  case class FineMapped(locusId: String, variantId: String, pip: Double,
+    logBF: Double, inCredibleSet: Boolean)
+
+  /** Fine-map every locus. `variants` must carry locusId, variantId, z
+    * (idx assigned here); `ld` is long-format (locusId, i, j, r) over
+    * those indices. */
+  def finemapAll(spark: SparkSession, variants: DataFrame, ld: DataFrame,
+                 n: Int = 100000, L: Int = 10,
+                 coverage: Double = 0.99): Dataset[FineMapped] = {
+    import spark.implicits._
+
+    val indexed = variants
+      .withColumn("idx",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("locusId").orderBy("variantId")) - 1).cast("int"))
+      .select(col("locusId").cast("string"), col("variantId").cast("string"),
+        col("z").cast("double"), col("idx"))
+      .as[LocusVariant]
+
+    val ldTyped = ld.select(col("locusId").cast("string"),
+      col("i").cast("int"), col("j").cast("int"), col("r").cast("double"))
+      .as[LdEntry]
+
+    // one shuffle each on locusId; groups co-locate
+    val grouped = indexed.groupByKey(_.locusId)
+    val ldGrouped = ldTyped.groupByKey(_.locusId)
+
+    grouped
+      .cogroup(ldGrouped) { (locusId, vs, ldEntries) =>
+        val variantsArr = vs.toArray.sortBy(_.idx)
+        val p = variantsArr.length
+        if (p == 0) Iterator.empty
+        else {
+          val z = DenseVector(variantsArr.map(_.z))
+          val ldM = DenseMatrix.eye[Double](p)
+          ldEntries.foreach { e =>
+            if (e.i < p && e.j < p) { ldM(e.i, e.j) = e.r; ldM(e.j, e.i) = e.r }
+          }
+          val res = SusieInf.susieInf(z, ldM, n = n, L = L)
+          val marginal = SusieInf.marginalPip(res)
+          val cred = SusieInf.credInf(res.pip, ldM, coverage = coverage)
+          val inCs = cred.flatten.toSet
+          variantsArr.iterator.map { v0 =>
+            FineMapped(locusId, v0.variantId, marginal(v0.idx),
+              res.lbfVariable(v0.idx, ::).t.toArray.max, inCs.contains(v0.idx))
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,317 @@
+package graft.finemap
+
+import breeze.linalg.{DenseMatrix, DenseVector, eigSym, sum}
+import breeze.numerics.{abs, exp, log}
+
+/** SuSiE-inf: Bayesian fine-mapping with L sparse effects plus an
+  * infinitesimal background component.
+  *
+  * Semantics match the reference kernel
+  * (reference: src/gentropy/method/susie_inf.py:32-533, itself a
+  * snapshot of FinucaneLab/fine-mapping-inf) re-expressed in Breeze:
+  * eigendecomposition of X'X via `eigSym`, per-effect Bayesian
+  * regression in the eigenbasis, method-of-moments variance updates,
+  * bounded golden-section search replacing scipy's bounded Brent for
+  * the prior-variance MLE.
+  *
+  * This kernel is driver-free: [[DistributedFineMapper]] invokes it
+  * inside `mapGroups` so loci fine-map in parallel on executors —
+  * the reference's biggest scalability weakness (a driver-side
+  * `toPandas` loop per locus) removed by construction.
+  */
+object SusieInf {
+
+  case class Result(
+    pip: DenseMatrix[Double], // p x L per-effect PIPs
+    mu: DenseMatrix[Double], // p x L posterior means | causal
+    omega: DenseMatrix[Double], // p x L posterior precisions | causal
+    lbfVariable: DenseMatrix[Double], // p x L log-Bayes-factors
+    ssq: DenseVector[Double], // L prior effect variances
+    sigmaSq: Double,
+    tauSq: Double,
+    alpha: DenseVector[Double], // infinitesimal posterior means
+    lbf: DenseVector[Double], // per-effect credible-set logBF
+    iterations: Int)
+
+  /** Marginal PIP per SNP: 1 - prod_l (1 - PIP_{jl}). */
+  def marginalPip(r: Result): DenseVector[Double] = {
+    val p = r.pip.rows
+    val out = DenseVector.ones[Double](p)
+    var j = 0
+    while (j < p) {
+      var prod = 1.0
+      var l = 0
+      while (l < r.pip.cols) { prod *= 1.0 - r.pip(j, l); l += 1 }
+      out(j) = 1.0 - prod
+      j += 1
+    }
+    out
+  }
+
+  private def logSumExp(v: DenseVector[Double]): Double = {
+    val m = breeze.linalg.max(v)
+    if (m == Double.NegativeInfinity) m else m + log(sum(exp(v - m)))
+  }
+
+  /** Bounded scalar minimisation by golden-section search (stands in
+    * for scipy's bounded Brent; both locate the same minimum of the
+    * unimodal negative-ELBO profile). */
+  private[finemap] def minimizeScalar(f: Double => Double, lo: Double, hi: Double,
+                                      tol: Double = 1e-6): Double = {
+    val phi = (math.sqrt(5.0) - 1) / 2
+    var a = lo
+    var b = hi
+    var c = b - phi * (b - a)
+    var d = a + phi * (b - a)
+    var fc = f(c)
+    var fd = f(d)
+    while (b - a > tol) {
+      if (fc < fd) { b = d; d = c; fd = fc; c = b - phi * (b - a); fc = f(c) }
+      else { a = c; c = d; fc = fd; d = a + phi * (b - a); fd = f(d) }
+    }
+    0.5 * (a + b)
+  }
+
+  /** Run SuSiE-inf. `z` is the vector of z-scores; `ld` the SNP
+    * correlation matrix (X'X/n). */
+  def susieInf(
+      z: DenseVector[Double],
+      ld: DenseMatrix[Double],
+      n: Int = 100000,
+      L: Int = 10,
+      meanSq: Double = 1.0,
+      estSsq: Boolean = true,
+      ssqRange: (Double, Double) = (0.0, 1.0),
+      estSigmaSq: Boolean = true,
+      estTauSq: Boolean = false,
+      sigmaSq0: Double = 1.0,
+      tauSq0: Double = 0.0,
+      maxIter: Int = 100,
+      pipTol: Double = 1e-3): Result = {
+
+    val p = z.length
+    val es = eigSym(ld)
+    val dsq = es.eigenvalues.map(e => math.max(n * e, 0.0))
+    val v = es.eigenvectors // p x p, columns are eigenvectors
+
+    val xty = z * math.sqrt(n.toDouble)
+    val vtxty = v.t * xty
+    val yty = n * meanSq
+
+    var sigmaSq = sigmaSq0
+    var tauSq = tauSq0
+    var varVec = dsq * tauSq + sigmaSq
+    // diag(X' Omega X) = sum_k V_{jk}^2 * Dsq_k / var_k
+    def diagXtOmegaX0(): DenseVector[Double] = {
+      val out = DenseVector.zeros[Double](p)
+      var k = 0
+      while (k < p) {
+        val w = dsq(k) / varVec(k)
+        var j = 0
+        while (j < p) { out(j) += v(j, k) * v(j, k) * w; j += 1 }
+        k += 1
+      }
+      out
+    }
+    var diagXtOmegaX = diagXtOmegaX0()
+    var xtOmegaY = v * (vtxty /:/ varVec)
+
+    val ssq = DenseVector.fill(L)(0.2)
+    val pip = DenseMatrix.fill(p, L)(1.0 / p)
+    val mu = DenseMatrix.zeros[Double](p, L)
+    val lbfVariable = DenseMatrix.zeros[Double](p, L)
+    val omega = DenseMatrix.zeros[Double](p, L)
+    var l0 = 0
+    while (l0 < L) {
+      var j = 0
+      while (j < p) { omega(j, l0) = diagXtOmegaX(j) + 1.0 / ssq(l0); j += 1 }
+      l0 += 1
+    }
+    val logPi0 = log(1.0 / p)
+
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val pipPrev = pip.copy
+      var l = 0
+      while (l < L) {
+        // residualised X' Omega r_l
+        val b = DenseVector.tabulate(p) { j =>
+          var acc = 0.0
+          var k = 0
+          while (k < L) { acc += mu(j, k) * pip(j, k); k += 1 }
+          acc - mu(j, l) * pip(j, l)
+        }
+        val xtOmegaXb = v * ((v.t * b) *:* dsq /:/ varVec)
+        val xtOmegaR = xtOmegaY - xtOmegaXb
+
+        if (estSsq) {
+          val negElbo = (x: Double) => {
+            var acc = Double.NegativeInfinity
+            var j = 0
+            // -logsumexp(-0.5 log(1+x d) + x r^2 / (2 (1+x d)) + logpi0)
+            val terms = new Array[Double](p)
+            while (j < p) {
+              val d = diagXtOmegaX(j)
+              terms(j) = -0.5 * math.log(1 + x * d) +
+                x * xtOmegaR(j) * xtOmegaR(j) / (2 * (1 + x * d)) + logPi0
+              j += 1
+            }
+            acc = graft.functions.StatMath.logSumExp(terms)
+            -acc
+          }
+          ssq(l) = minimizeScalar(negElbo, ssqRange._1, ssqRange._2)
+        }
+
+        var j = 0
+        val logPip = DenseVector.zeros[Double](p)
+        while (j < p) {
+          omega(j, l) = diagXtOmegaX(j) + 1.0 / ssq(l)
+          mu(j, l) = xtOmegaR(j) / omega(j, l)
+          lbfVariable(j, l) = xtOmegaR(j) * xtOmegaR(j) / (2 * omega(j, l)) -
+            0.5 * math.log(omega(j, l) * ssq(l))
+          logPip(j) = lbfVariable(j, l) + logPi0
+          j += 1
+        }
+        val lse = logSumExp(logPip)
+        j = 0
+        while (j < p) { pip(j, l) = math.exp(logPip(j) - lse); j += 1 }
+        l += 1
+      }
+
+      if (estSigmaSq || estTauSq) {
+        val (s2, t2) = momUpdate(pip, mu, omega, tauSq, n, v, dsq, vtxty, xty,
+          yty, estSigmaSq, estTauSq)
+        sigmaSq = s2
+        tauSq = t2
+        varVec = dsq * tauSq + sigmaSq
+        diagXtOmegaX = diagXtOmegaX0()
+        xtOmegaY = v * (vtxty /:/ varVec)
+      }
+
+      val diff = breeze.linalg.max(abs(pipPrev - pip))
+      converged = diff < pipTol
+      it += 1
+    }
+
+    // posterior infinitesimal effects
+    val b = DenseVector.tabulate(p) { j =>
+      var acc = 0.0
+      var k = 0
+      while (k < L) { acc += mu(j, k) * pip(j, k); k += 1 }
+      acc
+    }
+    val xtOmegaXb = v * ((v.t * b) *:* dsq /:/ varVec)
+    val alpha = (xtOmegaY - xtOmegaXb) * tauSq
+
+    val lbfCs = DenseVector.tabulate(L) { l =>
+      val terms = new Array[Double](p)
+      var j = 0
+      while (j < p) { terms(j) = lbfVariable(j, l) + logPi0; j += 1 }
+      graft.functions.StatMath.logSumExp(terms)
+    }
+
+    Result(pip, mu, omega, lbfVariable, ssq, sigmaSq, tauSq, alpha, lbfCs, it)
+  }
+
+  /** Method-of-moments update of (sigma^2, tau^2).
+    * reference: src/gentropy/method/susie_inf.py:236-300 */
+  private def momUpdate(
+      pip: DenseMatrix[Double], mu: DenseMatrix[Double], omega: DenseMatrix[Double],
+      tauSq: Double, n: Int, v: DenseMatrix[Double], dsq: DenseVector[Double],
+      vtxty: DenseVector[Double], xty: DenseVector[Double], yty: Double,
+      estSigmaSq: Boolean, estTauSq: Boolean): (Double, Double) = {
+    val p = mu.rows
+    val L = mu.cols
+    val sumDsq = sum(dsq)
+    val sumDsq2 = sum(dsq *:* dsq)
+
+    val b = DenseVector.tabulate(p) { j =>
+      var acc = 0.0
+      var k = 0
+      while (k < L) { acc += mu(j, k) * pip(j, k); k += 1 }
+      acc
+    }
+    val vtb = v.t * b
+    val diagVtMV = vtb *:* vtb
+    val tmpD = DenseVector.zeros[Double](p)
+    var l = 0
+    while (l < L) {
+      val bl = DenseVector.tabulate(p)(j => mu(j, l) * pip(j, l))
+      val vtbl = v.t * bl
+      diagVtMV :-= vtbl *:* vtbl
+      var j = 0
+      while (j < p) {
+        tmpD(j) += pip(j, l) * (mu(j, l) * mu(j, l) + 1.0 / omega(j, l))
+        j += 1
+      }
+      l += 1
+    }
+    // += sum_j (V^T)^2_{kj} tmpD_j  == for each eigen-index k
+    var k = 0
+    while (k < p) {
+      var acc = 0.0
+      var j = 0
+      while (j < p) { acc += v(j, k) * v(j, k) * tmpD(j); j += 1 }
+      diagVtMV(k) += acc
+      k += 1
+    }
+
+    val x0 = yty - 2 * sum(b *:* xty) + sum(dsq *:* diagVtMV)
+    val x1 = sum(xty *:* xty) - 2 * sum(vtb *:* vtxty *:* dsq) +
+      sum(dsq *:* dsq *:* diagVtMV)
+
+    if (estTauSq) {
+      // solve [[n, sumDsq], [sumDsq, sumDsq2]] (s, t)' = (x0, x1)'
+      val det = n * sumDsq2 - sumDsq * sumDsq
+      val s = (x0 * sumDsq2 - sumDsq * x1) / det
+      val t = (n * x1 - sumDsq * x0) / det
+      if (s > 0 && t > 0) (s, t) else (x0 / n, 0.0)
+    } else if (estSigmaSq) {
+      ((x0 - sumDsq * tauSq) / n, tauSq)
+    } else (0.0, tauSq)
+  }
+
+  /** Credible sets from per-effect PIPs with purity filtering.
+    * reference: src/gentropy/method/susie_inf.py:401-470 (the sampling
+    * branch for >100-SNP sets is replaced by exact evaluation — purity
+    * is checked over the full set, a deterministic strengthening). */
+  def credInf(
+      pip: DenseMatrix[Double],
+      ld: DenseMatrix[Double],
+      coverage: Double = 0.99,
+      purity: Double = 0.5,
+      dedup: Boolean = true): List[List[Int]] = {
+    val L = pip.cols
+    var cred = List.empty[List[Int]]
+    var i = 0
+    while (i < L) {
+      val colPip = pip(::, i)
+      // argsort desc (breeze.argsort needs scala-collection-compat,
+      // which is not on the Spark classpath)
+      val order = colPip.toArray.zipWithIndex.sortBy(-_._1).map(_._2)
+      var cum = 0.0
+      var cut = -1
+      var r = 0
+      while (r < order.length && cut < 0) {
+        cum += colPip(order(r))
+        if (cum >= coverage) cut = r
+        r += 1
+      }
+      if (cut >= 0) {
+        val credset = order.take(cut + 1)
+        if (credset.length == 1) cred :+= credset.toList
+        else {
+          var minAbs = Double.MaxValue
+          for (a <- credset; bIdx <- credset) {
+            val v0 = math.abs(ld(a, bIdx))
+            if (v0 < minAbs) minAbs = v0
+          }
+          if (minAbs > purity) cred :+= credset.toList.sorted
+        }
+      }
+      i += 1
+    }
+    if (dedup) cred.distinct else cred
+  }
+}

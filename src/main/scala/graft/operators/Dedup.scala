@@ -79,9 +79,12 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // native one-pass signature (the HOF formulation re-tokenises per
+    // hash component through the interpreter — ~100x slower)
     val signed = df.select(
       col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      graft.plans.SketchFunctions
+        .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     val banded = signed
       .select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -129,7 +132,8 @@ object Dedup {
     * quarter), then filter by exact Hamming distance. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val hashed = df.select(col(idCol).as("id"),
+      graft.plans.SketchFunctions.simhash64(col(textCol)).as("sh"))
     val quartered = hashed
       .select(col("id"), col("sh"), posexplode(array(
         col("sh").bitwiseAND(lit(0xFFFFL)),

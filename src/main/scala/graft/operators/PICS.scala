@@ -24,26 +24,45 @@ object PICS {
 
   /** Annotate each row's `ldSet` (array<struct<tagVariantId,r2Overall>>)
     * into a `locus` array<struct<variantId,r2Overall,standardError,
-    * posteriorProbability>>. Rows with null ldSet get a null locus. */
+    * posteriorProbability>>. Rows with null ldSet get a null locus.
+    *
+    * Evaluation shape matters: the unnormalised tags and their sum are
+    * materialised once per row in an intermediate struct column that
+    * the final projection references twice — that stops the optimizer
+    * from inlining the (expensive, interpreted) aggregate into the
+    * normalising lambda, where it would re-evaluate per array element
+    * (O(n²) per locus — observed hanging the sf0.1 bench). */
   def finemap(df: DataFrame, k: Double = 6.4): DataFrame = {
     val neglogP =
       PValues.negLogPValue(col("pValueMantissa"), col("pValueExponent"))
+    val withRel = relativeTags(col("ldSet"), neglogP, k)
+    val total = aggregate(withRel, lit(0.0),
+      (acc, t) => acc + t.getField("relativePosteriorProbability"))
 
-    df.withColumn("neglog_pvalue", neglogP)
-      .withColumn("locus", picsLocus(col("ldSet"), col("neglog_pvalue"), k))
-      .drop("neglog_pvalue")
+    df.withColumn("_pics", struct(withRel.as("rel"), total.as("total")))
+      .withColumn("locus",
+        when(col("ldSet").isNull, lit(null)).otherwise(
+          transform(col("_pics").getField("rel"), t =>
+            struct(
+              t.getField("variantId").as("variantId"),
+              t.getField("r2Overall").as("r2Overall"),
+              t.getField("standardError").as("standardError"),
+              when(col("_pics").getField("total") =!= 0.0,
+                t.getField("relativePosteriorProbability") /
+                  col("_pics").getField("total"))
+                .as("posteriorProbability")))))
+      .drop("_pics")
   }
 
-  /** The locus expression alone (composable). */
-  def picsLocus(ldSet: Column, neglogP: Column, k: Double): Column = {
+  /** Unnormalised PICS tags (relative posterior per tag). */
+  private def relativeTags(ldSet: Column, neglogP: Column, k: Double): Column = {
     // tags PICS is defined for: r2 >= 0.5 and a usable lead p-value
     // (reference drops everything when neglogP is null or 0 —
     // src/gentropy/method/pics.py:160-166)
     val usable = filter(ldSet, t =>
       t.getField("r2Overall").isNotNull && t.getField("r2Overall") >= 0.5 &&
         neglogP.isNotNull && neglogP =!= 0.0)
-
-    val withRel = transform(usable, t => {
+    transform(usable, t => {
       val r2 = t.getField("r2Overall")
       val mu = neglogP * r2
       val std0 = abs(sqrt(lit(1.0) - pow(sqrt(r2), k)) * sqrt(neglogP) / 2)
@@ -55,19 +74,5 @@ object PICS {
         pow(lit(10.0), -std).as("standardError"),
         rel.as("relativePosteriorProbability"))
     })
-
-    val total = aggregate(withRel, lit(0.0),
-      (acc, t) => acc + t.getField("relativePosteriorProbability"))
-
-    val normalised = transform(withRel, t =>
-      struct(
-        t.getField("variantId").as("variantId"),
-        t.getField("r2Overall").as("r2Overall"),
-        t.getField("standardError").as("standardError"),
-        when(total =!= 0.0,
-          t.getField("relativePosteriorProbability") / total)
-          .as("posteriorProbability")))
-
-    when(ldSet.isNull, lit(null)).otherwise(normalised)
   }
 }

@@ -95,9 +95,10 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col("id").as(idAs), col("embedding").as(vecAs),
-        explode(lshTableKeys(col("embedding"), tables, planesPerTable, seed))
-          .as("tk"))
-        .select(col(idAs), col(vecAs), col("tk.table"), col("tk.key"))
+        posexplode(graft.plans.SketchFunctions
+          .rhpTableKeys(col("embedding"), tables, planesPerTable, seed)))
+        .withColumnsRenamed(Map("pos" -> "table", "col" -> "key"))
+        .select(col(idAs), col(vecAs), col("table"), col("key"))
     val sigC = banded(corpus, "neighbourId", "c")
     val sigQ = banded(queries, "queryId", "q")
     val w = Window.partitionBy("queryId")

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native sketch expressions.
+  *
+  * The Column-API versions of these sketches (nested `transform` /
+  * `aggregate` higher-order functions) re-evaluate free subexpressions
+  * per array element and run interpreted — tokenising a document 64
+  * times and hashing per-(plane, dim) through the expression
+  * interpreter made MinHash ~500 s on 5000 docs. Each expression here
+  * does the whole sketch in a single pass over the row's data
+  * (tokenise once, hash each shingle once, update k running minima),
+  * which is the shape that survives a 100 TB corpus.
+  *
+  * Hashes reuse Spark's XXH64 with the same mixing as the built-in
+  * `xxhash64` column function (seed 42), so results are identical to
+  * the HOF formulations they replace.
+  */
+object Sketches {
+
+  private[plans] val Seed = 42L
+
+  private[plans] def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Mirror of `xxhash64(longCol, lit(seedVal))`: fold the two longs
+    * through XXH64 starting at seed 42. */
+  private[plans] def hashTwoLongs(a: Long, b: Long): Long =
+    XXH64.hashLong(b, XXH64.hashLong(a, Seed))
+
+  private[plans] def tokenize(text: UTF8String): Array[String] =
+    text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  private[plans] def shingleStrings(toks: Array[String], n: Int): Array[String] =
+    if (toks.length >= n) Array.tabulate(toks.length - n + 1)(i =>
+      toks.slice(i, i + n).mkString(" "))
+    else Array(toks.mkString(" "))
+}
+
+/** MinHash signature: k running minima of affine-rehashed shingle
+  * hashes, one pass. Matches [[graft.operators.Dedup.minhashSignature]]
+  * over [[graft.operators.Dedup.shingles]] semantically (same hash
+  * family: a_h = 2h+1, b_h = h·0x9E3779B9, over the upper 32 bits of
+  * xxhash64(shingle)). */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val shingles = Sketches.shingleStrings(toks, shingleSize)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h64 = Sketches.hashUtf8(UTF8String.fromString(shingles(i)), Sketches.Seed)
+      val h32 = h64 >>> 32 // upper 32 bits, in [0, 2^32)
+      var h = 0
+      while (h < numHashes) {
+        val v = (2L * h + 1) * h32 + h * 0x9E3779B9L
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of the token multiset, one pass (bit i of
+  * xxhash64(token) votes ±1; sign packs bit i). Matches
+  * [[graft.operators.Dedup.simhash]]. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = Sketches.hashUtf8(UTF8String.fromString(toks(t)), Sketches.Seed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) packed |= (1L << i)
+      i += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Random-hyperplane LSH table keys over an embedding: `tables` keys,
+  * each packing `planesPerTable` sign bits (plane components derived
+  * from xxhash64(p·131071 + i, seed), mirroring
+  * [[graft.operators.Similarity.lshTableKeys]]). One pass over
+  * (planes × dims). */
+case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
+                        seed: Long) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_table_keys"
+
+  override protected def nullSafeEval(emb: Any): Any = {
+    val arr = emb.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val x = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { x(i) = arr.getDouble(i); i += 1 }
+    val planes = tables * planesPerTable
+    val bits = new Array[Long](planes)
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      i = 0
+      while (i < dims) {
+        val h = Sketches.hashTwoLongs(p.toLong * 131071 + i, seed)
+        proj += x(i) * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      bits(p) = if (proj > 0) 1L else 0L
+      p += 1
+    }
+    val keys = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < planesPerTable) {
+        key = key * 2 + bits(t * planesPerTable + b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RhpTableKeys =
+    copy(child = c)
+}
+
+object SketchFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), shingleSize, numHashes))
+
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+
+  def rhpTableKeys(embedding: Column, tables: Int, planesPerTable: Int,
+                   seed: Long = 42L): Column =
+    Bridge.column(RhpTableKeys(
+      Cast(Bridge.expression(embedding), ArrayType(DoubleType)),
+      tables, planesPerTable, seed))
+}

@@ -430,21 +430,31 @@ object Q {
 
   // ------------------------------------------------- rows-only queries
 
-  /** Full greedy window clumping (iterative kernel — no SQL oracle). */
+  /** Full greedy window clumping (iterative kernel — no SQL oracle).
+    * Distance 100 over the ~25bp-dense synthetic positions keeps
+    * cluster sizes bounded at every scale factor. */
   def windowClumpFull(s: SparkSession, dir: String): DataFrame =
-    WindowBasedClumping.leads(synthSumstats(s, dir), distance = 10000)
+    WindowBasedClumping.leads(synthSumstats(s, dir), distance = 100)
       .select("studyId", "chromosome", "position", "variantId", "studyLocusId")
 
-  /** Overlaps → COLOC end-to-end over synthesised credible sets. */
+  /** Overlaps → COLOC end-to-end over synthesised credible sets.
+    *
+    * Synth densities are scale-independent in BOTH directions: one
+    * locus per order (constant ~4 tags each) and a tag space that
+    * grows with the key range (partkey × okey parity), so per-tag join
+    * buckets — and with them the overlap self-join fan-out — stay O(1)
+    * as SF increases. (Earlier variants with fixed locus/tag counts
+    * went quadratic at sf0.1.) */
   def overlapsColocE2E(s: SparkSession, dir: String): DataFrame = {
     val cred = t(s, dir, "lineitem")
       .select(
-        concat(lit("L"), col("l_orderkey") % 40).as("studyLocusId"),
-        concat(lit("s"), col("l_orderkey") % 7).as("studyId"),
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        concat(lit("s"), col("l_orderkey") % 50).as("studyId"),
         when(col("l_orderkey") % 2 === 0, "gwas").otherwise("eqtl").as("studyType"),
-        (col("l_partkey") % 3).cast("string").as("chromosome"),
+        (col("l_partkey") % 24).cast("string").as("chromosome"),
         lit("r").as("region"),
-        concat(lit("v"), col("l_partkey") % 50).as("variantId"),
+        concat(lit("v"), col("l_partkey"), lit("_"), col("l_orderkey") % 2)
+          .as("variantId"),
         (col("l_extendedprice") / 1000).as("logBF"),
         (col("l_discount") * 10).as("posteriorProbability"),
         col("l_tax").as("beta"),
@@ -456,10 +466,12 @@ object Q {
     Coloc.colocalise(Overlaps.findOverlaps(cred))
   }
 
-  /** PICS fine-mapping (Gaussian sf — no SQL oracle). */
+  /** PICS fine-mapping (Gaussian sf — no SQL oracle). One locus per
+    * order (~4 tags) — constant locus size at every scale factor, like
+    * real credible sets. */
   def picsFinemap(s: SparkSession, dir: String): DataFrame = {
     val locus = t(s, dir, "lineitem")
-      .groupBy(concat(lit("L"), col("l_orderkey") % 100).as("studyLocusId"))
+      .groupBy(concat(lit("L"), col("l_orderkey")).as("studyLocusId"))
       .agg(
         first(((col("l_partkey") % 9) + 1).cast("float")).as("pValueMantissa"),
         first((-(col("l_suppkey") % 12) - 4).cast("int")).as("pValueExponent"),
