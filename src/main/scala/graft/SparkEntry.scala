@@ -61,7 +61,10 @@ object SparkEntry {
     "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
     "q_ann_topk" -> (Q.annTopK _),
     "q_mm_blob_meta" -> (Q.blobMeta _),
+    "q_f_variant_hash" -> (Q.variantHash _),
     // rows-only (no SQL-expressible oracle)
+    "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),
+    "q_gx_study_deconvolution" -> (Q.studyDeconvolution _),
     "q_gx_window_clump" -> (Q.windowClumpFull _),
     "q_gx_overlaps_coloc_e2e" -> (Q.overlapsColocE2E _),
     "q_gx_pics" -> (Q.picsFinemap _),

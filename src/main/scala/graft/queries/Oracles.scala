@@ -426,8 +426,26 @@ object Oracles {
       |       CAST(octet_length(encode(text)) AS BIGINT) AS "nBytes"
       |FROM documents""".stripMargin
 
+  val variantHash: String =
+    """WITH v AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |         '1_' || l_partkey || '_' || repeat('A', CAST(l_quantity AS INT))
+      |           || '_T' AS vid,
+      |         CASE WHEN l_suppkey % 7 = 0 THEN NULL
+      |              ELSE CAST(l_suppkey % 22 + 1 AS VARCHAR) END AS chromosome,
+      |         l_partkey AS position
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN chromosome IS NULL THEN 'OTVAR_' || md5(vid)
+      |            WHEN length(vid) >= 30 THEN
+      |              concat_ws('_', 'OTVAR', chromosome,
+      |                        CAST(position AS VARCHAR), md5(vid))
+      |            ELSE vid END AS "hashedVariantId"
+      |FROM v""".stripMargin
+
   /** name → oracle SQL, keyed identically to SparkEntry.queries. */
   val all: Map[String, String] = Map(
+    "q_f_variant_hash" -> variantHash,
     "q_s2_scan_prune" -> scanPrune,
     "q_p1_pvalue_filter" -> pvalueFilter,
     "q_p4_region_filter" -> regionFilter,

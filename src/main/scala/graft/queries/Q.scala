@@ -517,4 +517,48 @@ object Q {
     LocusBreakerClumping.clump(synthSumstats(s, dir),
       baselinePValueCutoff = 1e-4, distanceCutoff = 20000,
       pValueCutoff = 1e-8, flankingDistance = 5000)
+
+  /** F-variant-hash: OTVAR md5 hashing of over-long variant ids
+    * (oracle-checked — md5 hex matches across engines). */
+  def variantHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        concat(lit("1_"), col("l_partkey"), lit("_"),
+          expr("repeat('A', CAST(l_quantity AS INT))"), lit("_T"))
+          .as("variantId"),
+        when(col("l_suppkey") % 7 === 0, lit(null))
+          .otherwise(col("l_suppkey") % 22 + 1).cast("string").as("chromosome"),
+        col("l_partkey").as("position"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        VariantOps.hashLongVariantIds(col("variantId"), col("chromosome"),
+          col("position"), threshold = 30).as("hashedVariantId"))
+
+  /** Ancestry → LD population aggregation (rows-only). */
+  def ancestryAggregation(s: SparkSession, dir: String): DataFrame = {
+    val ancestries = array(lit("European"), lit("Finnish"), lit("East Asian"),
+      lit("South Asian"), lit("African unspecified"), lit("NR"))
+    t(s, dir, "orders")
+      .groupBy((col("o_custkey") % 100).as("studyKey"))
+      .agg(collect_list(struct(
+        element_at(ancestries, (col("o_orderkey") % 6 + 1).cast("int"))
+          .as("ancestry"),
+        (col("o_totalprice") / 100).as("sampleSize"))).as("discoverySamples"))
+      .select(col("studyKey"),
+        explode(StudyIndexOps.aggregateAndMapAncestries(col("discoverySamples")))
+          .as("ld"))
+      .select(col("studyKey"), col("ld.ldPopulation"),
+        q(col("ld.relativeSampleSize"), 6).as("rel_q6"))
+  }
+
+  /** Multi-source study deconvolution (rows-only). */
+  def studyDeconvolution(s: SparkSession, dir: String): DataFrame =
+    StudyIndexOps.deconvolveStudies(
+      t(s, dir, "orders").select(
+        concat(lit("s"), col("o_custkey") % 200).as("studyId"),
+        col("o_orderpriority").as("projectId"),
+        when(col("o_orderstatus") === "F", array(lit("FLAG_F")))
+          .otherwise(lit(null).cast("array<string>")).as("qualityControls"),
+        when(col("o_totalprice") > 100000, col("o_totalprice").cast("int"))
+          .otherwise(lit(null).cast("int")).as("nSamples")))
 }
