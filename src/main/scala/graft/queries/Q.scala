@@ -551,6 +551,48 @@ object Q {
         q(col("ld.relativeSampleSize"), 6).as("rel_q6"))
   }
 
+  /** LD clumping over synthesised loci with ldSets (rows-only). */
+  def ldClump(s: SparkSession, dir: String): DataFrame = {
+    val assoc = t(s, dir, "lineitem")
+      .groupBy(concat(lit("v"), col("l_partkey") % 2000).as("variantId"),
+        concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
+        (col("l_suppkey") % 3).cast("string").as("chromosome"))
+      .agg(
+        first(((col("l_partkey") % 9) + 1).cast("float")).as("pValueMantissa"),
+        first((-(col("l_suppkey") % 12) - 4).cast("int")).as("pValueExponent"),
+        slice(collect_list(struct(
+          concat(lit("v"), col("l_partkey") % 2000 + 1).as("tagVariantId"),
+          (col("l_discount") * 10).as("r2Overall"))), 1, 5).as("ldSet"))
+      .withColumn("locus", array(struct(col("variantId"),
+        lit(1.0).as("posteriorProbability"))))
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    LDClumping.clump(assoc)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        array_contains(coalesce(col("qualityControls"), array()),
+          LDClumping.LdClumpedFlag).as("ldClumped"))
+  }
+
+  /** L2G distance feature matrix over synthesised credible sets and
+    * gene distances (rows-only). */
+  def l2gDistanceFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.L2GFeatures
+    val credSets = t(s, dir, "lineitem")
+      .groupBy(concat(lit("L"), col("l_orderkey")).as("studyLocusId"))
+      .agg(first(concat(lit("v"), col("l_partkey"))).as("variantId"),
+        collect_list(struct(
+          concat(lit("v"), col("l_partkey")).as("variantId"),
+          (col("l_discount") * 10).as("posteriorProbability"))).as("locus"))
+    val distances = t(s, dir, "part")
+      .select(concat(lit("v"), col("p_partkey")).as("variantId"),
+        concat(lit("g"), col("p_partkey") % 50).as("geneId"),
+        (col("p_partkey") * 37 % 400000).as("distanceFromTss"))
+    val mean = L2GFeatures.distanceMeanFeature(credSets, distances,
+      "distanceFromTss", "distanceTssMean")
+    val sentinel = L2GFeatures.distanceSentinelFeature(credSets, distances,
+      "distanceFromTss", "distanceTssSentinel")
+    L2GFeatures.featureMatrix(Seq(mean, sentinel))
+  }
+
   /** Multi-source study deconvolution (rows-only). */
   def studyDeconvolution(s: SparkSession, dir: String): DataFrame =
     StudyIndexOps.deconvolveStudies(
