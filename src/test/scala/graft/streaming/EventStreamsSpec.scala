@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val q = windowedEventCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("update").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((1L, "click", ts(0)), (1L, "click", ts(1)),
+        (2L, "view", ts(6)))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select(col("event_type"), col("n")).as[(String, Long)]
+        .collect().toSet
+      assert(rows == Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionisation: gap closes a session, tail stays open") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(spark, input.toDS(), gapMicros = 60L * 1000000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val m = 1000000L
+      // user 1: events at 0s, 30s (same session), then 300s (new session)
+      input.addData(Event(1, "click", 0), Event(1, "view", 30 * m),
+        Event(1, "click", 300 * m))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[SessionOut].collect()
+      val closed = rows.filter(_.closed)
+      assert(closed.length == 1)
+      assert(closed.head.nEvents == 2 && closed.head.startMicros == 0 &&
+        closed.head.endMicros == 30 * m)
+      val open = rows.filter(!_.closed)
+      assert(open.exists(s => s.startMicros == 300 * m && s.nEvents == 1))
+    } finally q.stop()
+  }
+}
