@@ -53,7 +53,8 @@ object Coloc {
         logsumexp(rbf).as("logsum2"),
         logsumexp(lbf + rbf).as("logsum12"),
         (max(when(isBoth && lpp > PosteriorCutoff && rpp > PosteriorCutoff, 1)
-          .otherwise(0)) > 0).as("anySnpBothSidesHigh"))
+          .otherwise(0)) > 0).as("anySnpBothSidesHigh"),
+        betaRatioSignAverage(s).as("betaRatioSignAverage"))
 
     val sumlogsum = col("logsum1") + col("logsum2")
     val mx = greatest(sumlogsum, col("logsum12"))
@@ -87,10 +88,6 @@ object Coloc {
       .drop("logsum1", "logsum2", "logsum12", "logdiff",
         "lH0", "lH1", "lH2", "lH3", "lH4", "anySnpBothSidesHigh")
       .withColumn("colocalisationMethod", lit("COLOC"))
-      .join(
-        calculateBetaRatio(overlaps),
-        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
-        "left")
   }
 
   /** eCAVIAR CLPP: Σ left_pp·right_pp per pair.
@@ -103,24 +100,32 @@ object Coloc {
       .agg(
         sum(when(isBoth, 1L).otherwise(0L)).as("numberColocalisingVariants"),
         sum(s.getField("left_posteriorProbability") *
-          s.getField("right_posteriorProbability")).as("clpp"))
+          s.getField("right_posteriorProbability")).as("clpp"),
+        betaRatioSignAverage(s).as("betaRatioSignAverage"))
       .withColumn("colocalisationMethod", lit("eCAVIAR"))
-      .join(
-        calculateBetaRatio(overlaps),
-        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
-        "left")
   }
 
-  /** Average sign of left/right beta ratio per pair.
+  /** Average sign of left/right beta ratio per pair, folded into the same
+    * groupBy as the hypothesis aggregation: `avg` ignores nulls, so the
+    * `when` filter reproduces the reference's pre-filter + mean exactly
+    * (reference: src/gentropy/dataset/study_locus_overlap.py:55-83)
+    * while executing the overlaps subtree exactly once — the join-back
+    * formulation re-ran the whole explode→self-join→align pyramid.
+    * Pairs with zero qualifying tags yield null, as the left join did. */
+  private def betaRatioSignAverage(s: Column): Column = {
+    val lb = s.getField("left_beta")
+    val rb = s.getField("right_beta")
+    avg(when(lb.isNotNull && rb.isNotNull && lb =!= 0 && rb =!= 0,
+      signum(lb / rb)))
+  }
+
+  /** Standalone average beta-ratio sign per pair (kept for direct use).
     * reference: src/gentropy/dataset/study_locus_overlap.py:55-83 */
   def calculateBetaRatio(overlaps: DataFrame): DataFrame = {
     val s = col("statistics")
-    val lb = s.getField("left_beta")
-    val rb = s.getField("right_beta")
     overlaps
-      .filter(lb.isNotNull && rb.isNotNull && lb =!= 0 && rb =!= 0)
-      .withColumn("betaRatioSign", signum(lb / rb))
       .groupBy("leftStudyLocusId", "rightStudyLocusId", "chromosome")
-      .agg(avg("betaRatioSign").as("betaRatioSignAverage"))
+      .agg(betaRatioSignAverage(s).as("betaRatioSignAverage"))
+      .filter(col("betaRatioSignAverage").isNotNull)
   }
 }

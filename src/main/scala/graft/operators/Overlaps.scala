@@ -62,7 +62,6 @@ object Overlaps {
         col("right.studyType").as("rightStudyType"),
         col("left.chromosome").as("chromosome"))
       .distinct()
-      .repartition(col("chromosome"))
   }
 
   /** Outer-align tags of each overlapping pair (union of both credible

@@ -79,21 +79,40 @@ object WindowBasedClumping {
     * flagged as leads too (deterministic; the reference breaks such
     * ties arbitrarily by row order). */
   def clump(df: DataFrame, distance: Int = 500000): DataFrame = {
+    // Single-pass shape: the sessionisation window shuffles once on
+    // (studyId, chromosome); every later step is a window over
+    // (studyId, chromosome, cluster_id), whose ClusteredDistribution is
+    // already satisfied by that partitioning — in-partition sorts only,
+    // no join-back, no second execution of the sessionisation (the old
+    // groupBy+join formulation ran the full (studyId, chromosome)
+    // shuffle+sort twice: once for the aggregate, once for the probe).
     val withCluster = df.withColumn("cluster_id",
       clusterPeaks(col("studyId"), col("chromosome"), col("position"), distance))
 
-    val leadsPerCluster = withCluster
-      .groupBy("studyId", "chromosome", "cluster_id")
-      .agg(collect_list(struct(
-        col("pValueExponent"), col("pValueMantissa"),
-        col("position").cast("long").as("position"))).as("tags"))
-      .select(col("studyId"), col("chromosome"), col("cluster_id"),
-        leadPositionsUdf(
-          transform(array_sort(col("tags")), t => t.getField("position")),
-          lit(distance.toLong)).as("leadPositions"))
-
+    val byCluster =
+      Window.partitionBy(col("studyId"), col("chromosome"), col("cluster_id"))
+    // Whole-partition frames: Spark evaluates each aggregate ONCE per
+    // cluster (UnboundedWindowFunctionFrame). Order matters for row
+    // width: the collect_list array is born inside the same projection
+    // that consumes it (`when(rn=1, udf(...))` — CaseWhen branches are
+    // lazy, so the greedy kernel runs once per cluster), so no later
+    // sort or window ever carries an O(cluster)-wide row. A first
+    // attempt that kept `_tags` as a column pushed the fat arrays
+    // through two window sorts and was 7× slower than the join it
+    // replaced.
     val joined = withCluster
-      .join(leadsPerCluster, Seq("studyId", "chromosome", "cluster_id"))
+      .withColumn("_rn",
+        row_number().over(byCluster.orderBy(col("position"))))
+      .withColumn("_leadsOnFirst",
+        when(col("_rn") === 1, leadPositionsUdf(
+          transform(array_sort(collect_list(struct(
+            col("pValueExponent"), col("pValueMantissa"),
+            col("position").cast("long").as("position"))).over(byCluster)),
+            t => t.getField("position")),
+          lit(distance.toLong))))
+      .withColumn("leadPositions",
+        first(col("_leadsOnFirst"), ignoreNulls = true).over(byCluster))
+      .drop("_rn", "_leadsOnFirst")
     val notLead = !array_contains(col("leadPositions"), col("position").cast("long"))
     val qc =
       if (df.columns.contains("qualityControls"))

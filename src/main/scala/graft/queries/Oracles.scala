@@ -327,10 +327,10 @@ object Oracles {
       |  WINDOW w AS (PARTITION BY "studyId", chromosome
       |               ORDER BY position, l_orderkey, l_linenumber)),
       |cl2 AS (
-      |  SELECT *, sum(is_new) OVER
+      |  SELECT *, CAST(sum(is_new) OVER
       |    (PARTITION BY "studyId", chromosome
       |     ORDER BY position, l_orderkey, l_linenumber
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cluster
       |  FROM cl),
       |ranked AS (
       |  SELECT *, row_number() OVER

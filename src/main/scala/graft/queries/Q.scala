@@ -603,4 +603,9 @@ object Q {
           .otherwise(lit(null).cast("array<string>")).as("qualityControls"),
         when(col("o_totalprice") > 100000, col("o_totalprice").cast("int"))
           .otherwise(lit(null).cast("int")).as("nSamples")))
+      // Flatten the array so the driver's pandas row-sorter (which cannot
+      // hash numpy arrays) can order rows deterministically.
+      .withColumn("qualityControls",
+        concat_ws(",", array_sort(coalesce(col("qualityControls"),
+          array().cast("array<string>")))))
 }
