@@ -24,10 +24,19 @@ object DistributedFineMapper {
 
   /** Fine-map every locus. `variants` must carry locusId, variantId, z
     * (idx assigned here); `ld` is long-format (locusId, i, j, r) over
-    * those indices. */
+    * those indices.
+    *
+    * With `runCarma`, each locus first runs the CARMA outlier scan and
+    * LD-discordant variants are dropped from z and the LD block before
+    * SuSiE — the reference's CARMA→SuSiE chain
+    * (reference: src/gentropy/susie_finemapper.py:546-611), executed
+    * per-locus on the executors instead of the driver. */
   def finemapAll(spark: SparkSession, variants: DataFrame, ld: DataFrame,
                  n: Int = 100000, L: Int = 10,
-                 coverage: Double = 0.99): Dataset[FineMapped] = {
+                 coverage: Double = 0.99,
+                 runCarma: Boolean = false,
+                 carmaTimeLimitSec: Double = 600,
+                 carmaTau: Double = 0.04): Dataset[FineMapped] = {
     import spark.implicits._
 
     val indexed = variants
@@ -49,22 +58,43 @@ object DistributedFineMapper {
 
     grouped
       .cogroup(ldGrouped) { (locusId, vs, ldEntries) =>
-        val variantsArr = vs.toArray.sortBy(_.idx)
-        val p = variantsArr.length
-        if (p == 0) Iterator.empty
+        val variantsArr0 = vs.toArray.sortBy(_.idx)
+        val p0 = variantsArr0.length
+        if (p0 == 0) Iterator.empty
         else {
-          val z = DenseVector(variantsArr.map(_.z))
-          val ldM = DenseMatrix.eye[Double](p)
+          val ldM0 = DenseMatrix.eye[Double](p0)
           ldEntries.foreach { e =>
-            if (e.i < p && e.j < p) { ldM(e.i, e.j) = e.r; ldM(e.j, e.i) = e.r }
+            if (e.i < p0 && e.j < p0) { ldM0(e.i, e.j) = e.r; ldM0(e.j, e.i) = e.r }
           }
+          // CARMA pre-step: drop LD-discordant outliers, as the
+          // reference does before SuSiE (outlier rows leave the output
+          // entirely — susie_finemapper.py:550-560).
+          val (variantsArr, ldM) =
+            if (!runCarma) (variantsArr0, ldM0)
+            else {
+              val out = Carma.timeLimitedCarmaSpikeSlabNoEM(
+                DenseVector(variantsArr0.map(_.z)), ldM0,
+                secThreshold = carmaTimeLimitSec, tau = carmaTau)
+              out.outliers match {
+                case Some(outliers) if outliers.nonEmpty =>
+                  val keep = variantsArr0.indices.filterNot(outliers.contains).toArray
+                  val kept = keep.map(variantsArr0(_))
+                  val sub = DenseMatrix.tabulate[Double](keep.length, keep.length) {
+                    (a, b) => ldM0(keep(a), keep(b))
+                  }
+                  (kept, sub)
+                case _ => (variantsArr0, ldM0)
+              }
+            }
+          val p = variantsArr.length
+          val z = DenseVector(variantsArr.map(_.z))
           val res = SusieInf.susieInf(z, ldM, n = n, L = L)
           val marginal = SusieInf.marginalPip(res)
           val cred = SusieInf.credInf(res.pip, ldM, coverage = coverage)
           val inCs = cred.flatten.toSet
-          variantsArr.iterator.map { v0 =>
-            FineMapped(locusId, v0.variantId, marginal(v0.idx),
-              res.lbfVariable(v0.idx, ::).t.toArray.max, inCs.contains(v0.idx))
+          variantsArr.iterator.zipWithIndex.map { case (v0, i) =>
+            FineMapped(locusId, v0.variantId, marginal(i),
+              res.lbfVariable(i, ::).t.toArray.max, inCs.contains(i))
           }
         }
       }

@@ -31,4 +31,34 @@ class DistributedFineMapperSpec extends SparkSpec {
     assert(out.exists(r => r.locusId == "A" && r.variantId == "v09" &&
       r.inCredibleSet))
   }
+
+  test("CARMA pre-step drops LD-discordant outliers before SuSiE") {
+    // v03 carries z=9 while its strong-LD partners v02/v04 (r=0.95) sit
+    // at z≈0 — exactly the LD discordance CARMA's ridge test flags: the
+    // null partners are expelled as outliers and the causal candidate
+    // survives. v08/v09 are a legitimate correlated causal pair.
+    val variants = (0 until 12).map { i =>
+      val z = if (i == 3) 9.0 else if (i == 8) 7.0 else if (i == 9) 6.8 else 0.1
+      ("A", f"v$i%02d", z)
+    }.toDF("locusId", "variantId", "z")
+    val ld = (
+      Seq(("A", 8, 9, 0.97), ("A", 2, 3, 0.95), ("A", 3, 4, 0.95)) ++
+        // the rest of the locus is mildly correlated except v03
+        (for (i <- 0 until 12; j <- (i + 1) until 12
+              if i != 3 && j != 3 && (i, j) != ((8, 9)) && (i, j) != ((2, 4)))
+          yield ("A", i, j, 0.3))
+      ).toDF("locusId", "i", "j", "r")
+
+    val out = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3, runCarma = true).collect()
+
+    // the discordant null partners were expelled by CARMA
+    assert(!out.exists(_.variantId == "v02"), s"got ${out.map(_.variantId).toSeq}")
+    assert(!out.exists(_.variantId == "v04"), s"got ${out.map(_.variantId).toSeq}")
+    assert(out.length == 10)
+    // both real signals are still fine-mapped
+    val pips = out.map(r => r.variantId -> r.pip).toMap
+    assert(pips("v03") > 0.8, s"pips=$pips")
+    assert(pips("v08") + pips("v09") > 0.8, s"pips=$pips")
+  }
 }
