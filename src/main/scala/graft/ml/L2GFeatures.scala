@@ -1,83 +1,361 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Locus-to-gene (L2G) feature factory — distance features (A12/J12).
+/** Locus-to-gene (L2G) feature factory.
   *
-  * Semantics match the reference
-  * (reference: src/gentropy/dataset/l2g_features/distance.py:21-141):
-  * credible-set tags join gene distances, scores weight by posterior
-  * probability, log-scaled to [0,1] over the genomic window;
-  * neighbourhood variants normalise by the regional maximum over
-  * protein-coding genes.
+  * Covers the reference's four feature families
+  * (reference: src/gentropy/dataset/l2g_features/distance.py:21-453,
+  * colocalisation.py:23-735, vep.py:21-272, other.py:20-362) with a
+  * different physical shape: the reference computes each of its 28
+  * features as an independent pipeline over the same inputs (28 scans
+  * of the credible sets at worst); here each family computes ALL its
+  * local features in ONE join + ONE groupBy using conditional
+  * aggregates, and all its neighbourhood variants in ONE
+  * protein-coding join + ONE window pass. Per family: 2 shuffles
+  * total, independent of feature count — the shape that survives a
+  * 100× scale-up.
   *
-  * Scale: one equi-join on variantId (the fan-out is |locus| × genes
-  * within the window, both bounded) + one groupBy per feature; the
-  * neighbourhood pass adds a window max per studyLocusId.
+  * All feature frames are wide: (studyLocusId, geneId, feature...).
+  * [[featureMatrix]] outer-joins families and zero-fills, matching the
+  * reference's long-to-wide pivot + fillna in its feature matrix
+  * (reference: src/gentropy/dataset/l2g_feature_matrix.py).
   */
 object L2GFeatures {
 
-  /** Mean distance feature: PP-weighted distance score summed over the
-    * credible set, log-scaled. `distances` carries
-    * (variantId, geneId, <distanceCol>). */
-  def distanceMeanFeature(credSets: DataFrame, distances: DataFrame,
-                          distanceCol: String, featureName: String,
-                          genomicWindow: Int = 500000): DataFrame = {
-    val tags = credSets
+  val GenomicWindow = 500000
+
+  private def logScale(agg: Column, window: Int): Column =
+    log10(agg) / math.log10(window + 1.0)
+
+  private def ratioToRegionalMax(local: Column, regionalMax: Column): Column =
+    when(regionalMax.isNotNull && regionalMax =!= 0.0,
+      coalesce(local, lit(0.0)) / regionalMax).otherwise(lit(0.0))
+
+  /** Credible-set tags exploded once, with the sentinel (lead) flag —
+    * the shared input of the distance/VEP/other families. */
+  def explodedTags(credSets: DataFrame): DataFrame =
+    credSets
       .withColumn("tag", explode_outer(col("locus")))
       .select(col("studyLocusId"),
-        col("tag.variantId").as("variantId"),
-        col("tag.posteriorProbability").as("posteriorProbability"))
-    tags
-      .join(distances, Seq("variantId"))
-      .withColumn("distance_score",
-        (lit(genomicWindow) - col(distanceCol) + 1) * col("posteriorProbability"))
+        col("tag.variantId").as("tagVariantId"),
+        col("tag.posteriorProbability").as("posteriorProbability"),
+        (col("tag.variantId") === col("variantId")).as("isSentinel"))
+
+  // ---------------------------------------------------------------- //
+  // Distance family (8 features)                                     //
+  // ---------------------------------------------------------------- //
+
+  /** All local distance features in one pass. `distances` carries
+    * (variantId, geneId, distanceFromTss[, distanceFromFootprint]).
+    * Mean features weight the linear distance score by posterior
+    * probability and sum; sentinel features take the lead variant's
+    * unweighted score; both log-scale into [0, 1] over the window.
+    * reference: src/gentropy/dataset/l2g_features/distance.py:21-80 */
+  def distanceFeatures(credSets: DataFrame, distances: DataFrame,
+                       genomicWindow: Int = GenomicWindow): DataFrame = {
+    val withFootprint = distances.columns.contains("distanceFromFootprint")
+    def score(c: String) = lit(genomicWindow) - col(c) + lit(1)
+    val base = Seq(
+      logScale(sum(score("distanceFromTss") * col("posteriorProbability")),
+        genomicWindow).as("distanceTssMean"),
+      logScale(max(when(col("isSentinel"), score("distanceFromTss"))),
+        genomicWindow).as("distanceSentinelTss"))
+    val fp = if (!withFootprint) Nil else Seq(
+      logScale(sum(score("distanceFromFootprint") * col("posteriorProbability")),
+        genomicWindow).as("distanceFootprintMean"),
+      logScale(max(when(col("isSentinel"), score("distanceFromFootprint"))),
+        genomicWindow).as("distanceSentinelFootprint"))
+    val aggs = base ++ fp
+    explodedTags(credSets)
+      .join(distances.withColumnRenamed("variantId", "tagVariantId"),
+        Seq("tagVariantId"))
       .groupBy("studyLocusId", "geneId")
-      .agg(sum("distance_score").as("agg"))
-      .withColumn(featureName,
-        log10(col("agg")) / math.log10(genomicWindow + 1.0))
-      .drop("agg")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Sentinel distance feature: unweighted distance between the lead
-    * variant and each gene, log-scaled. */
+  /** Back-compat single-feature wrappers (kept for composability). */
+  def distanceMeanFeature(credSets: DataFrame, distances: DataFrame,
+                          distanceCol: String, featureName: String,
+                          genomicWindow: Int = GenomicWindow): DataFrame =
+    explodedTags(credSets)
+      .join(distances.withColumnRenamed("variantId", "tagVariantId"),
+        Seq("tagVariantId"))
+      .groupBy("studyLocusId", "geneId")
+      .agg(logScale(sum((lit(genomicWindow) - col(distanceCol) + 1) *
+        col("posteriorProbability")), genomicWindow).as(featureName))
+
   def distanceSentinelFeature(credSets: DataFrame, distances: DataFrame,
                               distanceCol: String, featureName: String,
-                              genomicWindow: Int = 500000): DataFrame =
+                              genomicWindow: Int = GenomicWindow): DataFrame =
     credSets.select("studyLocusId", "variantId")
       .join(distances, Seq("variantId"))
-      .withColumn("distance_score", lit(genomicWindow) - col(distanceCol) + 1)
       .groupBy("studyLocusId", "geneId")
-      .agg(first("distance_score").as("agg"))
-      .withColumn(featureName,
-        log10(col("agg")) / math.log10(genomicWindow + 1.0))
-      .drop("agg")
+      .agg(logScale(first(lit(genomicWindow) - col(distanceCol) + 1),
+        genomicWindow).as(featureName))
 
-  /** Neighbourhood variant: feature relative to the regional maximum
-    * across protein-coding genes of the same locus, clamped to [0,1]. */
-  def neighbourhoodFeature(localFeature: DataFrame, genes: DataFrame,
-                           localName: String, featureName: String): DataFrame = {
-    val w = Window.partitionBy("studyLocusId")
-    localFeature
-      .join(genes.filter(col("biotype") === "protein_coding")
-        .select(col("id").as("geneId")), Seq("geneId"))
-      .withColumn("regional_max", max(col(localName)).over(w))
-      .withColumn(featureName,
-        when(col("regional_max").isNotNull && col("regional_max") =!= 0.0,
-          col(localName) / col("regional_max")).otherwise(lit(0.0)))
-      .withColumn(featureName,
-        when(col(featureName) < 0, 0.0)
-          .when(col(featureName) > 1, 1.0)
-          .otherwise(col(featureName)))
-      .drop("regional_max", localName)
+  // ---------------------------------------------------------------- //
+  // Colocalisation family (12 features)                              //
+  // ---------------------------------------------------------------- //
+
+  private val qtlClasses: Seq[(String, Seq[String])] = Seq(
+    "eQtl" -> Seq("eqtl", "sceqtl"),
+    "pQtl" -> Seq("pqtl"),
+    "sQtl" -> Seq("sqtl", "tuqtl", "scsqtl", "sctuqtl"))
+
+  val colocFeatureNames: Seq[String] =
+    for ((q, _) <- qtlClasses; m <- Seq("ColocClppMaximum", "ColocH4Maximum"))
+      yield s"$q$m"
+
+  /** All six local colocalisation features in one pass: the maximum
+    * CLPP (eCAVIAR) / H4 (COLOC) per (studyLocusId, geneId) restricted
+    * by QTL class, as conditional max aggregates over the annotated
+    * colocalisation rows.
+    * reference: src/gentropy/dataset/l2g_features/colocalisation.py:23-70 +
+    * src/gentropy/dataset/colocalisation.py:39-123 */
+  def colocFeatures(coloc: DataFrame, studyLoci: DataFrame,
+                    studyIndex: DataFrame): DataFrame = {
+    val rightGene = studyLoci
+      .select(col("studyLocusId").as("rightStudyLocusId"),
+        col("studyId").as("rightStudyId"))
+      .join(studyIndex.select(col("studyId").as("rightStudyId"), col("geneId"),
+        lower(col("studyType")).as("qtlType")), Seq("rightStudyId"))
+      .filter(col("geneId").isNotNull)
+    val annotated = coloc
+      .join(broadcast(rightGene), Seq("rightStudyLocusId"))
+      .join(studyLoci.select(col("studyLocusId").as("leftStudyLocusId")),
+        Seq("leftStudyLocusId"), "left_semi")
+    val method = lower(col("colocalisationMethod"))
+    val aggs = qtlClasses.flatMap { case (qName, types) =>
+      val inClass = col("qtlType").isin(types: _*)
+      Seq(
+        max(when(method === "ecaviar" && inClass, col("clpp")))
+          .as(s"${qName}ColocClppMaximum"),
+        max(when(method === "coloc" && inClass, col("h4")))
+          .as(s"${qName}ColocH4Maximum"))
+    }
+    annotated
+      .groupBy(col("leftStudyLocusId").as("studyLocusId"), col("geneId"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Assemble a wide feature matrix from long-format feature frames
-    * (studyLocusId, geneId, <feature>) via outer joins, zero-filled. */
+  /** Artificial zero rows for protein-coding genes functionally linked
+    * to a locus' lead variant but absent from the colocalisation
+    * results, so neighbourhood normalisation covers them.
+    * reference: src/gentropy/dataset/l2g_features/colocalisation.py:72-119 */
+  def extendMissingColocToNeighbourhoodGenes(
+      localFeatures: DataFrame, variantIndex: DataFrame, genes: DataFrame,
+      studyLoci: DataFrame): DataFrame = {
+    val codingLut = variantIndex
+      .select(col("variantId"), explode(col("transcriptConsequences")).as("tc"))
+      .select(col("tc.targetId").as("geneId"), col("variantId"))
+      .join(genes.select(col("id").as("geneId"), col("biotype")), Seq("geneId"), "left")
+      .filter(col("biotype") === "protein_coding")
+      .drop("biotype")
+      .distinct()
+    val withVariant = localFeatures
+      .join(studyLoci.select("studyLocusId", "variantId"), Seq("studyLocusId"))
+    val featureCols =
+      localFeatures.columns.filterNot(Seq("studyLocusId", "geneId").contains)
+    codingLut
+      .join(withVariant, Seq("variantId", "geneId"), "left_anti")
+      .join(withVariant.select("studyLocusId", "variantId").distinct(),
+        Seq("variantId"))
+      .drop("variantId")
+      .select(col("studyLocusId") +: col("geneId") +:
+        featureCols.map(c => lit(0.0).as(c)): _*)
+  }
+
+  // ---------------------------------------------------------------- //
+  // VEP family (4 features)                                          //
+  // ---------------------------------------------------------------- //
+
+  /** Both local VEP severity features in one pass: credible-set max
+    * consequence score and PP-weighted mean, per (studyLocusId, geneId).
+    * `variantIndex` carries transcriptConsequences:
+    * array<struct<targetId, consequenceScore, ...>>.
+    * reference: src/gentropy/dataset/l2g_features/vep.py:21-75 */
+  def vepFeatures(credSets: DataFrame, variantIndex: DataFrame): DataFrame = {
+    val consequences = variantIndex
+      .select(col("variantId").as("tagVariantId"),
+        explode(col("transcriptConsequences")).as("tc"))
+      .select(col("tagVariantId"), col("tc.targetId").as("geneId"),
+        col("tc.consequenceScore").as("severityScore"))
+    explodedTags(credSets)
+      .join(consequences, Seq("tagVariantId"))
+      .groupBy("studyLocusId", "geneId")
+      .agg(
+        max(col("severityScore")).as("vepMaximum"),
+        mean(col("severityScore") * col("posteriorProbability")).as("vepMean"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Other features                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Gene counts in the locus window: every (studyLocusId, geneId)
+    * pair in the ±window/2 TSS range, annotated with the distinct gene
+    * count (and the protein-coding count) of that window. One banded
+    * range join + one window count — the reference performs the range
+    * join twice per variant and counts approximately; an exact count
+    * over the already-distinct pairs is both cheaper and oracle-friendly
+    * (documented deviation).
+    * reference: src/gentropy/dataset/l2g_features/other.py:20-83 */
+  def geneCountFeatures(studyLoci: DataFrame, genes: DataFrame,
+                        genomicWindow: Int = GenomicWindow): DataFrame = {
+    val loci = studyLoci.select(col("studyLocusId"),
+      col("chromosome").as("slChromosome"),
+      (col("position") - genomicWindow / 2).as("windowStart"),
+      (col("position") + genomicWindow / 2).as("windowEnd"))
+    val pairs = loci
+      .join(broadcast(genes.select(col("id").as("geneId"), col("biotype"),
+        col("chromosome").as("gChromosome"), col("tss"))),
+        col("slChromosome") === col("gChromosome") &&
+          col("tss") >= col("windowStart") && col("tss") <= col("windowEnd"))
+      .select("studyLocusId", "geneId", "biotype")
+      .distinct()
+    val w = Window.partitionBy("studyLocusId")
+    pairs
+      .withColumn("geneCount500kb", count(lit(1)).over(w))
+      .withColumn("proteinGeneCount500kb",
+        count(when(col("biotype") === "protein_coding", 1)).over(w))
+      .drop("biotype")
+  }
+
+  /** 1.0 when the (locus, gene) link is to a protein-coding transcript
+    * within the window, 0.0 otherwise.
+    * reference: src/gentropy/dataset/l2g_features/other.py:85-145 */
+  def isProteinCodingFeature(credSets: DataFrame, variantIndex: DataFrame,
+                             genomicWindow: Int = GenomicWindow): DataFrame = {
+    require(genomicWindow <= 500000, "Genomic window must be at most 500kb")
+    val genesInWindow = variantIndex
+      .select(col("variantId").as("tagVariantId"),
+        explode(col("transcriptConsequences")).as("tc"))
+      .select(col("tagVariantId"), col("tc.targetId").as("geneId"),
+        col("tc.biotype").as("biotype"),
+        col("tc.distanceFromFootprint").as("distanceFromFootprint"))
+      .filter(col("distanceFromFootprint") <= genomicWindow)
+    explodedTags(credSets)
+      .filter(col("tagVariantId").isNotNull)
+      .join(genesInWindow, Seq("tagVariantId"))
+      .select(col("studyLocusId"), col("geneId"),
+        when(col("biotype") === "protein_coding", lit(1.0)).otherwise(lit(0.0))
+          .as("isProteinCoding"))
+      .distinct()
+  }
+
+  /** Credible-set confidence class → numeric score, fanned out to the
+    * locus' functionally-linked genes.
+    * reference: src/gentropy/dataset/l2g_features/other.py:268-362 */
+  def credibleSetConfidenceFeature(credSets: DataFrame,
+                                   variantIndex: DataFrame): DataFrame = {
+    val score = when(col("confidence") === "SuSiE fine-mapped credible set with in-sample LD", 1.0)
+      .when(col("confidence") === "SuSiE fine-mapped credible set with out-of-sample LD", 0.75)
+      .when(col("confidence") === "PICS fine-mapped credible set extracted from summary statistics", 0.5)
+      .when(col("confidence") === "PICS fine-mapped credible set based on reported top hit", 0.25)
+      .when(col("confidence") === "Unknown confidence", 0.0)
+    credSets
+      .select(col("studyLocusId"), col("variantId"), score.as("credibleSetConfidence"))
+      .join(variantIndex.select(col("variantId"),
+        explode(col("transcriptConsequences.targetId")).as("geneId")),
+        Seq("variantId"))
+      .select("studyLocusId", "geneId", "credibleSetConfidence")
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- //
+  // Neighbourhood normalisation (shared by every family)             //
+  // ---------------------------------------------------------------- //
+
+  /** For each feature column, append `<name>Neighbourhood` = local
+    * value over the regional max across the locus' protein-coding
+    * genes, in a single window pass over all columns.
+    * reference: the common_neighbourhood_*_logic functions
+    * (e.g. src/gentropy/dataset/l2g_features/vep.py:77-130) */
+  def neighbourhoodFeatures(wide: DataFrame, genes: DataFrame,
+                            featureCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("studyLocusId")
+    val coding = wide.join(
+      broadcast(genes.filter(col("biotype") === "protein_coding")
+        .select(col("id").as("geneId"))), Seq("geneId"))
+    featureCols.foldLeft(coding) { (df, c) =>
+      df.withColumn(s"${c}Neighbourhood",
+        ratioToRegionalMax(col(c), max(col(c)).over(w)))
+    }.select(col("studyLocusId") +: col("geneId") +:
+      featureCols.map(c => col(s"${c}Neighbourhood")): _*)
+  }
+
+  /** Back-compat single-feature neighbourhood wrapper. */
+  def neighbourhoodFeature(localFeature: DataFrame, genes: DataFrame,
+                           localName: String, featureName: String): DataFrame =
+    neighbourhoodFeatures(localFeature, genes, Seq(localName))
+      .withColumnRenamed(s"${localName}Neighbourhood", featureName)
+
+  // ---------------------------------------------------------------- //
+  // Factory                                                          //
+  // ---------------------------------------------------------------- //
+
+  /** Assemble a wide feature matrix from wide feature frames keyed by
+    * (studyLocusId, geneId) via outer joins, zero-filled. */
   def featureMatrix(features: Seq[DataFrame]): DataFrame =
     features
       .reduce((a, b) => a.join(b, Seq("studyLocusId", "geneId"), "outer"))
       .na.fill(0.0)
+
+  /** Inputs of the full factory. `distances` and `coloc` are optional
+    * families; omitted families are skipped, mirroring the reference's
+    * feature-factory registry selecting by requested feature names
+    * (reference: src/gentropy/method/l2g/feature_factory.py:102-197). */
+  case class Inputs(
+      credSets: DataFrame,
+      variantIndex: Option[DataFrame] = None,
+      genes: Option[DataFrame] = None,
+      distances: Option[DataFrame] = None,
+      coloc: Option[DataFrame] = None,
+      studyIndex: Option[DataFrame] = None,
+      /** All study loci (GWAS + QTL) for the coloc right-side study
+        * mapping; defaults to `credSets`. */
+      studyLoci: Option[DataFrame] = None)
+
+  /** Compute every feature family the inputs allow, local +
+    * neighbourhood, as one wide matrix. */
+  def computeFeatureMatrix(in: Inputs): DataFrame = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    in.distances.foreach { d =>
+      val local = distanceFeatures(in.credSets, d)
+      frames += local
+      in.genes.foreach { g =>
+        val cols = local.columns.filterNot(Seq("studyLocusId", "geneId").contains)
+        frames += neighbourhoodFeatures(local, g, cols.toSeq)
+      }
+    }
+    for (c <- in.coloc; si <- in.studyIndex) {
+      val local = colocFeatures(c, in.studyLoci.getOrElse(in.credSets), si)
+      frames += local
+      for (g <- in.genes; vi <- in.variantIndex) {
+        val extended = local.unionByName(
+          extendMissingColocToNeighbourhoodGenes(local, vi, g, in.credSets))
+        frames += neighbourhoodFeatures(extended, g, colocFeatureNames)
+      }
+    }
+    in.variantIndex.foreach { vi =>
+      val local = vepFeatures(in.credSets, vi)
+      frames += local
+      in.genes.foreach { g =>
+        frames += neighbourhoodFeatures(local, g, Seq("vepMaximum", "vepMean"))
+      }
+      frames += isProteinCodingFeature(in.credSets, vi)
+      if (in.credSets.columns.contains("confidence"))
+        frames += credibleSetConfidenceFeature(in.credSets, vi)
+    }
+    for (g <- in.genes
+         if in.credSets.columns.contains("position") &&
+           in.credSets.columns.contains("chromosome")) {
+      frames += geneCountFeatures(in.credSets, g)
+    }
+    featureMatrix(frames.toSeq)
+  }
 }

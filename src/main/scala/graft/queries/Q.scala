@@ -572,25 +572,90 @@ object Q {
           LDClumping.LdClumpedFlag).as("ldClumped"))
   }
 
-  /** L2G distance feature matrix over synthesised credible sets and
-    * gene distances (rows-only). */
-  def l2gDistanceFeatures(s: SparkSession, dir: String): DataFrame = {
-    import graft.ml.L2GFeatures
-    val credSets = t(s, dir, "lineitem")
+  /** Shared synthetic credible sets for the L2G queries. */
+  private def l2gCredSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .groupBy(concat(lit("L"), col("l_orderkey")).as("studyLocusId"))
       .agg(first(concat(lit("v"), col("l_partkey"))).as("variantId"),
+        first(concat(lit("gwas_s"), col("l_orderkey") % 5)).as("studyId"),
+        first((col("l_suppkey") % 3).cast("string")).as("chromosome"),
+        first((col("l_partkey") * 97) % 1000000).as("position"),
         collect_list(struct(
           concat(lit("v"), col("l_partkey")).as("variantId"),
           (col("l_discount") * 10).as("posteriorProbability"))).as("locus"))
-    val distances = t(s, dir, "part")
+
+  private def l2gDistances(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
       .select(concat(lit("v"), col("p_partkey")).as("variantId"),
         concat(lit("g"), col("p_partkey") % 50).as("geneId"),
-        (col("p_partkey") * 37 % 400000).as("distanceFromTss"))
-    val mean = L2GFeatures.distanceMeanFeature(credSets, distances,
-      "distanceFromTss", "distanceTssMean")
-    val sentinel = L2GFeatures.distanceSentinelFeature(credSets, distances,
-      "distanceFromTss", "distanceTssSentinel")
-    L2GFeatures.featureMatrix(Seq(mean, sentinel))
+        (col("p_partkey") * 37 % 400000).as("distanceFromTss"),
+        (col("p_partkey") * 53 % 400000).as("distanceFromFootprint"))
+
+  /** L2G distance feature matrix over synthesised credible sets and
+    * gene distances (rows-only) — all four distance features from one
+    * join + one groupBy. */
+  def l2gDistanceFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.L2GFeatures
+    L2GFeatures.distanceFeatures(l2gCredSets(s, dir), l2gDistances(s, dir))
+  }
+
+  /** Full L2G feature matrix: distance + colocalisation + VEP + gene
+    * count families, local and neighbourhood variants (rows-only). */
+  def l2gFullFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.L2GFeatures
+    val credSets = l2gCredSets(s, dir)
+    val genes = s.range(50).toDF("gid")
+      .select(concat(lit("g"), col("gid")).as("id"),
+        when(col("gid") % 2 === 0, "protein_coding").otherwise("lncRNA")
+          .as("biotype"),
+        (col("gid") % 3).cast("string").as("chromosome"),
+        (col("gid") * 19777 % 1000000).as("tss"))
+    val variantIndex = t(s, dir, "part")
+      .select(concat(lit("v"), col("p_partkey")).as("variantId"),
+        array(
+          struct(
+            concat(lit("g"), col("p_partkey") % 50).as("targetId"),
+            ((col("p_partkey") % 10) / 10.0).as("consequenceScore"),
+            when(col("p_partkey") % 2 === 0, "protein_coding")
+              .otherwise("lncRNA").as("biotype"),
+            (col("p_partkey") * 13 % 600000).as("distanceFromFootprint")),
+          struct(
+            concat(lit("g"), (col("p_partkey") + 1) % 50).as("targetId"),
+            ((col("p_partkey") % 7) / 10.0).as("consequenceScore"),
+            lit("protein_coding").as("biotype"),
+            (col("p_partkey") * 29 % 600000).as("distanceFromFootprint")))
+          .as("transcriptConsequences"))
+    // QTL-side loci + study metadata for the colocalisation family
+    val qtlLoci = t(s, dir, "orders")
+      .select(concat(lit("R"), col("o_orderkey") % 500).as("studyLocusId"),
+        concat(lit("qtl_s"), col("o_custkey") % 50).as("studyId"))
+      .dropDuplicates("studyLocusId")
+    val studyLoci = credSets.select("studyLocusId", "studyId", "variantId")
+      .unionByName(qtlLoci.withColumn("variantId", lit(null).cast("string")))
+    val studyIndex = qtlLoci.select("studyId").distinct()
+      .withColumn("studyType",
+        element_at(array(lit("eqtl"), lit("pqtl"), lit("sqtl")),
+          (abs(hash(col("studyId"))) % 3 + 1).cast("int")))
+      .withColumn("geneId",
+        concat(lit("g"), abs(hash(col("studyId"))) % 50))
+      .unionByName(credSets.select(col("studyId")).distinct()
+        .withColumn("studyType", lit("gwas"))
+        .withColumn("geneId", lit(null).cast("string")))
+    val coloc = t(s, dir, "orders")
+      .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
+        concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),
+        when(col("o_orderkey") % 2 === 0, "eCAVIAR").otherwise("COLOC")
+          .as("colocalisationMethod"),
+        ((col("o_orderkey") % 100) / 100.0).as("clpp"),
+        ((col("o_custkey") % 100) / 100.0).as("h4"))
+    L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
+      credSets = credSets,
+      variantIndex = Some(variantIndex),
+      genes = Some(genes),
+      distances = Some(l2gDistances(s, dir)),
+      coloc = Some(coloc),
+      studyIndex = Some(studyIndex),
+      studyLoci = Some(studyLoci)))
   }
 
   /** Multi-source study deconvolution (rows-only). */
