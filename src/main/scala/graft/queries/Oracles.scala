@@ -444,7 +444,62 @@ object Oracles {
       |FROM v""".stripMargin
 
   /** name → oracle SQL, keyed identically to SparkEntry.queries. */
+  /** Mirrors Q.rsidGnomadMapping +
+    * GwasCatalogAssociations.mapVariantsToGnomadVariants. */
+  val rsidGnomadMapping: String =
+    """WITH assoc AS (
+      |  SELECT 'a' || o_orderkey AS "rowId",
+      |         CAST(o_custkey % 3 AS VARCHAR) AS chromosome,
+      |         CAST((o_orderkey * 61) % 100000 AS INT) AS ens_pos,
+      |         ['rs' || (o_orderkey % 5000)] AS rsids_gwas,
+      |         ['A','C','G','T'][CAST(o_orderkey % 4 AS INT) + 1] AS risk
+      |  FROM orders),
+      |vi AS (
+      |  SELECT 'v' || l_orderkey || '_' || l_linenumber AS "variantId",
+      |         CAST(l_suppkey % 3 AS VARCHAR) AS chromosome,
+      |         CAST((l_orderkey * 61) % 100000 AS INT) AS position,
+      |         CASE WHEN l_partkey % 7 = 0 THEN 'AT'
+      |              ELSE ['A','C','G','T'][CAST(l_partkey % 4 AS INT) + 1]
+      |         END AS ref,
+      |         ['A','C','G','T'][CAST(l_partkey % 3 AS INT) + 1] AS alt,
+      |         ['rs' || (l_partkey % 5000)] AS rsids_gnomad,
+      |         (l_orderkey * 8 + l_linenumber) / 1e9 AS maxmaf
+      |  FROM lineitem),
+      |vi2 AS (
+      |  SELECT *, CASE WHEN length(ref) > 1 OR length(alt) > 1
+      |                 THEN position + 1 ELSE position END AS ens_pos
+      |  FROM vi),
+      |cand AS (
+      |  SELECT a."rowId", a.risk, a.rsids_gwas,
+      |         v."variantId", v.position, v.ref, v.alt, v.rsids_gnomad, v.maxmaf
+      |  FROM assoc a LEFT JOIN vi2 v USING (chromosome, ens_pos)),
+      |flagged AS (
+      |  SELECT *,
+      |    len(list_intersect(coalesce(rsids_gnomad, []), rsids_gwas)) > 0 AS rs_ok,
+      |    CASE WHEN risk = ref OR risk = alt THEN true
+      |         WHEN reverse(translate(risk, 'ACTG', 'TGAC')) = ref
+      |           OR reverse(translate(risk, 'ACTG', 'TGAC')) = alt THEN true
+      |         WHEN risk = '?' THEN true
+      |         WHEN ref IS NULL THEN true
+      |         ELSE false END AS conc_ok
+      |  FROM cand),
+      |retained AS (
+      |  SELECT *,
+      |    NOT (bool_or(rs_ok) OVER (PARTITION BY "rowId") AND NOT rs_ok)
+      |      AS rs_filter,
+      |    NOT (bool_or(conc_ok) OVER (PARTITION BY "rowId") AND NOT conc_ok)
+      |      AS conc_filter
+      |  FROM flagged),
+      |best AS (
+      |  SELECT "rowId", "variantId", CAST(position AS BIGINT) AS position
+      |  FROM retained WHERE rs_filter OR conc_filter
+      |  QUALIFY row_number() OVER
+      |    (PARTITION BY "rowId" ORDER BY maxmaf DESC NULLS LAST) = 1)
+      |SELECT a."rowId", b."variantId", b.position
+      |FROM assoc a LEFT JOIN best b USING ("rowId")""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_rsid_gnomad_map" -> rsidGnomadMapping,
     "q_f_variant_hash" -> variantHash,
     "q_s2_scan_prune" -> scanPrune,
     "q_p1_pvalue_filter" -> pvalueFilter,

@@ -658,6 +658,39 @@ object Q {
       studyLoci = Some(studyLoci)))
   }
 
+  /** rsID→GnomAD variant mapping over synthesised curated associations
+    * and a synthetic variant index: array-overlap concordance join,
+    * retain-flag windows, max-MAF top-1 (J11/S4). */
+  def rsidGnomadMapping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GwasCatalogAssociations
+    val alleles = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val assoc = t(s, dir, "orders").select(
+      concat(lit("a"), col("o_orderkey")).as("rowId"),
+      (col("o_custkey") % 3).cast("string").as("CHR_ID"),
+      ((col("o_orderkey") * 61) % 100000).cast("string").as("CHR_POS"),
+      concat(lit("rs"), col("o_orderkey") % 5000).as("SNPS"),
+      (col("o_orderkey") % 5000).cast("string").as("SNP_ID_CURRENT"),
+      concat(lit("rs"), col("o_orderkey") % 5000, lit("-"),
+        element_at(alleles, (col("o_orderkey") % 4 + 1).cast("int")))
+        .as("STRONGEST SNP-RISK ALLELE"))
+    val vi = t(s, dir, "lineitem").select(
+      concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("variantId"),
+      (col("l_suppkey") % 3).cast("string").as("chromosome"),
+      ((col("l_orderkey") * 61) % 100000).cast("int").as("position"),
+      when(col("l_partkey") % 7 === 0, lit("AT"))
+        .otherwise(element_at(alleles, (col("l_partkey") % 4 + 1).cast("int")))
+        .as("referenceAllele"),
+      element_at(alleles, (col("l_partkey") % 3 + 1).cast("int"))
+        .as("alternateAllele"),
+      array(concat(lit("rs"), col("l_partkey") % 5000)).as("rsIds"),
+      array(struct(((col("l_orderkey") * 8 + col("l_linenumber")) / 1e9)
+        .as("alleleFrequency"))).as("alleleFrequencies"))
+    GwasCatalogAssociations.mapVariantsToGnomadVariants(assoc, vi)
+      .select(col("rowId"), col("variantId"),
+        col("position").cast("long").as("position"))
+  }
+
   /** Multi-source study deconvolution (rows-only). */
   def studyDeconvolution(s: SparkSession, dir: String): DataFrame =
     StudyIndexOps.deconvolveStudies(

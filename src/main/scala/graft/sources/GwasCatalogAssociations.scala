@@ -93,6 +93,129 @@ object GwasCatalogAssociations {
       .when(size(coalesce(gwasRsids, array())) === 0, lit(true))
       .otherwise(arrays_overlap(gnomadRsids, gwasRsids))
 
+  // ----------------------------------------------- rsID→GnomAD mapping
+
+  /** All rsIDs curated for an association: the first SNPS token, the
+    * numeric SNP_ID_CURRENT (rs-prefixed when it is a bare number) and
+    * the rs part of the strongest risk allele, deduplicated.
+    * reference: associations.py:172-194 */
+  def collectRsids(snpId: Column, snpIdCurrent: Column,
+                   riskAllele: Column): Column = {
+    val current = when(snpIdCurrent.rlike("^[0-9]*$"),
+      format_string("rs%s", snpIdCurrent))
+    val fromRisk = split(riskAllele, "-").getItem(0)
+    array_distinct(array(snpId, current, fromRisk))
+  }
+
+  /** GnomAD→Ensembl position shift for indels (+1 when either allele
+    * is longer than one base). reference: associations.py:35-66 */
+  def convertGnomadPositionToEnsembl(position: Column, reference: Column,
+                                     alternate: Column): Column =
+    when(length(reference) > 1 || length(alternate) > 1, position + 1)
+      .otherwise(position)
+
+  /** Strict rsID comparison used inside the mapping flow: true only
+    * when the two lists intersect. reference: associations.py:301-338 */
+  def compareRsids(gnomadRsids: Column, gwasRsids: Column): Column =
+    when(size(array_intersect(gnomadRsids, gwasRsids)) > 0, lit(true))
+      .otherwise(lit(false))
+
+  /** Keep a candidate mapping unless a better (true-flagged) mapping
+    * exists for the same association: false only for false-flagged
+    * rows of associations that also have a true-flagged row.
+    * reference: associations.py:340-383 */
+  def flagMappingsToRetain(associationId: Column, filterColumn: Column): Column = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(associationId)
+    val anyTrue = array_contains(collect_set(filterColumn).over(w), true)
+    when(anyTrue && !filterColumn, false).otherwise(true)
+  }
+
+  /** Risk allele concordant with ref or alt (directly or by reverse
+    * complement); '?' risk alleles and unmapped variants pass.
+    * reference: associations.py:385-455 */
+  def checkConcordance(riskAllele: Column, referenceAllele: Column,
+                       alternateAllele: Column): Column = {
+    val revComp = when(riskAllele.rlike("^[ACTG]+$"),
+      reverse(translate(riskAllele, "ACTG", "TGAC"))).otherwise(riskAllele)
+    when(riskAllele === referenceAllele || riskAllele === alternateAllele, true)
+      .when(revComp === referenceAllele || revComp === alternateAllele, true)
+      .when(riskAllele === "?", true)
+      .when(referenceAllele.isNull, true)
+      .otherwise(false)
+  }
+
+  /** Maximum minor allele frequency over the population frequency
+    * array (biallelic assumption).
+    * reference: src/gentropy/dataset/variant_index.py:205-224 */
+  def maxMaf(alleleFrequencies: Column): Column =
+    array_max(transform(alleleFrequencies,
+      af => when(af.getField("alleleFrequency") > 0.5,
+        lit(1.0) - af.getField("alleleFrequency"))
+        .otherwise(af.getField("alleleFrequency"))))
+
+  /** Resolve curated associations to GnomAD variants: candidate join on
+    * (chromosome, ensemblPosition), rsID + allele-concordance scoring
+    * with the retain-flag window, then the highest-maxMaf candidate per
+    * association. reference: associations.py:196-301.
+    *
+    * `gwasAssociations` carries the raw columns rowId, CHR_ID, CHR_POS,
+    * SNPS, SNP_ID_CURRENT, `STRONGEST SNP-RISK ALLELE`; `variantIndex`
+    * carries variantId, chromosome, position, referenceAllele,
+    * alternateAllele, rsIds, alleleFrequencies.
+    *
+    * Scale shape: the variant index (GnomAD, ~10⁹ rows) is pre-pruned
+    * by an inner join against the DISTINCT association positions — a
+    * small, broadcastable set — so the expensive side never leaves the
+    * scan with more than the candidate rows; the retain-flag windows
+    * and the max-maf top-1 all share the rowId shuffle key. */
+  def mapVariantsToGnomadVariants(gwasAssociations: DataFrame,
+                                  variantIndex: DataFrame): DataFrame = {
+    val gwasSubset = gwasAssociations.select(
+      col("rowId"),
+      col("CHR_ID").as("chromosome"),
+      col("CHR_POS").cast("int").as("ensemblPosition"),
+      collectRsids(
+        split(col("SNPS"), "; ").getItem(0),
+        col("SNP_ID_CURRENT"),
+        split(col("STRONGEST SNP-RISK ALLELE"), "; ").getItem(0))
+        .as("rsIdsGwasCatalog"),
+      extractRiskAllele(col("STRONGEST SNP-RISK ALLELE")).as("riskAllele"))
+
+    val vaSubset = variantIndex
+      .select(
+        col("variantId"), col("chromosome"),
+        convertGnomadPositionToEnsembl(col("position"),
+          col("referenceAllele"), col("alternateAllele"))
+          .as("ensemblPosition"),
+        col("position"),
+        col("rsIds").as("rsIdsGnomad"),
+        col("referenceAllele"), col("alternateAllele"),
+        maxMaf(col("alleleFrequencies")).as("maxMaf"))
+      .join(broadcast(gwasSubset.select("chromosome", "ensemblPosition").distinct()),
+        Seq("chromosome", "ensemblPosition"), "inner")
+
+    val filtered = gwasSubset
+      .join(vaSubset, Seq("chromosome", "ensemblPosition"), "left")
+      .withColumn("rsIdFilter",
+        flagMappingsToRetain(col("rowId"),
+          compareRsids(col("rsIdsGnomad"), col("rsIdsGwasCatalog"))))
+      .withColumn("concordanceFilter",
+        flagMappingsToRetain(col("rowId"),
+          checkConcordance(col("riskAllele"), col("referenceAllele"),
+            col("alternateAllele"))))
+      .filter(col("rsIdFilter") || col("concordanceFilter"))
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("rowId")
+      .orderBy(col("maxMaf").desc_nulls_last)
+    val fullyMapped = filtered
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("rowId", "variantId", "referenceAllele", "alternateAllele",
+        "chromosome", "position")
+
+    gwasAssociations.join(fullyMapped, Seq("rowId"), "left")
+  }
+
   // ------------------------------------------------------------- QC flags
 
   /** Sub-significance flag (p > threshold). */

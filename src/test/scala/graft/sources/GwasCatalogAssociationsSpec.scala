@@ -3,6 +3,8 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+case class Af(alleleFrequency: Double)
+
 class GwasCatalogAssociationsSpec extends SparkSpec {
   import spark.implicits._
   import GwasCatalogAssociations._
@@ -86,5 +88,71 @@ class GwasCatalogAssociationsSpec extends SparkSpec {
     assert(out("noloc").contains(Flags.NoGenomicLocation))
     assert(out("unmapped").contains(Flags.NoMappedVariant))
     assert(out("palindromic") == Seq(Flags.PalindromicAlleles))
+  }
+
+  test("mapping helpers reproduce reference doctests") {
+    // reference: associations.py:35-66, 301-455 doctests
+    val pos = Seq((1, "A", "C"), (2, "AA", "C"), (3, "A", "AA"))
+      .toDF("position", "reference", "alternate")
+      .select(convertGnomadPositionToEnsembl(col("position"),
+        col("reference"), col("alternate")).as("p"))
+      .as[Int].collect().toSeq
+    assert(pos == Seq(1, 3, 4))
+
+    val rs = Seq(
+      (1, Seq("rs123", "rs523"), Seq("rs123")),
+      (2, Seq.empty[String], Seq("rs123")),
+      (3, Seq("rs123", "rs523"), Seq.empty[String]),
+      (4, Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "gnomad", "gwas")
+      .select(col("id"), compareRsids(col("gnomad"), col("gwas")).as("m"))
+      .as[(Int, Boolean)].collect().toMap
+    assert(rs == Map(1 -> true, 2 -> false, 3 -> false, 4 -> false))
+
+    val conc = Seq(
+      ("A", Some("A"), Some("G")), ("A", Some("T"), Some("G")),
+      ("A", Some("C"), Some("G")), ("A", Some("A"), Some("?")),
+      (null.asInstanceOf[String], None, Some("A")))
+      .toDF("risk", "ref", "alt")
+      .select(checkConcordance(col("risk"), col("ref"), col("alt")))
+      .as[Boolean].collect().toSeq
+    assert(conc == Seq(true, true, false, true, true))
+
+    val retain = Seq((1, false), (1, false), (2, false), (2, true),
+      (3, true), (3, true))
+      .toDF("id", "f")
+      .select(col("id"), col("f"),
+        flagMappingsToRetain(col("id"), col("f")).as("r"))
+      .as[(Int, Boolean, Boolean)].collect().toSet
+    assert(retain == Set((1, false, true), (2, false, false),
+      (2, true, true), (3, true, true)))
+  }
+
+  test("rsID→GnomAD mapping picks the concordant highest-MAF candidate") {
+    val assoc = Seq(
+      // a1: two candidates at the position; only v2 matches the rsID
+      ("a1", "1", "100", "rs11; rs99", "11", "rs11-A"),
+      // a2: no rsID match anywhere, concordance keeps both; v4 wins on MAF
+      ("a2", "1", "200", "rsX", "", "rsX-C"),
+      // a3: no candidate position in GnomAD at all
+      ("a3", "2", "999", "rs77", "77", "rs77-T"))
+      .toDF("rowId", "CHR_ID", "CHR_POS", "SNPS", "SNP_ID_CURRENT",
+        "STRONGEST SNP-RISK ALLELE")
+    val vi = Seq(
+      // discordant rsID AND discordant alleles (risk A vs C/G): dropped
+      ("v1", "1", 100L, "C", "G", Seq("rs22"), Seq(Af(0.4))),
+      ("v2", "1", 100L, "A", "C", Seq("rs11"), Seq(Af(0.2))),
+      ("v3", "1", 200L, "C", "G", Seq("rs33"), Seq(Af(0.1))),
+      ("v4", "1", 200L, "C", "T", Seq("rs44"), Seq(Af(0.7))))
+      .toDF("variantId", "chromosome", "position", "referenceAllele",
+        "alternateAllele", "rsIds", "alleleFrequencies")
+
+    val out = GwasCatalogAssociations
+      .mapVariantsToGnomadVariants(assoc, vi)
+      .select(col("rowId"), col("variantId"))
+      .as[(String, Option[String])].collect().toMap
+    assert(out("a1").contains("v2")) // doubly-discordant v1 dropped despite MAF
+    assert(out("a2").contains("v4")) // maxMaf(0.7)=0.3 > 0.1
+    assert(out("a3").isEmpty)        // left join keeps unmapped rows
   }
 }
