@@ -77,7 +77,7 @@ object Dedup {
   def minhashDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBandBucket: Int = 100000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // native one-pass signature (the HOF formulation re-tokenises per
     // hash component through the interpreter — ~100x slower)
@@ -85,10 +85,20 @@ object Dedup {
       col(idCol).as("id"),
       graft.plans.SketchFunctions
         .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // Hot-bucket cap: a degenerate band bucket (e.g. near-empty or
+    // boilerplate documents collapsing to one signature) of size m
+    // yields m²/2 candidate pairs — quadratic at corpus scale. Buckets
+    // above the cap are dropped (coverage knob: pairs only reachable
+    // through a hot bucket are sacrificed; testdata has none).
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bandHash")
     val banded = signed
       .select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bandHash"))
+      .withColumn("_bucketSize", count(lit(1)).over(bucketW))
+      .filter(col("_bucketSize") <= maxBandBucket)
+      .drop("_bucketSize")
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -156,11 +166,25 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via shingle-inverted-index
     * join: explode distinct shingles, equi-join on shingle, count
     * common per pair, Jaccard = |∩| / (|A|+|B|−|∩|). Candidates are
-    * only pairs sharing ≥1 shingle. */
+    * only pairs sharing ≥1 shingle.
+    *
+    * `maxShingleDF` caps the document frequency of index shingles: a
+    * stop-phrase shingle shared by m documents contributes m²/2 join
+    * rows — the hot-bucket quadratic that kills this plan at corpus
+    * scale. Shingles above the cap are treated as stopwords (removed
+    * from both the index and the per-document sizes, so Jaccard is
+    * computed over the informative shingle space). The sf0.1 testdata
+    * has no shingle anywhere near the default cap, so output there is
+    * identical with or without it. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.8,
+                        maxShingleDF: Int = 100000): DataFrame = {
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
+      .withColumn("_df", count(lit(1)).over(dfW))
+      .filter(col("_df") <= maxShingleDF)
+      .drop("_df")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.alias("a")
       .join(sh.alias("b"),

@@ -498,8 +498,80 @@ object Oracles {
       |SELECT a."rowId", b."variantId", b.position
       |FROM assoc a LEFT JOIN best b USING ("rowId")""".stripMargin
 
+  /** Mirrors Q.ldClump + LDClumping.isLeadLinked (running collect_set
+    * window intersected with {lead} ∪ ldSet tags). */
+  val ldClump: String =
+    """WITH grouped AS (
+      |  SELECT l_partkey % 2000 AS vkey, 's' || (l_orderkey % 5) AS "studyId",
+      |         CAST(l_suppkey % 3 AS VARCHAR) AS chromosome
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |assoc AS (
+      |  SELECT 'v' || vkey AS "variantId", "studyId", chromosome,
+      |         CAST(vkey / 2000.0 + 1.0 AS REAL) AS mant,
+      |         CAST(-(vkey % 12) - 4 AS INT) AS expo,
+      |         'v' || (vkey + 1) AS tag
+      |  FROM grouped)
+      |SELECT "studyId", chromosome, "variantId",
+      |  len(list_intersect(
+      |    list("variantId") OVER (PARTITION BY "studyId", chromosome
+      |      ORDER BY expo, mant
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    ["variantId", tag])) > 1 AS "ldClumped"
+      |FROM assoc""".stripMargin
+
+  /** Mirrors Q.locusBreaker + LocusBreakerClumping.clump with
+    * (1e-4, 20000, 1e-8, 5000). Significance-filter constants are
+    * computed in Scala so both engines compare against the exact same
+    * doubles. */
+  val locusBreaker: String = {
+    val e0 = math.floor(math.log10(1e-4)).toInt
+    val m0 = 1e-4 / math.pow(10.0, e0)
+    val negLogCutoff = -math.log10(1e-8)
+    s"""WITH $synthSumstatsCte,
+      |sig AS (
+      |  SELECT * FROM ss WHERE expo < $e0 OR (expo = $e0 AND mant <= $m0)),
+      |d AS (
+      |  SELECT *, -(log10(mant) + expo) AS neglogp,
+      |    position - lag(position) OVER w AS dist
+      |  FROM sig
+      |  WINDOW w AS (PARTITION BY "studyId", chromosome
+      |               ORDER BY position, l_orderkey, l_linenumber)),
+      |b AS (
+      |  SELECT *, CASE WHEN dist > 20000 OR dist IS NULL
+      |                 THEN position END AS boundary
+      |  FROM d),
+      |f AS (
+      |  SELECT *, last_value(boundary - 5000 IGNORE NULLS) OVER
+      |    (PARTITION BY "studyId", chromosome
+      |     ORDER BY position, l_orderkey, l_linenumber
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runstart
+      |  FROM b),
+      |g AS (
+      |  SELECT *, CASE WHEN runstart > 0 THEN runstart ELSE 0 END
+      |    AS locus_start
+      |  FROM f),
+      |h AS (
+      |  SELECT *, max(position + 5000) OVER
+      |    (PARTITION BY "studyId", chromosome, locus_start) AS locus_end
+      |  FROM g),
+      |r AS (
+      |  SELECT *, rank() OVER
+      |    (PARTITION BY "studyId", chromosome, locus_start, locus_end
+      |     ORDER BY neglogp DESC) AS rnk
+      |  FROM h)
+      |SELECT "studyId", chromosome, CAST(position AS BIGINT) AS position,
+      |       "variantId", mant AS "pValueMantissa", expo AS "pValueExponent",
+      |       beta, se AS "standardError", l_orderkey, l_linenumber,
+      |       CAST(locus_start AS BIGINT) AS "locusStart",
+      |       CAST(locus_end AS BIGINT) AS "locusEnd",
+      |       md5("studyId" || "variantId") AS "studyLocusId"
+      |FROM r WHERE rnk = 1 AND neglogp > $negLogCutoff""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q_gx_rsid_gnomad_map" -> rsidGnomadMapping,
+    "q_gx_ld_clump" -> ldClump,
+    "q_gx_locus_breaker" -> locusBreaker,
     "q_f_variant_hash" -> variantHash,
     "q_s2_scan_prune" -> scanPrune,
     "q_p1_pvalue_filter" -> pvalueFilter,

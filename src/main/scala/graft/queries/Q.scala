@@ -517,6 +517,14 @@ object Q {
     LocusBreakerClumping.clump(synthSumstats(s, dir),
       baselinePValueCutoff = 1e-4, distanceCutoff = 20000,
       pValueCutoff = 1e-8, flankingDistance = 5000)
+      // flat oracle-friendly projection (qualityControls is a constant
+      // null array; the driver's row-sorter cannot handle array cells)
+      .select(col("studyId"), col("chromosome"),
+        col("position").cast("long").as("position"), col("variantId"),
+        col("pValueMantissa"), col("pValueExponent"), col("beta"),
+        col("standardError"), col("l_orderkey"), col("l_linenumber"),
+        col("locusStart").cast("long").as("locusStart"),
+        col("locusEnd").cast("long").as("locusEnd"), col("studyLocusId"))
 
   /** F-variant-hash: OTVAR md5 hashing of over-long variant ids
     * (oracle-checked — md5 hex matches across engines). */
@@ -553,16 +561,20 @@ object Q {
 
   /** LD clumping over synthesised loci with ldSets (rows-only). */
   def ldClump(s: SparkSession, dir: String): DataFrame = {
+    // deterministic synthesis: p-value injective in the variant key so
+    // the running-window tie order cannot differ between engines
     val assoc = t(s, dir, "lineitem")
-      .groupBy(concat(lit("v"), col("l_partkey") % 2000).as("variantId"),
+      .groupBy((col("l_partkey") % 2000).as("vKey"),
         concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
         (col("l_suppkey") % 3).cast("string").as("chromosome"))
-      .agg(
-        first(((col("l_partkey") % 9) + 1).cast("float")).as("pValueMantissa"),
-        first((-(col("l_suppkey") % 12) - 4).cast("int")).as("pValueExponent"),
-        slice(collect_list(struct(
-          concat(lit("v"), col("l_partkey") % 2000 + 1).as("tagVariantId"),
-          (col("l_discount") * 10).as("r2Overall"))), 1, 5).as("ldSet"))
+      .agg(max(col("l_discount") * 10).as("maxR2"))
+      .select(
+        concat(lit("v"), col("vKey")).as("variantId"),
+        col("studyId"), col("chromosome"),
+        (col("vKey") / 2000.0 + 1.0).cast("float").as("pValueMantissa"),
+        (-(col("vKey") % 12) - 4).cast("int").as("pValueExponent"),
+        array(struct(concat(lit("v"), col("vKey") + 1).as("tagVariantId"),
+          col("maxR2").as("r2Overall"))).as("ldSet"))
       .withColumn("locus", array(struct(col("variantId"),
         lit(1.0).as("posteriorProbability"))))
       .withColumn("qualityControls", lit(null).cast("array<string>"))

@@ -73,4 +73,42 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 3L)) - 0.75) < 1e-12)
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("shingle document-frequency cap defuses the stop-phrase hot bucket") {
+    // 60 documents that share one boilerplate phrase but are otherwise
+    // unique: every pair shares exactly one shingle, so the inverted
+    // index explodes into 60*59/2 candidate rows without the cap
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"lorem ipsum dolor unique$i token$i word$i"))
+      .toDF("doc_id", "text")
+    val unCapped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.0)
+    assert(unCapped.count() == 60L * 59 / 2)
+    // the boilerplate shingle has DF=60 > 10: dropped from the index,
+    // no candidate pairs remain, nothing quadratic reaches the join
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.0, maxShingleDF = 10)
+    assert(capped.count() == 0)
+    // default cap leaves ordinary corpora untouched
+    val normal = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val withDefault = Dedup.ngramJaccardPairs(normal, "text", "doc_id",
+      threshold = 0.1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withHugeCap = Dedup.ngramJaccardPairs(normal, "text", "doc_id",
+      threshold = 0.1, maxShingleDF = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withDefault == withHugeCap && withDefault == Set((1L, 2L)))
+  }
+
+  test("minhash band-bucket cap drops degenerate identical-signature buckets") {
+    // 40 identical documents collapse to one signature: every band
+    // bucket holds all 40 docs
+    val docs = (0 until 40).map(i => (i.toLong, "same text for every doc here"))
+      .toDF("doc_id", "text")
+    val unCapped = Dedup.minhashDupPairs(docs, "text", "doc_id")
+    assert(unCapped.count() == 40L * 39 / 2)
+    val capped = Dedup.minhashDupPairs(docs, "text", "doc_id",
+      maxBandBucket = 10)
+    assert(capped.count() == 0)
+  }
 }
