@@ -63,6 +63,7 @@ object SparkEntry {
     "q_mm_blob_meta" -> (Q.blobMeta _),
     "q_f_variant_hash" -> (Q.variantHash _),
     "q_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapping _),
+    "q_gx_study_validation" -> (Q.studyValidation _),
     // rows-only (no SQL-expressible oracle)
     "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),
     "q_gx_study_deconvolution" -> (Q.studyDeconvolution _),

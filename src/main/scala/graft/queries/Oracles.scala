@@ -568,7 +568,40 @@ object Oracles {
       |FROM r WHERE rnk = 1 AND neglogp > $negLogCutoff""".stripMargin
   }
 
+  /** Mirrors Q.studyValidation + the Validators battery. */
+  val studyValidation: String =
+    """WITH st AS (SELECT o_orderkey % 300 AS sk FROM orders),
+      |studies AS (
+      |  SELECT 's' || sk AS "studyId",
+      |         ['gwas','eqtl','pqtl','weird'][CAST(sk % 4 AS INT) + 1]
+      |           AS "studyType",
+      |         CASE WHEN sk % 5 = 0 THEN 'gX'
+      |              ELSE 'g' || (sk % 50) END AS "geneId",
+      |         'b' || (sk % 20) AS "biosampleFromSourceId",
+      |         sk % 20 >= 10 AS bio_unknown,
+      |         row_number() OVER (PARTITION BY sk) > 1 AS is_dup
+      |  FROM st),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN is_dup
+      |         THEN 'The identifier of this study is not unique' END AS f1,
+      |    CASE WHEN NOT ("studyType" = 'gwas' OR "studyType" LIKE '%qtl')
+      |         THEN 'This type of study is not supported' END AS f2,
+      |    CASE WHEN "studyType" <> 'gwas' AND "geneId" = 'gX'
+      |         THEN 'Target/gene identifier could not match to reference'
+      |    END AS f3,
+      |    CASE WHEN "studyType" <> 'gwas' AND bio_unknown
+      |         THEN 'Biosample identifier was not found in the reference'
+      |    END AS f4
+      |  FROM studies)
+      |SELECT "studyId", "studyType", "geneId", "biosampleFromSourceId",
+      |  coalesce(array_to_string(list_sort(
+      |    list_filter([f1, f2, f3, f4], x -> x IS NOT NULL)), ','), '')
+      |    AS "qcFlags"
+      |FROM flagged""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_study_validation" -> studyValidation,
     "q_gx_rsid_gnomad_map" -> rsidGnomadMapping,
     "q_gx_ld_clump" -> ldClump,
     "q_gx_locus_breaker" -> locusBreaker,

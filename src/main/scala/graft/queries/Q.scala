@@ -703,6 +703,31 @@ object Q {
         col("position").cast("long").as("position"))
   }
 
+  /** Study-index validation battery: unique-id, study-type, target and
+    * biosample validators chained, flags serialised sorted. */
+  def studyValidation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validators
+    val studies = t(s, dir, "orders")
+      .select((col("o_orderkey") % 300).as("sk"))
+      .select(
+        concat(lit("s"), col("sk")).as("studyId"),
+        element_at(array(lit("gwas"), lit("eqtl"), lit("pqtl"), lit("weird")),
+          (col("sk") % 4 + 1).cast("int")).as("studyType"),
+        when(col("sk") % 5 === 0, lit("gX"))
+          .otherwise(concat(lit("g"), col("sk") % 50)).as("geneId"),
+        concat(lit("b"), col("sk") % 20).as("biosampleFromSourceId"))
+    val targets = s.range(50).select(concat(lit("g"), col("id")).as("id"))
+    val biosamples = s.range(10)
+      .select(concat(lit("b"), col("id")).as("biosampleId"))
+    Validators.validateBiosample(
+      Validators.validateTarget(
+        Validators.validateStudyType(
+          Validators.validateUniqueStudyId(studies)), targets), biosamples)
+      .select(col("studyId"), col("studyType"), col("geneId"),
+        col("biosampleFromSourceId"),
+        concat_ws(",", array_sort(col("qualityControls"))).as("qcFlags"))
+  }
+
   /** Multi-source study deconvolution (rows-only). */
   def studyDeconvolution(s: SparkSession, dir: String): DataFrame =
     StudyIndexOps.deconvolveStudies(
