@@ -1,0 +1,246 @@
+package graft.steps
+
+import graft.finemap.DistributedFineMapper
+import graft.ml.{L2GFeatures, L2GModel}
+import graft.operators._
+import graft.sources._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production step registry — the reference's Hydra step lifecycle
+  * (reference: src/gentropy/cli.py:13-26, config.py:36-696) as a
+  * zero-dependency name→step map.
+  *
+  * Each step reads parquet inputs, runs one engine operator chain and
+  * writes parquet — the same contract as the reference's ~35 step
+  * configs, without the 787-LoC config registry: parameters arrive as
+  * `key=value` CLI arguments with typed accessors and defaults.
+  *
+  * Run via [[GraftCli]]: `graft <step> in=... out=... [param=value...]`.
+  */
+object Steps {
+
+  /** Typed view over `key=value` CLI arguments. */
+  case class StepArgs(values: Map[String, String]) {
+    def apply(key: String): String = values.getOrElse(key,
+      throw new IllegalArgumentException(s"Missing required argument '$key'"))
+    def get(key: String): Option[String] = values.get(key)
+    def int(key: String, default: Int): Int =
+      values.get(key).map(_.toInt).getOrElse(default)
+    def long(key: String, default: Long): Long =
+      values.get(key).map(_.toLong).getOrElse(default)
+    def double(key: String, default: Double): Double =
+      values.get(key).map(_.toDouble).getOrElse(default)
+    def bool(key: String, default: Boolean): Boolean =
+      values.get(key).map(_.toBoolean).getOrElse(default)
+  }
+
+  case class Step(name: String, description: String,
+                  run: (SparkSession, StepArgs) => Unit)
+
+  private def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  val registry: Map[String, Step] = Seq(
+    Step("window_based_clumping",
+      "Distance-window clumping of significant sumstats rows into leads",
+      (s, a) => write(
+        WindowBasedClumping.clump(read(s, a("in")),
+          distance = a.int("distance", 500000)), a("out"))),
+
+    Step("locus_breaker_clumping",
+      "Gap-based locus splitting with top-variant selection",
+      (s, a) => write(
+        LocusBreakerClumping.clump(read(s, a("in")),
+          baselinePValueCutoff = a.double("baseline_pvalue_cutoff", 1e-5),
+          distanceCutoff = a.int("distance_cutoff", 250000),
+          pValueCutoff = a.double("pvalue_cutoff", 5e-8),
+          flankingDistance = a.int("flanking_distance", 100000)), a("out"))),
+
+    Step("ld_based_clumping",
+      "Flag leads explained by a stronger lead in high LD",
+      (s, a) => write(LDClumping.clump(read(s, a("in"))), a("out"))),
+
+    Step("colocalisation",
+      "COLOC + eCAVIAR over credible-set overlaps",
+      (s, a) => {
+        val overlaps = Overlaps.findOverlaps(read(s, a("in")))
+        val out = a.get("method").map(_.toLowerCase) match {
+          case Some("ecaviar") => Coloc.eCaviar(overlaps)
+          case Some("coloc") | None => Coloc.colocalise(overlaps)
+          case Some(other) =>
+            throw new IllegalArgumentException(s"Unknown method '$other'")
+        }
+        write(out, a("out"))
+      }),
+
+    Step("pics",
+      "PICS credible sets from lead p-values and LD r2",
+      (s, a) => write(PICS.finemap(read(s, a("in"))), a("out"))),
+
+    Step("susie_finemapping",
+      "Executor-parallel SuSiE-inf fine-mapping (optional CARMA pre-step)",
+      (s, a) => write(
+        DistributedFineMapper.finemapAll(s, read(s, a("in")),
+          read(s, a("ld")),
+          n = a.int("n", 100000), L = a.int("l", 10),
+          runCarma = a.bool("run_carma", false)).toDF(), a("out"))),
+
+    Step("variant_index",
+      "Parse Ensembl VEP JSON output into the variant index",
+      (s, a) => write(
+        VepParser.processVepOutput(s, a("in"),
+          a.int("hash_threshold", 100)), a("out"))),
+
+    Step("gnomad_variant_index",
+      "GnomAD sites export into the variant index shape",
+      (s, a) => write(
+        GnomadVariants.asVariantIndex(read(s, a("in")),
+          a.int("hash_threshold", 100)), a("out"))),
+
+    Step("ld_index",
+      "GnomAD LD matrix export into the aggregated LD index",
+      (s, a) => write(
+        GnomadLd.asLdIndex(
+          Seq((a.get("population").getOrElse("nfe"),
+            read(s, a("entries")), read(s, a("index")))),
+          minR2 = a.double("min_r2", 0.5)), a("out"))),
+
+    Step("study_validation",
+      "Study index validator battery (unique id, type, target, biosample)",
+      (s, a) => {
+        var df = Validators.validateStudyType(
+          Validators.validateUniqueStudyId(read(s, a("in"))))
+        a.get("target_index").foreach(p =>
+          df = Validators.validateTarget(df, read(s, p)))
+        a.get("biosample_index").foreach(p =>
+          df = Validators.validateBiosample(df, read(s, p)))
+        write(df, a("out"))
+      }),
+
+    Step("study_locus_validation",
+      "Study locus validators (study, chromosome, variant identifiers)",
+      (s, a) => {
+        var df = Validators.validateChromosomeLabel(read(s, a("in")))
+        a.get("study_index").foreach(p =>
+          df = Validators.validateStudy(df, read(s, p)))
+        a.get("variant_index").foreach(p =>
+          df = Validators.validateVariantIdentifiers(df, read(s, p)))
+        write(df, a("out"))
+      }),
+
+    Step("summary_statistics_qc",
+      "Per-study sumstats QC battery (mean beta, PZ, GC lambda, counts)",
+      (s, a) => write(
+        SumstatQC.qualityControlMetrics(read(s, a("in")),
+          a.double("pval_threshold", 1e-8)), a("out"))),
+
+    Step("l2g_feature_matrix",
+      "Locus-to-gene feature matrix (distance/coloc/VEP/other families)",
+      (s, a) => write(
+        L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
+          credSets = read(s, a("credible_sets")),
+          variantIndex = a.get("variant_index").map(read(s, _)),
+          genes = a.get("gene_index").map(read(s, _)),
+          distances = a.get("distances").map(read(s, _)),
+          coloc = a.get("colocalisation").map(read(s, _)),
+          studyIndex = a.get("study_index").map(read(s, _)),
+          studyLoci = a.get("study_loci").map(read(s, _)))), a("out"))),
+
+    Step("l2g_train",
+      "Train the L2G GBT on a labelled feature matrix",
+      (s, a) => L2GModel.train(read(s, a("in")),
+        maxIter = a.int("max_iter", 50),
+        maxDepth = a.int("max_depth", 5)).write.overwrite().save(a("out"))),
+
+    Step("l2g_score",
+      "Score a feature matrix with a trained L2G model",
+      (s, a) => write(
+        L2GModel.score(
+          org.apache.spark.ml.PipelineModel.load(a("model")),
+          read(s, a("in"))), a("out"))),
+
+    Step("intervals",
+      "Parse an interval source (andersson/javierre/jung/thurman)",
+      (s, a) => {
+        val genes = read(s, a("gene_index"))
+        val out = a("source") match {
+          case "andersson" =>
+            Intervals.resolveGenes(Intervals.andersson(s, a("in")), genes)
+          case "javierre" => Intervals.javierre(read(s, a("in")), genes)
+          case "jung" =>
+            Intervals.jung(s.read.option("header", "true").csv(a("in")), genes)
+          case "thurman" =>
+            Intervals.thurman(Intervals.readThurman(s, a("in")), genes)
+          case other =>
+            throw new IllegalArgumentException(s"Unknown source '$other'")
+        }
+        write(out, a("out"))
+      }),
+
+    Step("gwas_catalog_top_hits",
+      "Map curated GWAS Catalog top hits to GnomAD variants",
+      (s, a) => write(
+        GwasCatalogAssociations.mapVariantsToGnomadVariants(
+          s.read.option("sep", "\t").option("header", "true").csv(a("in"))
+            .withColumn("rowId", monotonically_increasing_id()),
+          read(s, a("variant_index"))), a("out"))),
+
+    Step("dedup_exact",
+      "Exact text deduplication on a document table",
+      (s, a) => write(
+        Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id")), a("out"))),
+
+    Step("dedup_minhash",
+      "MinHash+LSH near-duplicate pairs on a document table",
+      (s, a) => write(
+        Dedup.minhashDupPairs(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          threshold = a.double("threshold", 0.7)), a("out")))
+  ).map(s => s.name -> s).toMap
+
+  /** Parse `step key=value...` and run. */
+  def runFromArgs(spark: SparkSession, args: Seq[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val step = registry.getOrElse(args.head,
+      throw new IllegalArgumentException(
+        s"Unknown step '${args.head}'.\n$usage"))
+    val kv = args.tail.map { a =>
+      a.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => throw new IllegalArgumentException(
+          s"Argument '$a' is not key=value")
+      }
+    }.toMap
+    step.run(spark, StepArgs(kv))
+  }
+
+  def usage: String =
+    "usage: graft <step> key=value...\navailable steps:\n" +
+      registry.values.toSeq.sortBy(_.name)
+        .map(s => f"  ${s.name}%-28s ${s.description}").mkString("\n")
+}
+
+/** CLI entry point (the reference's `gentropy` console script). */
+object GraftCli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args.head == "--help") {
+      println(Steps.usage)
+      return
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName(s"graft-${args.head}")
+      .getOrCreate()
+    try Steps.runFromArgs(spark, args.toSeq)
+    finally spark.stop()
+  }
+}
