@@ -600,7 +600,169 @@ object Oracles {
       |    AS "qcFlags"
       |FROM flagged""".stripMargin
 
+  /** Mirrors Q.ancestryAggregation +
+    * StudyIndexOps.aggregateAndMapAncestries. */
+  val ancestryAggregation: String =
+    s"""WITH src AS (
+      |  SELECT o_custkey % 100 AS "studyKey",
+      |         ['nfe','fin','eas','sas','afr','nfe']
+      |           [CAST(o_orderkey % 6 AS INT) + 1] AS pop,
+      |         o_totalprice / 100 AS ss
+      |  FROM orders),
+      |agg AS (
+      |  SELECT "studyKey", pop, sum(ss) AS pop_ss FROM src GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT *, sum(pop_ss) OVER (PARTITION BY "studyKey") AS total
+      |  FROM agg)
+      |SELECT "studyKey", pop AS "ldPopulation",
+      |       ${q("pop_ss / total", 6)} AS rel_q6
+      |FROM tot""".stripMargin
+
+  /** Mirrors Q.l2gDistanceFeatures + L2GFeatures.distanceFeatures. */
+  val l2gDistanceFeatures: String = {
+    def feat(expr: String, name: String): String =
+      s"""CASE WHEN coalesce($expr, 0) <= 0 THEN NULL
+         |     ELSE ${q(s"log10($expr) / log10(500001)", 6)} END
+         |  AS "$name"""".stripMargin
+    s"""WITH cs AS (
+      |  SELECT 'L' || l_orderkey AS slid,
+      |         min('v' || l_partkey) AS lead_v
+      |  FROM lineitem GROUP BY 1),
+      |tags AS (
+      |  SELECT 'L' || l_orderkey AS slid, 'v' || l_partkey AS tv,
+      |         l_discount * 10 AS pp
+      |  FROM lineitem),
+      |dist AS (
+      |  SELECT 'v' || p_partkey AS tv, 'g' || (p_partkey % 50) AS gene,
+      |         (p_partkey * 37) % 400000 AS dtss,
+      |         (p_partkey * 53) % 400000 AS dfp
+      |  FROM part),
+      |joined AS (
+      |  SELECT t.slid, d.gene, t.pp, d.dtss, d.dfp,
+      |         t.tv = c.lead_v AS is_lead
+      |  FROM tags t JOIN dist d USING (tv) JOIN cs c ON t.slid = c.slid)
+      |SELECT slid AS "studyLocusId", gene AS "geneId",
+      |  ${feat("sum((500000 - dtss + 1) * pp)", "distanceTssMean_q6")},
+      |  ${feat("max(CASE WHEN is_lead THEN 500000 - dtss + 1 END)",
+          "distanceSentinelTss_q6")},
+      |  ${feat("sum((500000 - dfp + 1) * pp)", "distanceFootprintMean_q6")},
+      |  ${feat("max(CASE WHEN is_lead THEN 500000 - dfp + 1 END)",
+          "distanceSentinelFootprint_q6")}
+      |FROM joined GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Q.overlapsColocE2E: the full overlaps pyramid (explode →
+    * self-join peaks → outer align) feeding the COLOC hypothesis math. */
+  val overlapsColocE2E: String =
+    s"""WITH t AS (
+      |  SELECT 'L' || l_orderkey AS slid,
+      |         CASE WHEN l_orderkey % 2 = 0 THEN 'gwas' ELSE 'eqtl' END
+      |           AS stype,
+      |         CAST(l_partkey % 24 AS VARCHAR) AS chromosome,
+      |         'v' || l_partkey || '_' || (l_orderkey % 2) AS tv,
+      |         l_extendedprice / 1000 AS logbf,
+      |         l_discount * 10 AS pp,
+      |         l_tax AS beta
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT DISTINCT l.slid AS lslid, r.slid AS rslid,
+      |         r.stype AS rtype, l.chromosome
+      |  FROM t l JOIN t r
+      |    ON l.chromosome = r.chromosome AND l.tv = r.tv
+      |   AND (r.stype <> 'gwas' OR l.slid > r.slid)
+      |   AND l.stype = 'gwas'),
+      |la AS (
+      |  SELECT l.chromosome, l.tv, p.lslid, p.rslid, p.rtype,
+      |         l.logbf AS l_logbf, l.pp AS l_pp, l.beta AS l_beta
+      |  FROM t l JOIN p
+      |    ON l.chromosome = p.chromosome AND l.slid = p.lslid),
+      |ra AS (
+      |  SELECT r.chromosome, r.tv, p.lslid, p.rslid, p.rtype,
+      |         r.logbf AS r_logbf, r.pp AS r_pp, r.beta AS r_beta
+      |  FROM t r JOIN p
+      |    ON r.chromosome = p.chromosome AND r.slid = p.rslid),
+      |ov2 AS (
+      |  SELECT coalesce(la.chromosome, ra.chromosome) AS chromosome,
+      |         coalesce(la.lslid, ra.lslid) AS lslid,
+      |         coalesce(la.rslid, ra.rslid) AS rslid,
+      |         coalesce(la.rtype, ra.rtype) AS rtype,
+      |         coalesce(l_logbf, 0) AS lbf, coalesce(r_logbf, 0) AS rbf,
+      |         coalesce(l_pp, 0) AS lpp, coalesce(r_pp, 0) AS rpp,
+      |         l_pp IS NOT NULL AND r_pp IS NOT NULL AS isboth,
+      |         l_beta, r_beta
+      |  FROM la FULL JOIN ra
+      |    ON la.chromosome = ra.chromosome AND la.rslid = ra.rslid
+      |   AND la.lslid = ra.lslid AND la.tv = ra.tv AND la.rtype = ra.rtype),
+      |g0 AS (
+      |  SELECT *, max(lbf) OVER w AS mx1, max(rbf) OVER w AS mx2,
+      |         max(lbf + rbf) OVER w AS mx12
+      |  FROM ov2
+      |  WINDOW w AS (PARTITION BY chromosome, lslid, rslid, rtype)),
+      |g AS (
+      |  SELECT chromosome, lslid, rslid, rtype,
+      |         sum(CASE WHEN isboth THEN 1 ELSE 0 END) AS n,
+      |         max(CASE WHEN isboth AND lpp > 0.5 AND rpp > 0.5
+      |                  THEN 1 ELSE 0 END) AS anyhigh,
+      |         max(mx1) + ln(sum(exp(lbf - mx1))) AS ls1,
+      |         max(mx2) + ln(sum(exp(rbf - mx2))) AS ls2,
+      |         max(mx12) + ln(sum(exp(lbf + rbf - mx12))) AS ls12,
+      |         avg(CASE WHEN l_beta IS NOT NULL AND r_beta IS NOT NULL
+      |                   AND l_beta <> 0 AND r_beta <> 0
+      |                  THEN sign(l_beta / r_beta) END) AS bra
+      |  FROM g0 GROUP BY 1, 2, 3, 4),
+      |h AS (
+      |  SELECT *,
+      |         CASE WHEN ls1 + ls2 = ls12 THEN 1e-10
+      |              ELSE greatest(ls1 + ls2, ls12)
+      |                   + ln(exp(ls1 + ls2 - greatest(ls1 + ls2, ls12))
+      |                        - exp(ls12 - greatest(ls1 + ls2, ls12)))
+      |         END AS logdiff
+      |  FROM g WHERE n > 5 OR anyhigh = 1),
+      |bf AS (
+      |  SELECT *, 0.0 AS lh0, ln(1e-4) + ls1 AS lh1, ln(1e-4) + ls2 AS lh2,
+      |         ln(1e-4) + ln(1e-4) + logdiff AS lh3, ln(1e-5) + ls12 AS lh4
+      |  FROM h),
+      |post AS (
+      |  SELECT *, greatest(lh0, lh1, lh2, lh3, lh4) AS hmax,
+      |         exp(lh0 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh1 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh2 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh3 - greatest(lh0, lh1, lh2, lh3, lh4))
+      |         + exp(lh4 - greatest(lh0, lh1, lh2, lh3, lh4)) AS denom
+      |  FROM bf)
+      |SELECT lslid AS "leftStudyLocusId", rslid AS "rightStudyLocusId",
+      |       rtype AS "rightStudyType", chromosome,
+      |       CAST(n AS BIGINT) AS "numberColocalisingVariants",
+      |       ${q("exp(lh0 - hmax) / denom", 4)} AS h0_q4,
+      |       ${q("exp(lh1 - hmax) / denom", 4)} AS h1_q4,
+      |       ${q("exp(lh2 - hmax) / denom", 4)} AS h2_q4,
+      |       ${q("exp(lh3 - hmax) / denom", 4)} AS h3_q4,
+      |       ${q("exp(lh4 - hmax) / denom", 4)} AS h4_q4,
+      |       ${q("bra", 6)} AS beta_ratio_q6
+      |FROM post""".stripMargin
+
+  /** Mirrors Q.studyDeconvolution + StudyIndexOps.deconvolveStudies. */
+  val studyDeconvolution: String =
+    """WITH src AS (
+      |  SELECT 's' || (o_custkey % 200) AS sid, o_orderpriority AS pid,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'FLAG_F' END AS flag,
+      |         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |              THEN length(o_orderpriority) * 1000 END AS ns
+      |  FROM orders)
+      |SELECT sid AS "studyId",
+      |       min(pid) AS "projectId",
+      |       coalesce(array_to_string(list_sort(list_distinct(
+      |         list_filter(list(flag), x -> x IS NOT NULL))), ','), '')
+      |         AS "qualityControls",
+      |       CAST(min_by(ns, CASE WHEN ns IS NOT NULL THEN pid END) AS INT)
+      |         AS "nSamples"
+      |FROM src GROUP BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_study_deconvolution" -> studyDeconvolution,
+    "q_gx_overlaps_coloc_e2e" -> overlapsColocE2E,
+    "q_gx_ancestry_agg" -> ancestryAggregation,
+    "q_ml_l2g_distance" -> l2gDistanceFeatures,
     "q_gx_study_validation" -> studyValidation,
     "q_gx_rsid_gnomad_map" -> rsidGnomadMapping,
     "q_gx_ld_clump" -> ldClump,

@@ -464,6 +464,13 @@ object Q {
         col("posteriorProbability"), col("beta"),
         col("pValueMantissa"), col("pValueExponent"))).as("locus"))
     Coloc.colocalise(Overlaps.findOverlaps(cred))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("rightStudyType"), col("chromosome"),
+        col("numberColocalisingVariants"),
+        q(col("h0"), 4).as("h0_q4"), q(col("h1"), 4).as("h1_q4"),
+        q(col("h2"), 4).as("h2_q4"), q(col("h3"), 4).as("h3_q4"),
+        q(col("h4"), 4).as("h4_q4"),
+        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
   }
 
   /** PICS fine-mapping (Gaussian sf — no SQL oracle). One locus per
@@ -588,10 +595,12 @@ object Q {
   private def l2gCredSets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(concat(lit("L"), col("l_orderkey")).as("studyLocusId"))
-      .agg(first(concat(lit("v"), col("l_partkey"))).as("variantId"),
-        first(concat(lit("gwas_s"), col("l_orderkey") % 5)).as("studyId"),
-        first((col("l_suppkey") % 3).cast("string")).as("chromosome"),
-        first((col("l_partkey") * 97) % 1000000).as("position"),
+      // min/deterministic aggregates so the lead variant (sentinel) is
+      // reproducible across engines
+      .agg(min(concat(lit("v"), col("l_partkey"))).as("variantId"),
+        min(concat(lit("gwas_s"), col("l_orderkey") % 5)).as("studyId"),
+        min((col("l_suppkey") % 3).cast("string")).as("chromosome"),
+        min((col("l_partkey") * 97) % 1000000).as("position"),
         collect_list(struct(
           concat(lit("v"), col("l_partkey")).as("variantId"),
           (col("l_discount") * 10).as("posteriorProbability"))).as("locus"))
@@ -604,11 +613,18 @@ object Q {
         (col("p_partkey") * 53 % 400000).as("distanceFromFootprint"))
 
   /** L2G distance feature matrix over synthesised credible sets and
-    * gene distances (rows-only) — all four distance features from one
-    * join + one groupBy. */
+    * gene distances — all four distance features from one join + one
+    * groupBy, quantised for the oracle (zero-PP groups log to −∞ and
+    * are nulled identically on both engines). */
   def l2gDistanceFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.L2GFeatures
+    def qf(c: String) =
+      when(col(c) === Double.NegativeInfinity, lit(null))
+        .otherwise(q(col(c), 6)).as(s"${c}_q6")
     L2GFeatures.distanceFeatures(l2gCredSets(s, dir), l2gDistances(s, dir))
+      .select(col("studyLocusId"), col("geneId"),
+        qf("distanceTssMean"), qf("distanceSentinelTss"),
+        qf("distanceFootprintMean"), qf("distanceSentinelFootprint"))
   }
 
   /** Full L2G feature matrix: distance + colocalisation + VEP + gene
@@ -728,7 +744,10 @@ object Q {
         concat_ws(",", array_sort(col("qualityControls"))).as("qcFlags"))
   }
 
-  /** Multi-source study deconvolution (rows-only). */
+  /** Multi-source study deconvolution. Metadata is functionally
+    * determined by the dedup source column (projectId) so the
+    * first-non-null window is deterministic under ordering ties; the
+    * flag union serialises sorted. */
   def studyDeconvolution(s: SparkSession, dir: String): DataFrame =
     StudyIndexOps.deconvolveStudies(
       t(s, dir, "orders").select(
@@ -736,8 +755,9 @@ object Q {
         col("o_orderpriority").as("projectId"),
         when(col("o_orderstatus") === "F", array(lit("FLAG_F")))
           .otherwise(lit(null).cast("array<string>")).as("qualityControls"),
-        when(col("o_totalprice") > 100000, col("o_totalprice").cast("int"))
-          .otherwise(lit(null).cast("int")).as("nSamples")))
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          length(col("o_orderpriority")) * 1000)
+          .otherwise(lit(null)).cast("int").as("nSamples")))
       // Flatten the array so the driver's pandas row-sorter (which cannot
       // hash numpy arrays) can order rows deterministically.
       .withColumn("qualityControls",
