@@ -320,8 +320,18 @@ object L2GFeatures {
       studyLoci: Option[DataFrame] = None)
 
   /** Compute every feature family the inputs allow, local +
-    * neighbourhood, as one wide matrix. */
-  def computeFeatureMatrix(in: Inputs): DataFrame = {
+    * neighbourhood, as one wide matrix.
+    *
+    * The credible sets feed four independent families; `persistShared`
+    * caches them across families. Default OFF: for array-heavy
+    * credible sets the columnar cache costs more than re-running the
+    * codegen'd source aggregation (measured 1.7× slower on the sf0.1
+    * bench) — enable it when the source is genuinely expensive
+    * (a multi-stage pipeline rather than one scan+groupBy). */
+  def computeFeatureMatrix(in0: Inputs, persistShared: Boolean = false): DataFrame = {
+    val in =
+      if (persistShared) in0.copy(credSets = in0.credSets.persist())
+      else in0
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     in.distances.foreach { d =>

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * Scale design: the peak self-join is an equi join on
   * `(chromosome, tagVariantId)` — sort-merge/shuffled-hash friendly,
   * residual predicates stay as filters. The exploded tag table is
-  * cached because it feeds three joins; `repartition(chromosome)`
-  * keeps downstream pair work co-located per chromosome as in the
-  * reference.
+  * cached because it feeds three joins. (A fixed
+  * `repartition(chromosome)` was removed in round 2: ~24 distinct
+  * values collapse parallelism and skew by construction, and the
+  * downstream joins key on different columns anyway.)
   */
 object Overlaps {
 
@@ -91,7 +92,15 @@ object Overlaps {
             statsCols.map(c => col(s"right_$c")): _*).as("statistics"))
   }
 
-  /** Full pipeline: credible sets → StudyLocusOverlap rows. */
+  /** Full pipeline: credible sets → StudyLocusOverlap rows.
+    *
+    * The flat exploded tags feed three joins (peak self-join + both
+    * align sides); caching them measured consistently faster than
+    * recomputation on the sf0.1 bench (6-7 s vs 7-19 s) — unlike
+    * array-heavy frames, flat rows columnar-cache cheaply. Library
+    * users running many overlap jobs in one session should
+    * `spark.sqlContext.clearCache()` between them (the persist has no
+    * unpersist hook inside a lazy plan). */
   def findOverlaps(credSet: DataFrame, intraStudy: Boolean = false): DataFrame = {
     val tags = explodeLoci(credSet).persist()
     val peaks = overlappingPeaks(tags, intraStudy)

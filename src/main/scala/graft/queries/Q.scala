@@ -655,9 +655,8 @@ object Q {
           .as("transcriptConsequences"))
     // QTL-side loci + study metadata for the colocalisation family
     val qtlLoci = t(s, dir, "orders")
-      .select(concat(lit("R"), col("o_orderkey") % 500).as("studyLocusId"),
-        concat(lit("qtl_s"), col("o_custkey") % 50).as("studyId"))
-      .dropDuplicates("studyLocusId")
+      .groupBy(concat(lit("R"), col("o_orderkey") % 500).as("studyLocusId"))
+      .agg(min(concat(lit("qtl_s"), col("o_custkey") % 50)).as("studyId"))
     val studyLoci = credSets.select("studyLocusId", "studyId", "variantId")
       .unionByName(qtlLoci.withColumn("variantId", lit(null).cast("string")))
     val studyIndex = qtlLoci.select("studyId").distinct()
