@@ -758,7 +758,192 @@ object Oracles {
       |         AS "nSamples"
       |FROM src GROUP BY 1""".stripMargin
 
+  /** Mirrors Q.l2gFullFeatures + L2GFeatures.computeFeatureMatrix:
+    * all four feature families, their neighbourhood variants, the
+    * coloc zero-extension, and the outer-join matrix with zero fill. */
+  val l2gFullFeatures: String = {
+    // log-scaled distance feature with the Spark null-on-nonpositive
+    // log semantics
+    def dfeat(expr: String, name: String): String =
+      s"CASE WHEN coalesce($expr, 0) <= 0 THEN NULL ELSE log10($expr) / log10(500001) END AS $name"
+    // neighbourhood ratio over the per-locus regional max
+    def ratio(f: String): String =
+      s"""CASE WHEN max($f) OVER (PARTITION BY slid) IS NOT NULL
+         | AND max($f) OVER (PARTITION BY slid) <> 0
+         |THEN coalesce($f, 0) / max($f) OVER (PARTITION BY slid)
+         |ELSE 0 END AS ${f}N""".stripMargin
+    val distF = Seq("dtm", "dst", "dfm", "dsf")
+    val colocF = Seq("ecl", "eh4", "pcl", "ph4", "scl", "sh4")
+    val vepF = Seq("vmx", "vmn")
+    s"""WITH cs AS (
+      |  SELECT 'L' || l_orderkey AS slid, min('v' || l_partkey) AS lead_v,
+      |         min(CAST(l_suppkey % 3 AS VARCHAR)) AS chrom,
+      |         min((l_partkey * 97) % 1000000) AS pos
+      |  FROM lineitem GROUP BY 1),
+      |tags AS (
+      |  SELECT 'L' || l_orderkey AS slid, 'v' || l_partkey AS tv,
+      |         l_discount * 10 AS pp
+      |  FROM lineitem),
+      |genes AS (
+      |  SELECT 'g' || gid AS gene, gid % 2 = 0 AS is_pc,
+      |         CAST(gid % 3 AS VARCHAR) AS gchrom,
+      |         (gid * 19777) % 1000000 AS tss
+      |  FROM range(50) t(gid)),
+      |vi AS (
+      |  SELECT 'v' || p_partkey AS tv, 'g' || (p_partkey % 50) AS gene,
+      |         (p_partkey % 10) / 10.0 AS score,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'protein_coding'
+      |              ELSE 'lncRNA' END AS biotype,
+      |         (p_partkey * 13) % 600000 AS dfp
+      |  FROM part
+      |  UNION ALL
+      |  SELECT 'v' || p_partkey, 'g' || ((p_partkey + 1) % 50),
+      |         (p_partkey % 7) / 10.0, 'protein_coding',
+      |         (p_partkey * 29) % 600000
+      |  FROM part),
+      |dist AS (
+      |  SELECT 'v' || p_partkey AS tv, 'g' || (p_partkey % 50) AS gene,
+      |         (p_partkey * 37) % 400000 AS dtss,
+      |         (p_partkey * 53) % 400000 AS dfpd
+      |  FROM part),
+      |dl AS (
+      |  SELECT t.slid, d.gene,
+      |    ${dfeat("sum((500000 - dtss + 1) * pp)", "dtm")},
+      |    ${dfeat("max(CASE WHEN t.tv = c.lead_v THEN 500000 - dtss + 1 END)",
+            "dst")},
+      |    ${dfeat("sum((500000 - dfpd + 1) * pp)", "dfm")},
+      |    ${dfeat("max(CASE WHEN t.tv = c.lead_v THEN 500000 - dfpd + 1 END)",
+            "dsf")}
+      |  FROM tags t JOIN dist d USING (tv) JOIN cs c ON t.slid = c.slid
+      |  GROUP BY 1, 2),
+      |dn AS (
+      |  SELECT slid, gene, ${distF.map(ratio).mkString(",\n")}
+      |  FROM dl JOIN genes USING (gene) WHERE is_pc),
+      |qtl AS (
+      |  SELECT 'R' || (o_orderkey % 500) AS rslid,
+      |         min('qtl_s' || (o_custkey % 50)) AS sid
+      |  FROM orders GROUP BY 1),
+      |rgene AS (
+      |  SELECT rslid,
+      |         'g' || (CAST(regexp_extract(sid, '(\\d+)$$', 1) AS INT) % 50)
+      |           AS gene,
+      |         ['eqtl','pqtl','sqtl']
+      |           [CAST(regexp_extract(sid, '(\\d+)$$', 1) AS INT) % 3 + 1]
+      |           AS qtype
+      |  FROM qtl),
+      |co AS (
+      |  SELECT 'L' || o_orderkey AS slid, 'R' || (o_custkey % 500) AS rslid,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'ecaviar' ELSE 'coloc' END
+      |           AS method,
+      |         (o_orderkey % 100) / 100.0 AS clpp,
+      |         (o_custkey % 100) / 100.0 AS h4
+      |  FROM orders),
+      |cl AS (
+      |  SELECT co.slid, r.gene,
+      |    -- left-semi on the annotated study loci: orders without
+      |    -- lineitems have no credible set
+      |    max(CASE WHEN method = 'ecaviar' AND qtype = 'eqtl' THEN clpp END) AS ecl,
+      |    max(CASE WHEN method = 'coloc' AND qtype = 'eqtl' THEN h4 END) AS eh4,
+      |    max(CASE WHEN method = 'ecaviar' AND qtype = 'pqtl' THEN clpp END) AS pcl,
+      |    max(CASE WHEN method = 'coloc' AND qtype = 'pqtl' THEN h4 END) AS ph4,
+      |    max(CASE WHEN method = 'ecaviar' AND qtype = 'sqtl' THEN clpp END) AS scl,
+      |    max(CASE WHEN method = 'coloc' AND qtype = 'sqtl' THEN h4 END) AS sh4
+      |  FROM co
+      |  JOIN rgene r USING (rslid)
+      |  JOIN cs ON co.slid = cs.slid
+      |  GROUP BY 1, 2),
+      |lwv AS (
+      |  SELECT cl.slid, cl.gene, cs.lead_v FROM cl JOIN cs USING (slid)),
+      |lut AS (
+      |  SELECT DISTINCT v.gene, v.tv
+      |  FROM vi v JOIN genes g USING (gene) WHERE g.is_pc),
+      |missing AS (
+      |  SELECT w.slid, l.gene
+      |  FROM lut l
+      |  JOIN (SELECT DISTINCT slid, lead_v FROM lwv) w ON l.tv = w.lead_v
+      |  WHERE NOT EXISTS (SELECT 1 FROM lwv x
+      |                    WHERE x.lead_v = l.tv AND x.gene = l.gene)),
+      |ext AS (
+      |  SELECT slid, gene, ecl, eh4, pcl, ph4, scl, sh4 FROM cl
+      |  UNION ALL
+      |  SELECT slid, gene, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0 FROM missing),
+      |cn AS (
+      |  SELECT slid, gene, ${colocF.map(ratio).mkString(",\n")}
+      |  FROM ext JOIN genes USING (gene) WHERE is_pc),
+      |vl AS (
+      |  SELECT t.slid, v.gene, max(v.score) AS vmx,
+      |         avg(v.score * t.pp) AS vmn
+      |  FROM tags t JOIN vi v USING (tv)
+      |  GROUP BY 1, 2),
+      |vn AS (
+      |  SELECT slid, gene, ${vepF.map(ratio).mkString(",\n")}
+      |  FROM vl JOIN genes USING (gene) WHERE is_pc),
+      |pc AS (
+      |  SELECT DISTINCT t.slid, v.gene,
+      |         CASE WHEN v.biotype = 'protein_coding' THEN 1.0 ELSE 0.0 END
+      |           AS ipc
+      |  FROM tags t JOIN vi v USING (tv) WHERE v.dfp <= 500000),
+      |gcp AS (
+      |  SELECT DISTINCT c.slid, g.gene, g.is_pc
+      |  FROM cs c JOIN genes g
+      |    ON c.chrom = g.gchrom
+      |   AND g.tss BETWEEN c.pos - 250000 AND c.pos + 250000),
+      |gc AS (
+      |  SELECT slid, gene,
+      |         count(*) OVER (PARTITION BY slid) AS gcnt,
+      |         count(*) FILTER (is_pc) OVER (PARTITION BY slid) AS pcnt
+      |  FROM gcp),
+      |spine AS (
+      |  SELECT DISTINCT slid, gene FROM (
+      |    SELECT slid, gene FROM dl UNION ALL SELECT slid, gene FROM dn
+      |    UNION ALL SELECT slid, gene FROM ext
+      |    UNION ALL SELECT slid, gene FROM cn
+      |    UNION ALL SELECT slid, gene FROM vl
+      |    UNION ALL SELECT slid, gene FROM vn
+      |    UNION ALL SELECT slid, gene FROM pc
+      |    UNION ALL SELECT slid, gene FROM gc))
+      |SELECT s.slid AS "studyLocusId", s.gene AS "geneId",
+      |  ${q("coalesce(dtm, 0)", 6)} AS "distanceTssMean_q6",
+      |  ${q("coalesce(dst, 0)", 6)} AS "distanceSentinelTss_q6",
+      |  ${q("coalesce(dfm, 0)", 6)} AS "distanceFootprintMean_q6",
+      |  ${q("coalesce(dsf, 0)", 6)} AS "distanceSentinelFootprint_q6",
+      |  ${q("coalesce(dtmN, 0)", 6)} AS "distanceTssMeanNeighbourhood_q6",
+      |  ${q("coalesce(dstN, 0)", 6)} AS "distanceSentinelTssNeighbourhood_q6",
+      |  ${q("coalesce(dfmN, 0)", 6)} AS "distanceFootprintMeanNeighbourhood_q6",
+      |  ${q("coalesce(dsfN, 0)", 6)}
+      |    AS "distanceSentinelFootprintNeighbourhood_q6",
+      |  ${q("coalesce(ecl, 0)", 6)} AS "eQtlColocClppMaximum_q6",
+      |  ${q("coalesce(eh4, 0)", 6)} AS "eQtlColocH4Maximum_q6",
+      |  ${q("coalesce(pcl, 0)", 6)} AS "pQtlColocClppMaximum_q6",
+      |  ${q("coalesce(ph4, 0)", 6)} AS "pQtlColocH4Maximum_q6",
+      |  ${q("coalesce(scl, 0)", 6)} AS "sQtlColocClppMaximum_q6",
+      |  ${q("coalesce(sh4, 0)", 6)} AS "sQtlColocH4Maximum_q6",
+      |  ${q("coalesce(eclN, 0)", 6)} AS "eQtlColocClppMaximumNeighbourhood_q6",
+      |  ${q("coalesce(eh4N, 0)", 6)} AS "eQtlColocH4MaximumNeighbourhood_q6",
+      |  ${q("coalesce(pclN, 0)", 6)} AS "pQtlColocClppMaximumNeighbourhood_q6",
+      |  ${q("coalesce(ph4N, 0)", 6)} AS "pQtlColocH4MaximumNeighbourhood_q6",
+      |  ${q("coalesce(sclN, 0)", 6)} AS "sQtlColocClppMaximumNeighbourhood_q6",
+      |  ${q("coalesce(sh4N, 0)", 6)} AS "sQtlColocH4MaximumNeighbourhood_q6",
+      |  ${q("coalesce(vmx, 0)", 6)} AS "vepMaximum_q6",
+      |  ${q("coalesce(vmn, 0)", 6)} AS "vepMean_q6",
+      |  ${q("coalesce(vmxN, 0)", 6)} AS "vepMaximumNeighbourhood_q6",
+      |  ${q("coalesce(vmnN, 0)", 6)} AS "vepMeanNeighbourhood_q6",
+      |  ${q("coalesce(ipc, 0)", 6)} AS "isProteinCoding_q6",
+      |  coalesce(gcnt, 0) AS "geneCount500kb",
+      |  coalesce(pcnt, 0) AS "proteinGeneCount500kb"
+      |FROM spine s
+      |LEFT JOIN dl USING (slid, gene)
+      |LEFT JOIN dn USING (slid, gene)
+      |LEFT JOIN ext USING (slid, gene)
+      |LEFT JOIN cn USING (slid, gene)
+      |LEFT JOIN vl USING (slid, gene)
+      |LEFT JOIN vn USING (slid, gene)
+      |LEFT JOIN pc USING (slid, gene)
+      |LEFT JOIN gc USING (slid, gene)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,
     "q_gx_overlaps_coloc_e2e" -> overlapsColocE2E,
     "q_gx_ancestry_agg" -> ancestryAggregation,

@@ -659,12 +659,14 @@ object Q {
       .agg(min(concat(lit("qtl_s"), col("o_custkey") % 50)).as("studyId"))
     val studyLoci = credSets.select("studyLocusId", "studyId", "variantId")
       .unionByName(qtlLoci.withColumn("variantId", lit(null).cast("string")))
+    // study metadata derived from the numeric id suffix (engine-neutral,
+    // unlike hash()) so the query admits a DuckDB oracle
+    val qtlKey = regexp_extract(col("studyId"), "(\\d+)$", 1).cast("int")
     val studyIndex = qtlLoci.select("studyId").distinct()
       .withColumn("studyType",
         element_at(array(lit("eqtl"), lit("pqtl"), lit("sqtl")),
-          (abs(hash(col("studyId"))) % 3 + 1).cast("int")))
-      .withColumn("geneId",
-        concat(lit("g"), abs(hash(col("studyId"))) % 50))
+          (qtlKey % 3 + 1).cast("int")))
+      .withColumn("geneId", concat(lit("g"), qtlKey % 50))
       .unionByName(credSets.select(col("studyId")).distinct()
         .withColumn("studyType", lit("gwas"))
         .withColumn("geneId", lit(null).cast("string")))
@@ -675,7 +677,7 @@ object Q {
           .as("colocalisationMethod"),
         ((col("o_orderkey") % 100) / 100.0).as("clpp"),
         ((col("o_custkey") % 100) / 100.0).as("h4"))
-    L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
+    val matrix = L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
       credSets = credSets,
       variantIndex = Some(variantIndex),
       genes = Some(genes),
@@ -683,6 +685,15 @@ object Q {
       coloc = Some(coloc),
       studyIndex = Some(studyIndex),
       studyLoci = Some(studyLoci)))
+    // quantised projection for the oracle: every double feature q6,
+    // window gene counts as raw longs
+    val countCols = Seq("geneCount500kb", "proteinGeneCount500kb")
+    val doubleCols = matrix.columns.toSeq
+      .filterNot(Seq("studyLocusId", "geneId").contains)
+      .filterNot(countCols.contains)
+    matrix.select(col("studyLocusId") +: col("geneId") +:
+      (doubleCols.map(c => q(col(c), 6).as(s"${c}_q6")) ++
+        countCols.map(c => col(c).cast("long").as(c))): _*)
   }
 
   /** rsID→GnomAD variant mapping over synthesised curated associations
