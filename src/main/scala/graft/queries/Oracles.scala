@@ -942,7 +942,53 @@ object Oracles {
       |LEFT JOIN gc USING (slid, gene)""".stripMargin
   }
 
+  /** Mirrors Q.windowClumpFull + WindowBasedClumping.clump/leads: the
+    * greedy lead-selection kernel runs as a recursive CTE accumulating
+    * the accepted-lead list per cluster in p-value order. */
+  val windowClumpFull: String =
+    s"""WITH RECURSIVE $synthSumstatsCte,
+      |cl AS (
+      |  SELECT *, CASE WHEN position - lag(position) OVER w IS NULL
+      |                  OR position - lag(position) OVER w > 100
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM ss
+      |  WINDOW w AS (PARTITION BY "studyId", chromosome
+      |               ORDER BY position, l_orderkey, l_linenumber)),
+      |cl2 AS (
+      |  SELECT *, CAST(sum(is_new) OVER
+      |    (PARTITION BY "studyId", chromosome
+      |     ORDER BY position, l_orderkey, l_linenumber
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cluster
+      |  FROM cl),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY "studyId", chromosome, cluster
+      |     ORDER BY expo, mant, position, l_orderkey, l_linenumber) AS rnk
+      |  FROM cl2),
+      |g AS (
+      |  SELECT "studyId", chromosome, cluster, rnk, [position] AS leads
+      |  FROM ranked WHERE rnk = 1
+      |  UNION ALL
+      |  SELECT r."studyId", r.chromosome, r.cluster, r.rnk,
+      |    CASE WHEN len(list_filter(g.leads,
+      |                  l -> abs(l - r.position) < 100)) = 0
+      |         THEN list_append(g.leads, r.position) ELSE g.leads END
+      |  FROM g JOIN ranked r
+      |    ON r."studyId" = g."studyId" AND r.chromosome = g.chromosome
+      |   AND r.cluster = g.cluster AND r.rnk = g.rnk + 1),
+      |fl AS (
+      |  SELECT "studyId", chromosome, cluster, max_by(leads, rnk) AS leads
+      |  FROM g GROUP BY 1, 2, 3)
+      |SELECT s."studyId", s.chromosome, CAST(s.position AS BIGINT) AS position,
+      |       s."variantId", md5(s."studyId" || s."variantId") AS "studyLocusId"
+      |FROM cl2 s
+      |JOIN fl f ON s."studyId" = f."studyId" AND s.chromosome = f.chromosome
+      |  AND s.cluster = f.cluster
+      |WHERE list_contains(f.leads, s.position)""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_window_clump" -> windowClumpFull,
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,
     "q_gx_overlaps_coloc_e2e" -> overlapsColocE2E,

@@ -435,7 +435,9 @@ object Q {
     * cluster sizes bounded at every scale factor. */
   def windowClumpFull(s: SparkSession, dir: String): DataFrame =
     WindowBasedClumping.leads(synthSumstats(s, dir), distance = 100)
-      .select("studyId", "chromosome", "position", "variantId", "studyLocusId")
+      .select(col("studyId"), col("chromosome"),
+        col("position").cast("long").as("position"), col("variantId"),
+        col("studyLocusId"))
 
   /** Overlaps → COLOC end-to-end over synthesised credible sets.
     *
