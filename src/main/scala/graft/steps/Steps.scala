@@ -82,12 +82,16 @@ object Steps {
       (s, a) => write(PICS.finemap(read(s, a("in"))), a("out"))),
 
     Step("susie_finemapping",
-      "Executor-parallel SuSiE-inf fine-mapping (optional CARMA pre-step)",
+      "Executor-parallel CARMA→RAISS→SuSiE-inf fine-mapping",
       (s, a) => write(
         DistributedFineMapper.finemapAll(s, read(s, a("in")),
           read(s, a("ld")),
           n = a.int("n", 100000), L = a.int("l", 10),
-          runCarma = a.bool("run_carma", false)).toDF(), a("out"))),
+          runCarma = a.bool("run_carma", false),
+          imputeMissing = a.bool("run_sumstat_imputation", false),
+          imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
+          ldScoreThreshold = a.double("ld_score_threshold", 5.0)).toDF(),
+        a("out"))),
 
     Step("variant_index",
       "Parse Ensembl VEP JSON output into the variant index",

@@ -61,4 +61,33 @@ class DistributedFineMapperSpec extends SparkSpec {
     assert(pips("v03") > 0.8, s"pips=$pips")
     assert(pips("v08") + pips("v09") > 0.8, s"pips=$pips")
   }
+
+  test("RAISS imputation admits well-tagged null-z variants before SuSiE") {
+    // v05's z is missing but it is in near-perfect LD with observed
+    // variants → imputable; v11 is missing AND untagged → dropped
+    val variants = (0 until 12).map { i =>
+      val z: Option[Double] =
+        if (i == 5 || i == 11) None
+        else if (i == 4) Some(7.2) else if (i == 6) Some(7.0) else Some(0.1)
+      ("A", f"v$i%02d", z)
+    }.toDF("locusId", "variantId", "z")
+    val ld = (
+      Seq(("A", 4, 5, 0.97), ("A", 5, 6, 0.97), ("A", 4, 6, 0.95)) ++
+        (for (i <- 0 until 12; j <- (i + 1) until 12
+              if Set(i, j).intersect(Set(4, 5, 6, 11)).isEmpty)
+          yield ("A", i, j, 0.2))
+      ).toDF("locusId", "i", "j", "r")
+
+    val without = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3).collect()
+    assert(!without.exists(_.variantId == "v05")) // null z dropped
+    assert(without.length == 10)
+
+    val withImp = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3, imputeMissing = true,
+      ldScoreThreshold = 1.0).collect()
+    assert(withImp.exists(_.variantId == "v05"), // imputed and fine-mapped
+      withImp.map(_.variantId).toSeq.toString)
+    assert(!withImp.exists(_.variantId == "v11")) // untagged: rejected
+  }
 }
