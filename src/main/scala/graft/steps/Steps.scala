@@ -193,6 +193,18 @@ object Steps {
             .withColumn("rowId", monotonically_increasing_id()),
           read(s, a("variant_index"))), a("out"))),
 
+    Step("gwas_catalog_sumstats",
+      "Harmonised GWAS Catalog summary statistics TSV ingestion",
+      (s, a) => write(
+        GwasCatalogSumstats.fromHarmonizedFile(s, a("in"), a("study_id"),
+          a.int("partitions", 20)), a("out"))),
+
+    Step("finngen_susie",
+      "FinnGen SuSiE fine-mapping output ingestion (.snp files)",
+      (s, a) => write(
+        FinnGenSusie.parseSnpFiles(s, a("in"),
+          a.get("release_prefix").getOrElse("FINNGEN_R11")), a("out"))),
+
     Step("dedup_exact",
       "Exact text deduplication on a document table",
       (s, a) => write(
