@@ -123,8 +123,11 @@ object L2GFeatures {
       .join(studyIndex.select(col("studyId").as("rightStudyId"), col("geneId"),
         lower(col("studyType")).as("qtlType")), Seq("rightStudyId"))
       .filter(col("geneId").isNotNull)
+    // no broadcast hint: the right-side locus→gene mapping scales with
+    // the number of QTL study loci (millions at production scale) —
+    // AQE can still decide to broadcast when it is genuinely small
     val annotated = coloc
-      .join(broadcast(rightGene), Seq("rightStudyLocusId"))
+      .join(rightGene, Seq("rightStudyLocusId"))
       .join(studyLoci.select(col("studyLocusId").as("leftStudyLocusId")),
         Seq("leftStudyLocusId"), "left_semi")
     val method = lower(col("colocalisationMethod"))

@@ -52,14 +52,17 @@ object GnomadLd {
       .drop("_n")
   }
 
-  /** Resolve i/j matrix indices to variant ids (two broadcast joins of
-    * the LUT against the big entry triangle).
+  /** Resolve i/j matrix indices to variant ids. No broadcast hint: a
+    * genome-wide GnomAD index LUT holds ~10⁷ variants per population —
+    * too large to ship to every executor; the int-keyed shuffle joins
+    * sort-merge cleanly against the entry triangle, and AQE will still
+    * broadcast per-chromosome slices that fit.
     * reference: src/gentropy/datasource/gnomad/ld.py:201-222 */
   def resolveVariantIndices(ldIndex: DataFrame, ldMatrix: DataFrame): DataFrame = {
-    val i = broadcast(ldIndex.select(col("idx").as("i"),
-      col("variantId").as("variantIdI"), col("chromosome")))
-    val j = broadcast(ldIndex.select(col("idx").as("j"),
-      col("variantId").as("variantIdJ")))
+    val i = ldIndex.select(col("idx").as("i"),
+      col("variantId").as("variantIdI"), col("chromosome"))
+    val j = ldIndex.select(col("idx").as("j"),
+      col("variantId").as("variantIdJ"))
     ldMatrix.join(i, Seq("i"), "inner").join(j, Seq("j"), "inner")
       .drop("i", "j")
   }
