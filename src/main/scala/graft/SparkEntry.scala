@@ -64,6 +64,7 @@ object SparkEntry {
     "q_f_variant_hash" -> (Q.variantHash _),
     "q_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapping _),
     "q_gx_study_validation" -> (Q.studyValidation _),
+    "q_gx_intra_overlaps" -> (Q.intraStudyOverlaps _),
     // rows-only (no SQL-expressible oracle)
     "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),
     "q_gx_study_deconvolution" -> (Q.studyDeconvolution _),

@@ -987,7 +987,24 @@ object Oracles {
       |  AND s.cluster = f.cluster
       |WHERE list_contains(f.leads, s.position)""".stripMargin
 
+  /** Mirrors Q.intraStudyOverlaps + Overlaps.overlappingPeaks(intra). */
+  val intraStudyOverlaps: String =
+    """WITH t AS (
+      |  SELECT 'L' || l_orderkey AS slid, 's' || (l_orderkey % 40) AS study,
+      |         'gwas' AS stype,
+      |         CAST(l_partkey % 24 AS VARCHAR) AS chromosome,
+      |         'r' || (l_orderkey % 3) AS region,
+      |         'v' || l_partkey || '_' || (l_orderkey % 2) AS tv
+      |  FROM lineitem)
+      |SELECT DISTINCT l.slid AS "leftStudyLocusId",
+      |       r.slid AS "rightStudyLocusId",
+      |       r.stype AS "rightStudyType", l.chromosome
+      |FROM t l JOIN t r
+      |  ON l.study = r.study AND l.chromosome = r.chromosome
+      | AND l.tv = r.tv AND l.slid > r.slid AND l.region <> r.region""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_intra_overlaps" -> intraStudyOverlaps,
     "q_gx_window_clump" -> windowClumpFull,
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,

@@ -475,6 +475,29 @@ object Q {
         q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
   }
 
+  /** Intra-study overlapping peaks: same-study pairs across different
+    * regions sharing a tag variant (J1 intra mode). */
+  def intraStudyOverlaps(s: SparkSession, dir: String): DataFrame = {
+    val cred = t(s, dir, "lineitem")
+      .select(
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        concat(lit("s"), col("l_orderkey") % 40).as("studyId"),
+        lit("gwas").as("studyType"),
+        (col("l_partkey") % 24).cast("string").as("chromosome"),
+        concat(lit("r"), col("l_orderkey") % 3).as("region"),
+        concat(lit("v"), col("l_partkey"), lit("_"), col("l_orderkey") % 2)
+          .as("variantId"),
+        (col("l_extendedprice") / 1000).as("logBF"),
+        (col("l_discount") * 10).as("posteriorProbability"),
+        col("l_tax").as("beta"),
+        lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
+      .groupBy("studyLocusId", "studyId", "studyType", "chromosome", "region")
+      .agg(collect_list(struct(col("variantId"), col("logBF"),
+        col("posteriorProbability"), col("beta"),
+        col("pValueMantissa"), col("pValueExponent"))).as("locus"))
+    Overlaps.overlappingPeaks(Overlaps.explodeLoci(cred), intraStudy = true)
+  }
+
   /** PICS fine-mapping (Gaussian sf — no SQL oracle). One locus per
     * order (~4 tags) — constant locus size at every scale factor, like
     * real credible sets. */
