@@ -879,10 +879,11 @@ object Oracles {
       |  SELECT slid, gene, ${vepF.map(ratio).mkString(",\n")}
       |  FROM vl JOIN genes USING (gene) WHERE is_pc),
       |pc AS (
-      |  SELECT DISTINCT t.slid, v.gene,
-      |         CASE WHEN v.biotype = 'protein_coding' THEN 1.0 ELSE 0.0 END
-      |           AS ipc
-      |  FROM tags t JOIN vi v USING (tv) WHERE v.dfp <= 500000),
+      |  SELECT t.slid, v.gene,
+      |         max(CASE WHEN v.biotype = 'protein_coding' THEN 1.0 ELSE 0.0
+      |             END) AS ipc
+      |  FROM tags t JOIN vi v USING (tv) WHERE v.dfp <= 500000
+      |  GROUP BY 1, 2),
       |gcp AS (
       |  SELECT DISTINCT c.slid, g.gene, g.is_pc
       |  FROM cs c JOIN genes g
