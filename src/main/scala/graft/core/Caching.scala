@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracks the intermediate frames an operator persists so the caller
+  * can release them once the result has been consumed.
+  *
+  * Library operators that reference a subtree from several joins
+  * (exploded overlap tags, dedup shingle indexes, minhash signatures)
+  * persist it to avoid re-evaluating the subtree once per consumer.
+  * Because the returned DataFrame is lazy, the operator itself can
+  * never know when it is safe to unpersist — so it registers every
+  * persisted frame on the handle the caller passed in, and the caller
+  * calls `release()` after its terminal action:
+  *
+  * {{{
+  * val handle = CacheHandle()
+  * val pairs  = Dedup.minhashDupPairs(docs, "text", "id", cache = handle)
+  * pairs.write.parquet(out)   // terminal action
+  * handle.release()           // drop the signature cache
+  * }}}
+  *
+  * Pass [[CacheHandle.disabled]] to opt out of caching entirely (pure
+  * recomputation — the right call when the persisted subtree would be
+  * larger than the cluster's storage memory, e.g. a full shingle
+  * inverted index over a 100 TB corpus whose source scan is cheap
+  * columnar parquet).
+  */
+class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` at the handle's storage level and remember it. */
+  def persist(df: DataFrame): DataFrame = synchronized {
+    frames += df.persist(level)
+    df
+  }
+
+  /** Unpersist every frame registered since construction / last release. */
+  def release(blocking: Boolean = false): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking))
+    frames.clear()
+  }
+}
+
+object CacheHandle {
+  def apply(): CacheHandle = new CacheHandle()
+  def apply(level: StorageLevel): CacheHandle = new CacheHandle(level)
+
+  /** No-op handle: `persist` passes through, nothing is cached. */
+  val disabled: CacheHandle = new CacheHandle() {
+    override def persist(df: DataFrame): DataFrame = df
+    override def release(blocking: Boolean): Unit = ()
+  }
+}

@@ -73,32 +73,44 @@ object Dedup {
     * Pipeline: shingle → signature → band-explode → equi-self-join on
     * (band, bandHash) → distinct candidate pairs → signature-similarity
     * filter. Only bucket-mates are ever compared.
+    *
+    * Hot-bucket cap: a degenerate band bucket (e.g. near-empty or
+    * boilerplate documents collapsing to one signature) of size m
+    * yields m²/2 candidate pairs — quadratic at corpus scale. Buckets
+    * above `maxBandBucket` are dropped (coverage knob: pairs only
+    * reachable through a hot bucket are sacrificed; testdata has
+    * none). The hot-bucket set is derived with a groupBy (map-side
+    * partial counts, one shuffle of (band,bandHash,count) — NOT a
+    * window over the exploded table) and removed with a broadcast
+    * anti-join: the set is tiny by construction, so the cap adds no
+    * shuffle to the candidate join itself.
+    *
+    * The signature frame is persisted via `cache` — it is the
+    * expensive subtree (tokenise + k rehashes per document) and feeds
+    * both self-join sides. Call `cache.release()` after consuming.
     */
   def minhashDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBandBucket: Int = 100000): DataFrame = {
+      threshold: Double = 0.7, maxBandBucket: Int = 100000,
+      cache: graft.core.CacheHandle = graft.core.CacheHandle()): DataFrame = {
     val rowsPerBand = numHashes / bands
     // native one-pass signature (the HOF formulation re-tokenises per
     // hash component through the interpreter — ~100x slower)
-    val signed = df.select(
+    val signed = cache.persist(df.select(
       col(idCol).as("id"),
       graft.plans.SketchFunctions
-        .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
-    // Hot-bucket cap: a degenerate band bucket (e.g. near-empty or
-    // boilerplate documents collapsing to one signature) of size m
-    // yields m²/2 candidate pairs — quadratic at corpus scale. Buckets
-    // above the cap are dropped (coverage knob: pairs only reachable
-    // through a hot bucket are sacrificed; testdata has none).
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bandHash")
-    val banded = signed
+        .minhashSignature(col(textCol), shingleSize, numHashes).as("sig")))
+    val banded0 = signed
       .select(col("id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bandHash"))
-      .withColumn("_bucketSize", count(lit(1)).over(bucketW))
-      .filter(col("_bucketSize") <= maxBandBucket)
-      .drop("_bucketSize")
+    val hotBuckets = banded0
+      .groupBy("band", "bandHash").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBandBucket)
+      .select("band", "bandHash")
+    val banded = banded0
+      .join(broadcast(hotBuckets), Seq("band", "bandHash"), "left_anti")
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
@@ -175,16 +187,30 @@ object Dedup {
     * from both the index and the per-document sizes, so Jaccard is
     * computed over the informative shingle space). The sf0.1 testdata
     * has no shingle anywhere near the default cap, so output there is
-    * identical with or without it. */
+    * identical with or without it.
+    *
+    * The stop-shingle set is derived with a groupBy (map-side partial
+    * counts — never a window sort-shuffle over the full inverted
+    * index) and removed with a broadcast anti-join; the set is tiny by
+    * construction. The capped index is persisted via `cache` because
+    * it feeds three consumers (per-doc sizes + both self-join sides);
+    * call `cache.release()` after consuming, or pass
+    * `CacheHandle.disabled` to recompute the explode from the scan
+    * instead (preferable when the index exceeds cluster storage
+    * memory). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8,
-                        maxShingleDF: Int = 100000): DataFrame = {
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val sh = df.select(col(idCol).as("id"),
+                        maxShingleDF: Int = 100000,
+                        cache: graft.core.CacheHandle =
+                          graft.core.CacheHandle()): DataFrame = {
+    val sh0 = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
-      .withColumn("_df", count(lit(1)).over(dfW))
-      .filter(col("_df") <= maxShingleDF)
-      .drop("_df")
+    val stopShingles = sh0
+      .groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxShingleDF)
+      .select("shingle")
+    val sh = cache.persist(
+      sh0.join(broadcast(stopShingles), Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.alias("a")
       .join(sh.alias("b"),

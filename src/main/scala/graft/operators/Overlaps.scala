@@ -97,12 +97,14 @@ object Overlaps {
     * The flat exploded tags feed three joins (peak self-join + both
     * align sides); caching them measured consistently faster than
     * recomputation on the sf0.1 bench (6-7 s vs 7-19 s) — unlike
-    * array-heavy frames, flat rows columnar-cache cheaply. Library
-    * users running many overlap jobs in one session should
-    * `spark.sqlContext.clearCache()` between them (the persist has no
-    * unpersist hook inside a lazy plan). */
-  def findOverlaps(credSet: DataFrame, intraStudy: Boolean = false): DataFrame = {
-    val tags = explodeLoci(credSet).persist()
+    * array-heavy frames, flat rows columnar-cache cheaply. The persist
+    * registers on `cache`: call `cache.release()` after the terminal
+    * action on the returned frame, or pass `CacheHandle.disabled` to
+    * recompute the explode per consumer instead. */
+  def findOverlaps(credSet: DataFrame, intraStudy: Boolean = false,
+                   cache: graft.core.CacheHandle =
+                     graft.core.CacheHandle()): DataFrame = {
+    val tags = cache.persist(explodeLoci(credSet))
     val peaks = overlappingPeaks(tags, intraStudy)
     alignOverlappingTags(tags, peaks)
   }

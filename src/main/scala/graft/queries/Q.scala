@@ -495,7 +495,11 @@ object Q {
       .agg(collect_list(struct(col("variantId"), col("logBF"),
         col("posteriorProbability"), col("beta"),
         col("pValueMantissa"), col("pValueExponent"))).as("locus"))
-    Overlaps.overlappingPeaks(Overlaps.explodeLoci(cred), intraStudy = true)
+    // persist the flat exploded tags: the peak self-join references
+    // them on both sides, and the groupBy+collect_list+explode
+    // pipeline above is too expensive to evaluate twice
+    val tags = Overlaps.explodeLoci(cred).persist()
+    Overlaps.overlappingPeaks(tags, intraStudy = true)
   }
 
   /** PICS fine-mapping (Gaussian sf — no SQL oracle). One locus per
