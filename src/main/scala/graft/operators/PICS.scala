@@ -26,32 +26,70 @@ object PICS {
     * into a `locus` array<struct<variantId,r2Overall,standardError,
     * posteriorProbability>>. Rows with null ldSet get a null locus.
     *
-    * Evaluation shape matters: the unnormalised tags and their sum are
-    * materialised once per row in an intermediate struct column that
-    * the final projection references twice — that stops the optimizer
-    * from inlining the (expensive, interpreted) aggregate into the
-    * normalising lambda, where it would re-evaluate per array element
-    * (O(n²) per locus — observed hanging the sf0.1 bench). */
-  def finemap(df: DataFrame, k: Double = 6.4): DataFrame = {
-    val neglogP =
-      PValues.negLogPValue(col("pValueMantissa"), col("pValueExponent"))
-    val withRel = relativeTags(col("ldSet"), neglogP, k)
-    val total = aggregate(withRel, lit(0.0),
-      (acc, t) => acc + t.getField("relativePosteriorProbability"))
-
-    df.withColumn("_pics", struct(withRel.as("rel"), total.as("total")))
+    * Evaluation shape matters: HOF lambdas run interpreted with no
+    * subexpression elimination, so every multi-use subtree must be
+    * materialised as its own bound column before the lambda that
+    * consumes it. `_nlp` (free in both lambdas — would re-evaluate per
+    * array element), `_rel` (consumed by the total aggregate AND the
+    * normalising transform) and `_total` (referenced twice in the
+    * final lambda) each live in their own projection; multi-use
+    * aliases survive CollapseProject, so each is computed exactly once
+    * per row. */
+  def finemap(df: DataFrame, k: Double = 6.4): DataFrame =
+    df.withColumn("_nlp",
+        PValues.negLogPValue(col("pValueMantissa"), col("pValueExponent")))
+      .withColumn("_rel", relativeTags(col("ldSet"), col("_nlp"), k))
+      .withColumn("_total", aggregate(col("_rel"), lit(0.0),
+        (acc, t) => acc + t.getField("relativePosteriorProbability")))
       .withColumn("locus",
         when(col("ldSet").isNull, lit(null)).otherwise(
-          transform(col("_pics").getField("rel"), t =>
+          transform(col("_rel"), t =>
             struct(
               t.getField("variantId").as("variantId"),
               t.getField("r2Overall").as("r2Overall"),
               t.getField("standardError").as("standardError"),
-              when(col("_pics").getField("total") =!= 0.0,
-                t.getField("relativePosteriorProbability") /
-                  col("_pics").getField("total"))
+              when(col("_total") =!= 0.0,
+                t.getField("relativePosteriorProbability") / col("_total"))
                 .as("posteriorProbability")))))
-      .drop("_pics")
+      .drop("_nlp", "_rel", "_total")
+
+  /** Flat PICS: one output row per usable (studyLocusId, tag) instead
+    * of a rebuilt `locus` array. Identical math and filtering to
+    * [[finemap]] (verified element-equal on the sf0.1 bench input);
+    * rows whose ldSet is null/empty or whose lead p-value is unusable
+    * simply produce no output.
+    *
+    * This is the scale path: the per-tag math is plain column
+    * arithmetic (whole-stage codegen, ~2x the interpreted HOF chain of
+    * the array version), and the normalising total is a partition-wide
+    * window sum keyed on `studyLocusId` — which reuses the upstream
+    * partitioning when the credible sets were just grouped on the same
+    * key, adding a sort but no exchange. Prefer this whenever the
+    * consumer explodes the locus anyway (e.g. tag-level joins). */
+  def finemapFlat(df: DataFrame, k: Double = 6.4): DataFrame = {
+    val carried = df.columns.filterNot(_ == "ldSet").map(col).toSeq
+    val ex = df
+      .withColumn("_nlp",
+        PValues.negLogPValue(col("pValueMantissa"), col("pValueExponent")))
+      .select(col("*"), explode(col("ldSet")).as("_tag"))
+      .filter(col("_tag.r2Overall").isNotNull &&
+        col("_tag.r2Overall") >= 0.5 &&
+        col("_nlp").isNotNull && col("_nlp") =!= 0.0)
+    val r2 = col("_tag.r2Overall")
+    val mu = col("_nlp") * r2
+    val std0 = abs(sqrt(lit(1.0) - pow(sqrt(r2), lit(k))) * sqrt(col("_nlp")) / 2)
+    val std = when(std0 === 0.0, 0.001).otherwise(std0)
+    val rel = StatFns.normSf((col("_nlp") - mu) / std) * 2
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("studyLocusId")
+    ex.withColumn("_std", std)
+      .withColumn("_rel", rel)
+      .withColumn("_total", sum(col("_rel")).over(w))
+      .select(carried :+
+        col("_tag.tagVariantId").as("variantId") :+
+        r2.as("r2Overall") :+
+        pow(lit(10.0), -col("_std")).as("standardError") :+
+        when(col("_total") =!= 0.0, col("_rel") / col("_total"))
+          .as("posteriorProbability"): _*)
   }
 
   /** Unnormalised PICS tags (relative posterior per tag). */

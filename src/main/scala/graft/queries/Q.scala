@@ -514,10 +514,12 @@ object Q {
         collect_list(struct(
           concat(lit("v"), col("l_partkey")).as("tagVariantId"),
           (col("l_discount") * 10).as("r2Overall"))).as("ldSet"))
-    PICS.finemap(locus)
-      .select(col("studyLocusId"), explode(col("locus")).as("tag"))
-      .select(col("studyLocusId"), col("tag.variantId"),
-        col("tag.posteriorProbability"))
+    // flat variant: the query explodes the locus anyway, so skip the
+    // array rebuild — codegen'd per-tag math + a window total that
+    // reuses the groupBy's studyLocusId partitioning
+    PICS.finemapFlat(locus)
+      .select(col("studyLocusId"), col("variantId"),
+        col("posteriorProbability"))
   }
 
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */

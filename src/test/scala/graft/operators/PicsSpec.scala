@@ -37,6 +37,25 @@ class PicsSpec extends SparkSpec {
     assert(out("l2") == (-1, true))
   }
 
+  test("finemapFlat equals exploded finemap, dropping null/empty loci") {
+    val df = Seq(
+      ("l1", 1.0f, -10, Some(Seq(LdTag("var1", Some(0.8)), LdTag("var2", Some(1.0))))),
+      ("l2", 2.5f, -6, Some(Seq(LdTag("a", Some(0.3)), LdTag("b", None), LdTag("c", Some(0.55))))),
+      ("l3", 1.0f, -10, Some(Seq(LdTag("x", Some(0.2))))), // all filtered -> no rows
+      ("l4", 1.0f, -10, None: Option[Seq[LdTag]])          // null ldSet  -> no rows
+    ).toDF("studyLocusId", "pValueMantissa", "pValueExponent", "ldSet")
+    val viaArray = PICS.finemap(df)
+      .select(col("studyLocusId"), explode(col("locus")).as("t"))
+      .select(col("studyLocusId"), col("t.variantId"), col("t.r2Overall"),
+        col("t.standardError"), col("t.posteriorProbability"))
+    val flat = PICS.finemapFlat(df)
+      .select("studyLocusId", "variantId", "r2Overall",
+        "standardError", "posteriorProbability")
+    assert(flat.exceptAll(viaArray).count() == 0)
+    assert(viaArray.exceptAll(flat).count() == 0)
+    assert(flat.count() == 3) // l1 x2 + l2 x1
+  }
+
   test("credible-set flags from cumulative posterior") {
     val df = Seq(("l1", Seq(
       ("v1", 0.5), ("v2", 0.3), ("v3", 0.15), ("v4", 0.05))))
