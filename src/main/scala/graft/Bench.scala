@@ -21,6 +21,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Library operators persist intermediates that feed multiple
+      // consumers (dedup indexes, overlap tag explodes) and leave the
+      // unpersist to the caller; the bench IS the caller, and measures
+      // each query in isolation — drop every cached frame so query k
+      // doesn't pay eviction/GC pressure for query k-1's cache.
+      spark.sharedState.cacheManager.clearCache()
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  rows=$n")
       name -> sec
     }.toMap

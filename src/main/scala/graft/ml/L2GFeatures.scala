@@ -55,7 +55,12 @@ object L2GFeatures {
     * unweighted score; both log-scale into [0, 1] over the window.
     * reference: src/gentropy/dataset/l2g_features/distance.py:21-80 */
   def distanceFeatures(credSets: DataFrame, distances: DataFrame,
-                       genomicWindow: Int = GenomicWindow): DataFrame = {
+                       genomicWindow: Int = GenomicWindow): DataFrame =
+    distanceFeaturesFromTags(explodedTags(credSets), distances, genomicWindow)
+
+  /** [[distanceFeatures]] over pre-exploded (ideally persisted) tags. */
+  def distanceFeaturesFromTags(tags: DataFrame, distances: DataFrame,
+                               genomicWindow: Int = GenomicWindow): DataFrame = {
     val withFootprint = distances.columns.contains("distanceFromFootprint")
     def score(c: String) = lit(genomicWindow) - col(c) + lit(1)
     val base = Seq(
@@ -69,7 +74,7 @@ object L2GFeatures {
       logScale(max(when(col("isSentinel"), score("distanceFromFootprint"))),
         genomicWindow).as("distanceSentinelFootprint"))
     val aggs = base ++ fp
-    explodedTags(credSets)
+    tags
       .join(distances.withColumnRenamed("variantId", "tagVariantId"),
         Seq("tagVariantId"))
       .groupBy("studyLocusId", "geneId")
@@ -150,13 +155,21 @@ object L2GFeatures {
     * reference: src/gentropy/dataset/l2g_features/colocalisation.py:72-119 */
   def extendMissingColocToNeighbourhoodGenes(
       localFeatures: DataFrame, variantIndex: DataFrame, genes: DataFrame,
+      studyLoci: DataFrame): DataFrame =
+    extendMissingColocFromConsequences(localFeatures,
+      explodedConsequences(variantIndex), genes, studyLoci)
+
+  /** [[extendMissingColocToNeighbourhoodGenes]] over pre-exploded
+    * consequences. */
+  def extendMissingColocFromConsequences(
+      localFeatures: DataFrame, consequences: DataFrame, genes: DataFrame,
       studyLoci: DataFrame): DataFrame = {
-    val codingLut = variantIndex
-      .select(col("variantId"), explode(col("transcriptConsequences")).as("tc"))
-      .select(col("tc.targetId").as("geneId"), col("variantId"))
-      .join(genes.select(col("id").as("geneId"), col("biotype")), Seq("geneId"), "left")
-      .filter(col("biotype") === "protein_coding")
-      .drop("biotype")
+    val codingLut = consequences
+      .select(col("geneId"), col("variantId"))
+      .join(genes.select(col("id").as("geneId"),
+        col("biotype").as("_gBiotype")), Seq("geneId"), "left")
+      .filter(col("_gBiotype") === "protein_coding")
+      .drop("_gBiotype")
       .distinct()
     val withVariant = localFeatures
       .join(studyLoci.select("studyLocusId", "variantId"), Seq("studyLocusId"))
@@ -175,24 +188,35 @@ object L2GFeatures {
   // VEP family (4 features)                                          //
   // ---------------------------------------------------------------- //
 
+  /** Transcript consequences exploded once — the shared right side of
+    * the VEP / isProteinCoding / coloc-extension / confidence families.
+    * One row per (variantId, geneId, transcript annotation). */
+  def explodedConsequences(variantIndex: DataFrame): DataFrame =
+    variantIndex
+      .select(col("variantId"), explode(col("transcriptConsequences")).as("tc"))
+      .select(col("variantId"), col("tc.targetId").as("geneId"),
+        col("tc.consequenceScore").as("severityScore"),
+        col("tc.biotype").as("biotype"),
+        col("tc.distanceFromFootprint").as("distanceFromFootprint"))
+
   /** Both local VEP severity features in one pass: credible-set max
     * consequence score and PP-weighted mean, per (studyLocusId, geneId).
     * `variantIndex` carries transcriptConsequences:
     * array<struct<targetId, consequenceScore, ...>>.
     * reference: src/gentropy/dataset/l2g_features/vep.py:21-75 */
-  def vepFeatures(credSets: DataFrame, variantIndex: DataFrame): DataFrame = {
-    val consequences = variantIndex
-      .select(col("variantId").as("tagVariantId"),
-        explode(col("transcriptConsequences")).as("tc"))
-      .select(col("tagVariantId"), col("tc.targetId").as("geneId"),
-        col("tc.consequenceScore").as("severityScore"))
-    explodedTags(credSets)
-      .join(consequences, Seq("tagVariantId"))
+  def vepFeatures(credSets: DataFrame, variantIndex: DataFrame): DataFrame =
+    vepFeaturesFromTags(explodedTags(credSets),
+      explodedConsequences(variantIndex))
+
+  /** [[vepFeatures]] over pre-exploded tags and consequences. */
+  def vepFeaturesFromTags(tags: DataFrame, consequences: DataFrame): DataFrame =
+    tags
+      .join(consequences.withColumnRenamed("variantId", "tagVariantId")
+        .select("tagVariantId", "geneId", "severityScore"), Seq("tagVariantId"))
       .groupBy("studyLocusId", "geneId")
       .agg(
         max(col("severityScore")).as("vepMaximum"),
         mean(col("severityScore") * col("posteriorProbability")).as("vepMean"))
-  }
 
   // ---------------------------------------------------------------- //
   // Other features                                                   //
@@ -231,16 +255,19 @@ object L2GFeatures {
     * within the window, 0.0 otherwise.
     * reference: src/gentropy/dataset/l2g_features/other.py:85-145 */
   def isProteinCodingFeature(credSets: DataFrame, variantIndex: DataFrame,
-                             genomicWindow: Int = GenomicWindow): DataFrame = {
+                             genomicWindow: Int = GenomicWindow): DataFrame =
+    isProteinCodingFromTags(explodedTags(credSets),
+      explodedConsequences(variantIndex), genomicWindow)
+
+  /** [[isProteinCodingFeature]] over pre-exploded tags/consequences. */
+  def isProteinCodingFromTags(tags: DataFrame, consequences: DataFrame,
+                              genomicWindow: Int = GenomicWindow): DataFrame = {
     require(genomicWindow <= 500000, "Genomic window must be at most 500kb")
-    val genesInWindow = variantIndex
-      .select(col("variantId").as("tagVariantId"),
-        explode(col("transcriptConsequences")).as("tc"))
-      .select(col("tagVariantId"), col("tc.targetId").as("geneId"),
-        col("tc.biotype").as("biotype"),
-        col("tc.distanceFromFootprint").as("distanceFromFootprint"))
+    val genesInWindow = consequences
       .filter(col("distanceFromFootprint") <= genomicWindow)
-    explodedTags(credSets)
+      .select(col("variantId").as("tagVariantId"), col("geneId"),
+        col("biotype"))
+    tags
       .filter(col("tagVariantId").isNotNull)
       .join(genesInWindow, Seq("tagVariantId"))
       // the reference emits DISTINCT rows, which can yield both a 0.0
@@ -256,7 +283,13 @@ object L2GFeatures {
     * locus' functionally-linked genes.
     * reference: src/gentropy/dataset/l2g_features/other.py:268-362 */
   def credibleSetConfidenceFeature(credSets: DataFrame,
-                                   variantIndex: DataFrame): DataFrame = {
+                                   variantIndex: DataFrame): DataFrame =
+    credibleSetConfidenceFromConsequences(credSets,
+      explodedConsequences(variantIndex))
+
+  /** [[credibleSetConfidenceFeature]] over pre-exploded consequences. */
+  def credibleSetConfidenceFromConsequences(
+      credSets: DataFrame, consequences: DataFrame): DataFrame = {
     val score = when(col("confidence") === "SuSiE fine-mapped credible set with in-sample LD", 1.0)
       .when(col("confidence") === "SuSiE fine-mapped credible set with out-of-sample LD", 0.75)
       .when(col("confidence") === "PICS fine-mapped credible set extracted from summary statistics", 0.5)
@@ -264,9 +297,7 @@ object L2GFeatures {
       .when(col("confidence") === "Unknown confidence", 0.0)
     credSets
       .select(col("studyLocusId"), col("variantId"), score.as("credibleSetConfidence"))
-      .join(variantIndex.select(col("variantId"),
-        explode(col("transcriptConsequences.targetId")).as("geneId")),
-        Seq("variantId"))
+      .join(consequences.select("variantId", "geneId"), Seq("variantId"))
       .select("studyLocusId", "geneId", "credibleSetConfidence")
       .distinct()
   }
@@ -336,20 +367,27 @@ object L2GFeatures {
   /** Compute every feature family the inputs allow, local +
     * neighbourhood, as one wide matrix.
     *
-    * The credible sets feed four independent families; `persistShared`
-    * caches them across families. Default OFF: for array-heavy
-    * credible sets the columnar cache costs more than re-running the
-    * codegen'd source aggregation (measured 1.7× slower on the sf0.1
-    * bench) — enable it when the source is genuinely expensive
-    * (a multi-stage pipeline rather than one scan+groupBy). */
-  def computeFeatureMatrix(in0: Inputs, persistShared: Boolean = false): DataFrame = {
-    val in =
-      if (persistShared) in0.copy(credSets = in0.credSets.persist())
-      else in0
+    * Sharing policy (measured at sf0.1): the ARRAY-heavy credible sets
+    * are never persisted — their columnar cache conversion costs more
+    * than re-running the codegen'd source aggregation. What IS
+    * persisted (when `persistShared`, on `cache`) are the FLAT frames
+    * each consumed by ≥2 families — the exploded tags (distance + VEP
+    * + isProteinCoding), the exploded transcript consequences (VEP +
+    * isProteinCoding + coloc-extension + confidence) — and the small
+    * per-family local aggregates that feed both the matrix and their
+    * neighbourhood window pass. Callers release via `cache.release()`
+    * after the terminal action on the matrix. */
+  def computeFeatureMatrix(in: Inputs, persistShared: Boolean = true,
+                           cache: graft.core.CacheHandle =
+                             graft.core.CacheHandle()): DataFrame = {
+    def shared(df: DataFrame): DataFrame =
+      if (persistShared) cache.persist(df) else df
+    val tags = shared(explodedTags(in.credSets))
+    val cons = in.variantIndex.map(vi => shared(explodedConsequences(vi)))
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     in.distances.foreach { d =>
-      val local = distanceFeatures(in.credSets, d)
+      val local = shared(distanceFeaturesFromTags(tags, d))
       frames += local
       in.genes.foreach { g =>
         val cols = local.columns.filterNot(Seq("studyLocusId", "geneId").contains)
@@ -357,23 +395,24 @@ object L2GFeatures {
       }
     }
     for (c <- in.coloc; si <- in.studyIndex) {
-      val local = colocFeatures(c, in.studyLoci.getOrElse(in.credSets), si)
+      val local = shared(
+        colocFeatures(c, in.studyLoci.getOrElse(in.credSets), si))
       frames += local
-      for (g <- in.genes; vi <- in.variantIndex) {
+      for (g <- in.genes; tc <- cons) {
         val extended = local.unionByName(
-          extendMissingColocToNeighbourhoodGenes(local, vi, g, in.credSets))
+          extendMissingColocFromConsequences(local, tc, g, in.credSets))
         frames += neighbourhoodFeatures(extended, g, colocFeatureNames)
       }
     }
-    in.variantIndex.foreach { vi =>
-      val local = vepFeatures(in.credSets, vi)
+    cons.foreach { tc =>
+      val local = shared(vepFeaturesFromTags(tags, tc))
       frames += local
       in.genes.foreach { g =>
         frames += neighbourhoodFeatures(local, g, Seq("vepMaximum", "vepMean"))
       }
-      frames += isProteinCodingFeature(in.credSets, vi)
+      frames += isProteinCodingFromTags(tags, tc)
       if (in.credSets.columns.contains("confidence"))
-        frames += credibleSetConfidenceFeature(in.credSets, vi)
+        frames += credibleSetConfidenceFromConsequences(in.credSets, tc)
     }
     for (g <- in.genes
          if in.credSets.columns.contains("position") &&
