@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 48g matches the BASELINE.md bench protocol (local[32], 48g driver);
   // at 8g the 32-thread shuffles + cached frames run GC-bound.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // With local[32] on a 32-vCPU host the JVM's default 32 parallel GC
+  // threads + JIT compiler threads compete with the executor pool and
+  // convoy: measured 3-10x wall-clock blowups with CPU time inflating
+  // 117s -> 1472s on identical work. Capping service threads restores
+  // flat 4-5s runs. (A production cluster sizes executor cores below
+  // host vCPUs for the same reason.)
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2", "-XX:CICompilerCount=4",
 )

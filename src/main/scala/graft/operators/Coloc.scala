@@ -55,6 +55,19 @@ object Coloc {
         (max(when(isBoth && lpp > PosteriorCutoff && rpp > PosteriorCutoff, 1)
           .otherwise(0)) > 0).as("anySnpBothSidesHigh"),
         betaRatioSignAverage(s).as("betaRatioSignAverage"))
+    hypothesisPosteriors(grouped, priorC1, priorC2, priorC12)
+  }
+
+  /** Hypothesis posteriors h0..h4 from per-pair logsums — the shared
+    * tail of [[colocalise]] and [[colocaliseFused]]. Input columns:
+    * (chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+    * numberColocalisingVariants, logsum1, logsum2, logsum12,
+    * anySnpBothSidesHigh, betaRatioSignAverage). */
+  def hypothesisPosteriors(
+      grouped: DataFrame,
+      priorC1: Double = 1e-4,
+      priorC2: Double = 1e-4,
+      priorC12: Double = 1e-5): DataFrame = {
 
     val sumlogsum = col("logsum1") + col("logsum2")
     val mx = greatest(sumlogsum, col("logsum12"))
@@ -88,6 +101,109 @@ object Coloc {
       .drop("logsum1", "logsum2", "logsum12", "logdiff",
         "lH0", "lH1", "lH2", "lH3", "lH4", "anySnpBothSidesHigh")
       .withColumn("colocalisationMethod", lit("COLOC"))
+  }
+
+  /** COLOC directly from exploded tags — the scale path.
+    *
+    * The classic pipeline materialises the full outer alignment of
+    * every overlapping pair's credible sets (|A ∪ B| rows per pair)
+    * and aggregates it. But each hypothesis logsum decomposes exactly
+    * into per-locus and intersection-only parts: non-shared tags of
+    * the aligned frame contribute their own side's logBF to one
+    * logsum and exp(0)=1 to the other, so with
+    *   L_X   = logsumexp of locus X's logBFs       (one groupBy of tags)
+    *   L_X∩  = logsumexp of X's logBFs over A∩B    (off the tag self-join)
+    *   n_X   = |X|, n∩ = |A∩B|
+    * the aligned-frame logsums are
+    *   logsum1  = lse(L_A, ln(n_B − n∩))
+    *   logsum2  = lse(L_B, ln(n_A − n∩))
+    *   logsum12 = lse(L12∩, logdiff(L_A, L_A∩), logdiff(L_B, L_B∩))
+    * (count-guarded: a term is absent when its count is zero, never
+    * decided by float equality). This removes the two align joins, the
+    * full-outer sort-merge and the |A ∪ B|-sized aggregation — work
+    * becomes O(intersection) + O(tags), the shape that survives 100 TB.
+    * Requires tag variants unique within each locus (credible-set
+    * invariant; duplicate tags would multiply-count intersections).
+    *
+    * `tags` is the output of [[Overlaps.explodeLoci]]; persist it —
+    * it feeds the per-locus aggregate and both self-join sides. */
+  def colocaliseFused(
+      tags: DataFrame,
+      intraStudy: Boolean = false,
+      priorC1: Double = 1e-4,
+      priorC2: Double = 1e-4,
+      priorC12: Double = 1e-5): DataFrame = {
+
+    val locusAgg = tags
+      .groupBy("chromosome", "studyLocusId")
+      .agg(count(lit(1)).as("nLocus"),
+        logsumexp(coalesce(col("logBF"), lit(0.0))).as("lseLocus"))
+
+    val m = Overlaps.matchedTagPairs(tags, intraStudy)
+    val lbf = coalesce(col("left_logBF"), lit(0.0))
+    val rbf = coalesce(col("right_logBF"), lit(0.0))
+    val lpp = coalesce(col("left_posteriorProbability"), lit(0.0))
+    val rpp = coalesce(col("right_posteriorProbability"), lit(0.0))
+    val lb = col("left_beta")
+    val rb = col("right_beta")
+    val pairAgg = m
+      .groupBy("chromosome", "leftStudyLocusId", "rightStudyLocusId",
+        "rightStudyType")
+      .agg(
+        count(lit(1)).as("nAB"),
+        logsumexp(lbf).as("lseAab"),
+        logsumexp(rbf).as("lseBab"),
+        logsumexp(lbf + rbf).as("lse12ab"),
+        (max(when(lpp > PosteriorCutoff && rpp > PosteriorCutoff, 1)
+          .otherwise(0)) > 0).as("anySnpBothSidesHigh"),
+        avg(when(lb.isNotNull && rb.isNotNull && lb =!= 0 && rb =!= 0,
+          signum(lb / rb))).as("betaRatioSignAverage"))
+
+    // pair → per-locus aggregates of both sides; the locus aggregate is
+    // tiny relative to the pair table (one row per locus), so AQE
+    // broadcasts it when small and shuffles on the pair keys otherwise
+    val joined = pairAgg
+      .join(locusAgg.select(col("chromosome"),
+        col("studyLocusId").as("leftStudyLocusId"),
+        col("nLocus").as("nA"), col("lseLocus").as("lseA")),
+        Seq("chromosome", "leftStudyLocusId"))
+      .join(locusAgg.select(col("chromosome"),
+        col("studyLocusId").as("rightStudyLocusId"),
+        col("nLocus").as("nB"), col("lseLocus").as("lseB")),
+        Seq("chromosome", "rightStudyLocusId"))
+
+    def lse2(a: Column, b: Column): Column = {
+      val mx = greatest(a, b)
+      mx + log(exp(a - mx) + exp(b - mx))
+    }
+    val nAOnly = col("nA") - col("nAB")
+    val nBOnly = col("nB") - col("nAB")
+    val ls1 = when(nBOnly === 0, col("lseA"))
+      .otherwise(lse2(col("lseA"), log(nBOnly)))
+    val ls2 = when(nAOnly === 0, col("lseB"))
+      .otherwise(lse2(col("lseB"), log(nAOnly)))
+    // log(Σ_{t∈X∖∩} exp(bf)) = logdiff of the locus and intersection
+    // sums; absence is decided by the exact integer count, the ≤ guard
+    // only catches float cancellation on genuinely-positive terms
+    def logdiffTerm(nOnly: Column, lse: Column, lseAb: Column): Column =
+      when(nOnly === 0, lit(null).cast("double"))
+        .otherwise(when(lse <= lseAb, log(lit(PseudoCount)))
+          .otherwise(lse + log(lit(1.0) - exp(lseAb - lse))))
+    val tA = logdiffTerm(nAOnly, col("lseA"), col("lseAab"))
+    val tB = logdiffTerm(nBOnly, col("lseB"), col("lseBab"))
+    val mx12 = greatest(col("lse12ab"), coalesce(tA, col("lse12ab")),
+      coalesce(tB, col("lse12ab")))
+    val ls12 = mx12 + log(exp(col("lse12ab") - mx12) +
+      coalesce(exp(tA - mx12), lit(0.0)) +
+      coalesce(exp(tB - mx12), lit(0.0)))
+
+    val grouped = joined.select(
+      col("chromosome"), col("leftStudyLocusId"), col("rightStudyLocusId"),
+      col("rightStudyType"),
+      col("nAB").as("numberColocalisingVariants"),
+      ls1.as("logsum1"), ls2.as("logsum2"), ls12.as("logsum12"),
+      col("anySnpBothSidesHigh"), col("betaRatioSignAverage"))
+    hypothesisPosteriors(grouped, priorC1, priorC2, priorC12)
   }
 
   /** eCAVIAR CLPP: Σ left_pp·right_pp per pair.

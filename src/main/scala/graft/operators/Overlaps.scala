@@ -37,33 +37,50 @@ object Overlaps {
           Seq(col("tag.variantId").as("tagVariantId")) ++
           statsCols.map(c => col(s"tag.$c").as(c)): _*)
 
-  /** Distinct overlapping (left, right) locus pairs.
-    * reference: src/gentropy/dataset/study_locus.py:487-545 */
-  def overlappingPeaks(tags: DataFrame, intraStudy: Boolean = false): DataFrame = {
+  /** The pair predicate of the tag self-join: every GWAS-GWAS pair
+    * once, molecular trait always on the right (or, in intra-study
+    * mode, same-study cross-region pairs). */
+  private def pairCondition(intraStudy: Boolean): Column =
+    if (intraStudy)
+      col("left.studyId") === col("right.studyId") &&
+        col("left.chromosome") === col("right.chromosome") &&
+        col("left.tagVariantId") === col("right.tagVariantId") &&
+        col("left.studyLocusId") > col("right.studyLocusId") &&
+        col("left.region") =!= col("right.region")
+    else
+      col("left.chromosome") === col("right.chromosome") &&
+        col("left.tagVariantId") === col("right.tagVariantId") &&
+        (col("right.studyType") =!= "gwas" ||
+          col("left.studyLocusId") > col("right.studyLocusId")) &&
+        col("left.studyType") === "gwas"
+
+  /** One row per matched tag pair — the raw (un-distinct'd) tag
+    * self-join, with both sides' statistics. This is the shared
+    * intersection kernel: [[overlappingPeaks]] is its distinct
+    * projection, and [[graft.operators.Coloc.colocaliseFused]]
+    * aggregates it directly without materialising aligned overlaps. */
+  def matchedTagPairs(tags: DataFrame, intraStudy: Boolean = false): DataFrame = {
     val left = tags.alias("left")
     val right = tags.alias("right")
-    val cond: Column =
-      if (intraStudy)
-        col("left.studyId") === col("right.studyId") &&
-          col("left.chromosome") === col("right.chromosome") &&
-          col("left.tagVariantId") === col("right.tagVariantId") &&
-          col("left.studyLocusId") > col("right.studyLocusId") &&
-          col("left.region") =!= col("right.region")
-      else
-        col("left.chromosome") === col("right.chromosome") &&
-          col("left.tagVariantId") === col("right.tagVariantId") &&
-          (col("right.studyType") =!= "gwas" ||
-            col("left.studyLocusId") > col("right.studyLocusId")) &&
-          col("left.studyType") === "gwas"
     left
-      .join(right, cond, "inner")
+      .join(right, pairCondition(intraStudy), "inner")
       .select(
-        col("left.studyLocusId").as("leftStudyLocusId"),
-        col("right.studyLocusId").as("rightStudyLocusId"),
-        col("right.studyType").as("rightStudyType"),
-        col("left.chromosome").as("chromosome"))
-      .distinct()
+        col("left.chromosome").as("chromosome") +:
+          col("left.studyLocusId").as("leftStudyLocusId") +:
+          col("right.studyLocusId").as("rightStudyLocusId") +:
+          col("right.studyType").as("rightStudyType") +:
+          col("left.tagVariantId").as("tagVariantId") +:
+          (statsCols.map(c => col(s"left.$c").as(s"left_$c")) ++
+            statsCols.map(c => col(s"right.$c").as(s"right_$c"))): _*)
   }
+
+  /** Distinct overlapping (left, right) locus pairs.
+    * reference: src/gentropy/dataset/study_locus.py:487-545 */
+  def overlappingPeaks(tags: DataFrame, intraStudy: Boolean = false): DataFrame =
+    matchedTagPairs(tags, intraStudy)
+      .select("leftStudyLocusId", "rightStudyLocusId", "rightStudyType",
+        "chromosome")
+      .distinct()
 
   /** Outer-align tags of each overlapping pair (union of both credible
     * sets). reference: src/gentropy/dataset/study_locus.py:547-607 */
@@ -105,7 +122,10 @@ object Overlaps {
                    cache: graft.core.CacheHandle =
                      graft.core.CacheHandle()): DataFrame = {
     val tags = cache.persist(explodeLoci(credSet))
-    val peaks = overlappingPeaks(tags, intraStudy)
+    // peaks feed BOTH align joins; without the persist the whole
+    // self-join + distinct pyramid is evaluated once per side (exchange
+    // reuse does not survive AQE re-planning reliably)
+    val peaks = cache.persist(overlappingPeaks(tags, intraStudy))
     alignOverlappingTags(tags, peaks)
   }
 }

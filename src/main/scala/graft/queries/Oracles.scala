@@ -651,65 +651,100 @@ object Oracles {
       |FROM joined GROUP BY 1, 2""".stripMargin
   }
 
-  /** Mirrors Q.overlapsColocE2E: the full overlaps pyramid (explode →
-    * self-join peaks → outer align) feeding the COLOC hypothesis math. */
+  /** Mirrors Q.overlapsColocE2E: deduped tag synthesis feeding the
+    * FUSED COLOC decomposition (per-locus logsumexps + intersection
+    * aggregates off the tag self-join — same math the engine's
+    * Coloc.colocaliseFused computes, mirrored term by term). */
   val overlapsColocE2E: String =
-    s"""WITH t AS (
+    s"""WITH t0 AS (
+      |  SELECT l_orderkey, l_partkey,
+      |         min(l_extendedprice) AS price, min(l_discount) AS disc,
+      |         min(l_tax) AS tax
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
       |  SELECT 'L' || l_orderkey AS slid,
       |         CASE WHEN l_orderkey % 2 = 0 THEN 'gwas' ELSE 'eqtl' END
       |           AS stype,
       |         CAST(l_partkey % 24 AS VARCHAR) AS chromosome,
       |         'v' || l_partkey || '_' || (l_orderkey % 2) AS tv,
-      |         l_extendedprice / 1000 AS logbf,
-      |         l_discount * 10 AS pp,
-      |         l_tax AS beta
-      |  FROM lineitem),
-      |p AS (
-      |  SELECT DISTINCT l.slid AS lslid, r.slid AS rslid,
-      |         r.stype AS rtype, l.chromosome
+      |         price / 1000 AS logbf,
+      |         disc * 10 AS pp,
+      |         tax AS beta
+      |  FROM t0),
+      |t1 AS (
+      |  SELECT *, max(logbf) OVER (PARTITION BY chromosome, slid) AS mxl
+      |  FROM t),
+      |la AS (
+      |  SELECT chromosome, slid, count(*) AS nloc,
+      |         max(mxl) + ln(sum(exp(logbf - mxl))) AS lse
+      |  FROM t1 GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l.chromosome, l.slid AS lslid, r.slid AS rslid,
+      |         r.stype AS rtype,
+      |         l.logbf AS lbf, r.logbf AS rbf,
+      |         l.pp AS lpp, r.pp AS rpp,
+      |         l.beta AS l_beta, r.beta AS r_beta
       |  FROM t l JOIN t r
       |    ON l.chromosome = r.chromosome AND l.tv = r.tv
       |   AND (r.stype <> 'gwas' OR l.slid > r.slid)
       |   AND l.stype = 'gwas'),
-      |la AS (
-      |  SELECT l.chromosome, l.tv, p.lslid, p.rslid, p.rtype,
-      |         l.logbf AS l_logbf, l.pp AS l_pp, l.beta AS l_beta
-      |  FROM t l JOIN p
-      |    ON l.chromosome = p.chromosome AND l.slid = p.lslid),
-      |ra AS (
-      |  SELECT r.chromosome, r.tv, p.lslid, p.rslid, p.rtype,
-      |         r.logbf AS r_logbf, r.pp AS r_pp, r.beta AS r_beta
-      |  FROM t r JOIN p
-      |    ON r.chromosome = p.chromosome AND r.slid = p.rslid),
-      |ov2 AS (
-      |  SELECT coalesce(la.chromosome, ra.chromosome) AS chromosome,
-      |         coalesce(la.lslid, ra.lslid) AS lslid,
-      |         coalesce(la.rslid, ra.rslid) AS rslid,
-      |         coalesce(la.rtype, ra.rtype) AS rtype,
-      |         coalesce(l_logbf, 0) AS lbf, coalesce(r_logbf, 0) AS rbf,
-      |         coalesce(l_pp, 0) AS lpp, coalesce(r_pp, 0) AS rpp,
-      |         l_pp IS NOT NULL AND r_pp IS NOT NULL AS isboth,
-      |         l_beta, r_beta
-      |  FROM la FULL JOIN ra
-      |    ON la.chromosome = ra.chromosome AND la.rslid = ra.rslid
-      |   AND la.lslid = ra.lslid AND la.tv = ra.tv AND la.rtype = ra.rtype),
-      |g0 AS (
+      |m1 AS (
       |  SELECT *, max(lbf) OVER w AS mx1, max(rbf) OVER w AS mx2,
       |         max(lbf + rbf) OVER w AS mx12
-      |  FROM ov2
+      |  FROM m
       |  WINDOW w AS (PARTITION BY chromosome, lslid, rslid, rtype)),
-      |g AS (
+      |pa AS (
       |  SELECT chromosome, lslid, rslid, rtype,
-      |         sum(CASE WHEN isboth THEN 1 ELSE 0 END) AS n,
-      |         max(CASE WHEN isboth AND lpp > 0.5 AND rpp > 0.5
+      |         count(*) AS nab,
+      |         max(mx1) + ln(sum(exp(lbf - mx1))) AS lseaab,
+      |         max(mx2) + ln(sum(exp(rbf - mx2))) AS lsebab,
+      |         max(mx12) + ln(sum(exp(lbf + rbf - mx12))) AS lse12ab,
+      |         max(CASE WHEN lpp > 0.5 AND rpp > 0.5
       |                  THEN 1 ELSE 0 END) AS anyhigh,
-      |         max(mx1) + ln(sum(exp(lbf - mx1))) AS ls1,
-      |         max(mx2) + ln(sum(exp(rbf - mx2))) AS ls2,
-      |         max(mx12) + ln(sum(exp(lbf + rbf - mx12))) AS ls12,
       |         avg(CASE WHEN l_beta IS NOT NULL AND r_beta IS NOT NULL
       |                   AND l_beta <> 0 AND r_beta <> 0
       |                  THEN sign(l_beta / r_beta) END) AS bra
-      |  FROM g0 GROUP BY 1, 2, 3, 4),
+      |  FROM m1 GROUP BY 1, 2, 3, 4),
+      |j AS (
+      |  SELECT pa.*, a.nloc AS na, a.lse AS lsea,
+      |         b.nloc AS nb, b.lse AS lseb
+      |  FROM pa
+      |  JOIN la a ON pa.chromosome = a.chromosome AND pa.lslid = a.slid
+      |  JOIN la b ON pa.chromosome = b.chromosome AND pa.rslid = b.slid),
+      |j2 AS (
+      |  SELECT *,
+      |         CASE WHEN na - nab > 0 THEN
+      |           CASE WHEN lsea <= lseaab THEN ln(1e-10)
+      |                ELSE lsea + ln(1 - exp(lseaab - lsea)) END
+      |         END AS ta,
+      |         CASE WHEN nb - nab > 0 THEN
+      |           CASE WHEN lseb <= lsebab THEN ln(1e-10)
+      |                ELSE lseb + ln(1 - exp(lsebab - lseb)) END
+      |         END AS tb
+      |  FROM j),
+      |j3 AS (
+      |  SELECT *, greatest(lse12ab, coalesce(ta, lse12ab),
+      |                     coalesce(tb, lse12ab)) AS mxf
+      |  FROM j2),
+      |g AS (
+      |  SELECT chromosome, lslid, rslid, rtype,
+      |         nab AS n, anyhigh, bra,
+      |         CASE WHEN nb - nab = 0 THEN lsea
+      |              ELSE greatest(lsea, ln(nb - nab))
+      |                   + ln(exp(lsea - greatest(lsea, ln(nb - nab)))
+      |                        + exp(ln(nb - nab)
+      |                              - greatest(lsea, ln(nb - nab))))
+      |         END AS ls1,
+      |         CASE WHEN na - nab = 0 THEN lseb
+      |              ELSE greatest(lseb, ln(na - nab))
+      |                   + ln(exp(lseb - greatest(lseb, ln(na - nab)))
+      |                        + exp(ln(na - nab)
+      |                              - greatest(lseb, ln(na - nab))))
+      |         END AS ls2,
+      |         mxf + ln(exp(lse12ab - mxf)
+      |                  + coalesce(exp(ta - mxf), 0)
+      |                  + coalesce(exp(tb - mxf), 0)) AS ls12
+      |  FROM j3),
       |h AS (
       |  SELECT *,
       |         CASE WHEN ls1 + ls2 = ls12 THEN 1e-10
@@ -740,6 +775,104 @@ object Oracles {
       |       ${q("exp(lh4 - hmax) / denom", 4)} AS h4_q4,
       |       ${q("bra", 6)} AS beta_ratio_q6
       |FROM post""".stripMargin
+
+  /** Mirrors Q.l2gGoldStandard + ml.L2GGoldStandard.fromOtgCuration:
+    * curated positives → window negatives → overlap-dedup →
+    * interaction false-negative cleanup. */
+  val l2gGoldStandard: String =
+    """WITH cur AS (
+      |  SELECT 'GCST' || CAST(o_orderkey % 300 AS VARCHAR) AS studyid,
+      |         'g' || CAST(o_custkey % 60 AS VARCHAR) AS geneid,
+      |         CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T'
+      |           AS variantid,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'ProGeM' ELSE 'OTG' END
+      |           AS source,
+      |         CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'High'
+      |              WHEN 1 THEN 'Medium' ELSE 'Low' END AS conf
+      |  FROM orders),
+      |pos AS (
+      |  SELECT md5(studyid || '_' || variantid) AS slid, studyid,
+      |         variantid, geneid,
+      |         list_sort(list_distinct(list(source))) AS sources
+      |  FROM cur WHERE conf IN ('High', 'Medium')
+      |  GROUP BY 1, 2, 3, 4),
+      |dist AS (
+      |  SELECT CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T'
+      |           AS variantid,
+      |         'g' || CAST(o_custkey % 60 AS VARCHAR) AS targetid,
+      |         o_orderkey * 13 % 800000 AS dtss
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T',
+      |         'g' || CAST((o_custkey + 7) % 60 AS VARCHAR),
+      |         o_orderkey * 17 % 800000
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T',
+      |         'g' || CAST((o_custkey + 21) % 60 AS VARCHAR),
+      |         o_orderkey * 23 % 800000
+      |  FROM orders),
+      |gs AS (
+      |  SELECT p.slid, p.studyid, p.variantid,
+      |         CASE WHEN p.geneid = d.targetid OR d.targetid IS NULL
+      |              THEN p.geneid ELSE d.targetid END AS geneid,
+      |         CASE WHEN p.geneid = d.targetid OR d.targetid IS NULL
+      |              THEN 'positive' ELSE 'negative' END AS label,
+      |         p.sources
+      |  FROM pos p
+      |  LEFT JOIN (SELECT * FROM dist WHERE dtss <= 500000) d
+      |    USING (variantid)),
+      |sq AS (
+      |  SELECT md5('GCST' || CAST(o_orderkey % 300 AS VARCHAR) || '_' ||
+      |           CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T')
+      |           AS slid,
+      |         CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T' AS tv
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION
+      |  SELECT 'x' || CAST(o_orderkey AS VARCHAR),
+      |         CAST(o_custkey % 5 AS VARCHAR) || '_' ||
+      |           CAST(o_orderkey * 7 % 100000 AS VARCHAR) || '_A_T'
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |multi AS (
+      |  SELECT geneid FROM gs GROUP BY 1
+      |  HAVING count(DISTINCT slid) > 1),
+      |fu AS (
+      |  SELECT * FROM gs g
+      |  WHERE NOT (
+      |    EXISTS (SELECT 1 FROM sq
+      |            WHERE sq.slid = g.slid AND sq.tv = g.variantid)
+      |    AND EXISTS (SELECT 1 FROM multi m WHERE m.geneid = g.geneid))),
+      |inter AS (
+      |  SELECT 'g' || CAST(p_partkey % 60 AS VARCHAR) AS a,
+      |         'g' || CAST((p_partkey * 7 + 1) % 60 AS VARCHAR) AS b,
+      |         max((p_partkey % 100) / 100.0) AS sc
+      |  FROM part GROUP BY 1, 2),
+      |sqi AS (
+      |  SELECT a, b FROM
+      |    (SELECT a, b, sc FROM inter
+      |     UNION ALL SELECT b, a, sc FROM inter)
+      |  WHERE sc > 0.7),
+      |rfn AS (
+      |  SELECT DISTINCT f.slid, f.studyid, f.variantid, f.geneid,
+      |         f.label, f.sources
+      |  FROM fu f
+      |  LEFT JOIN sqi ON f.geneid = sqi.a
+      |  LEFT JOIN (SELECT geneid AS ig, label AS il FROM fu) s2
+      |    ON sqi.b = s2.ig
+      |  WHERE (f.geneid <> sqi.b OR sqi.b IS NULL)
+      |    AND ((NOT (f.label = 'negative') AND s2.il = 'positive')
+      |         OR sqi.b IS NULL))
+      |SELECT slid AS "studyLocusId", studyid AS "studyId",
+      |       variantid AS "variantId", geneid AS "geneId",
+      |       label AS "goldStandardSet",
+      |       array_to_string(sources, ',') AS sources_str
+      |FROM rfn""".stripMargin
 
   /** Mirrors Q.studyDeconvolution + StudyIndexOps.deconvolveStudies. */
   val studyDeconvolution: String =
@@ -1006,6 +1139,7 @@ object Oracles {
 
   val all: Map[String, String] = Map(
     "q_gx_intra_overlaps" -> intraStudyOverlaps,
+    "q_ml_l2g_gold_standard" -> l2gGoldStandard,
     "q_gx_window_clump" -> windowClumpFull,
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,

@@ -448,7 +448,15 @@ object Q {
     * as SF increases. (Earlier variants with fixed locus/tag counts
     * went quadratic at sf0.1.) */
   def overlapsColocE2E(s: SparkSession, dir: String): DataFrame = {
+    // dedup by (order, part): credible sets hold each variant once —
+    // the invariant Coloc.colocaliseFused relies on (the raw synth has
+    // ~0.01% duplicate (locus, variant) pairs); min() keeps the
+    // synthesis deterministic and oracle-mirrorable
     val cred = t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(min(col("l_extendedprice")).as("_price"),
+        min(col("l_discount")).as("_disc"),
+        min(col("l_tax")).as("_tax"))
       .select(
         concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
         concat(lit("s"), col("l_orderkey") % 50).as("studyId"),
@@ -457,15 +465,18 @@ object Q {
         lit("r").as("region"),
         concat(lit("v"), col("l_partkey"), lit("_"), col("l_orderkey") % 2)
           .as("variantId"),
-        (col("l_extendedprice") / 1000).as("logBF"),
-        (col("l_discount") * 10).as("posteriorProbability"),
-        col("l_tax").as("beta"),
+        (col("_price") / 1000).as("logBF"),
+        (col("_disc") * 10).as("posteriorProbability"),
+        col("_tax").as("beta"),
         lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
       .groupBy("studyLocusId", "studyId", "studyType", "chromosome", "region")
       .agg(collect_list(struct(col("variantId"), col("logBF"),
         col("posteriorProbability"), col("beta"),
         col("pValueMantissa"), col("pValueExponent"))).as("locus"))
-    Coloc.colocalise(Overlaps.findOverlaps(cred))
+    // fused COLOC: per-locus logsumexps + intersection-only aggregates
+    // off the tag self-join — no aligned-overlap materialisation
+    val tags = Overlaps.explodeLoci(cred).persist()
+    Coloc.colocaliseFused(tags)
       .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
         col("rightStudyType"), col("chromosome"),
         col("numberColocalisingVariants"),
@@ -725,6 +736,54 @@ object Q {
     matrix.select(col("studyLocusId") +: col("geneId") +:
       (doubleCols.map(c => q(col(c), 6).as(s"${c}_q6")) ++
         countCols.map(c => col(c).cast("long").as(c))): _*)
+  }
+
+  /** L2G gold standard end-to-end: curated positives (nested-struct
+    * parse) → window negatives via TSS distances → overlap-dedup →
+    * interaction false-negative cleanup (the full
+    * ml.L2GGoldStandard.fromOtgCuration chain, oracle-checked). */
+  def l2gGoldStandard(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.L2GGoldStandard
+    val o = t(s, dir, "orders")
+    val variantId = concat_ws("_",
+      (col("o_custkey") % 5).cast("string"),
+      (col("o_orderkey") * 7 % 100000).cast("string"), lit("A"), lit("T"))
+    val studyId = concat(lit("GCST"), col("o_orderkey") % 300)
+    val curation = o.select(
+      struct(studyId.as("otg_id")).as("association_info"),
+      struct(concat(lit("g"), col("o_custkey") % 60).as("gene_id"),
+        element_at(array(lit("High"), lit("Medium"), lit("Low")),
+          (col("o_orderkey") % 3 + 1).cast("int")).as("highest_confidence"))
+        .as("gold_standard_info"),
+      struct(
+        struct((col("o_custkey") % 5).cast("string").as("chromosome"),
+          (col("o_orderkey") * 7 % 100000).as("position")).as("locus_GRCh38"),
+        struct(lit("A").as("reference"), lit("T").as("alternative"))
+          .as("alleles")).as("sentinel_variant"),
+      struct(element_at(array(lit("ProGeM"), lit("OTG")),
+        (col("o_orderkey") % 2 + 1).cast("int")).as("set_label"))
+        .as("metadata"))
+    val distances = o.select(variantId.as("variantId"),
+      explode(array(
+        struct(concat(lit("g"), col("o_custkey") % 60).as("targetId"),
+          (col("o_orderkey") * 13 % 800000).as("distanceFromTss")),
+        struct(concat(lit("g"), (col("o_custkey") + 7) % 60).as("targetId"),
+          (col("o_orderkey") * 17 % 800000).as("distanceFromTss")),
+        struct(concat(lit("g"), (col("o_custkey") + 21) % 60).as("targetId"),
+          (col("o_orderkey") * 23 % 800000).as("distanceFromTss")))).as("d"))
+      .select(col("variantId"), col("d.targetId"), col("d.distanceFromTss"))
+    val overlaps = o.filter(col("o_orderkey") % 5 === 0).select(
+      md5(concat_ws("_", studyId, variantId)).as("leftStudyLocusId"),
+      concat(lit("x"), col("o_orderkey")).as("rightStudyLocusId"),
+      variantId.as("tagVariantId"))
+    val interactions = t(s, dir, "part").select(
+      concat(lit("g"), col("p_partkey") % 60).as("targetA"),
+      concat(lit("g"), (col("p_partkey") * 7 + 1) % 60).as("targetB"),
+      ((col("p_partkey") % 100) / 100.0).as("scoring"))
+    L2GGoldStandard.fromOtgCuration(curation, distances, overlaps, interactions)
+      .select(col("studyLocusId"), col("studyId"), col("variantId"),
+        col("geneId"), col("goldStandardSet"),
+        array_join(array_sort(col("sources")), ",").as("sources_str"))
   }
 
   /** rsID→GnomAD variant mapping over synthesised curated associations

@@ -154,11 +154,30 @@ object Steps {
           studyIndex = a.get("study_index").map(read(s, _)),
           studyLoci = a.get("study_loci").map(read(s, _)))), a("out"))),
 
+    Step("l2g_gold_standard",
+      "Gold-standard labels: curation + negatives, overlap-dedup, interaction cleanup",
+      (s, a) => write(
+        graft.ml.L2GGoldStandard.fromOtgCuration(
+          curation = read(s, a("curation")),
+          distances = read(s, a("distances")),
+          overlaps = read(s, a("overlaps")),
+          interactions = read(s, a("interactions"))), a("out"))),
+
     Step("l2g_train",
-      "Train the L2G GBT on a labelled feature matrix",
-      (s, a) => L2GModel.train(read(s, a("in")),
-        maxIter = a.int("max_iter", 50),
-        maxDepth = a.int("max_depth", 5)).write.overwrite().save(a("out"))),
+      "Train the L2G GBT: grouped hold-out + grouped K-fold CV + final fit",
+      (s, a) => {
+        val res = graft.ml.L2GTrainer.train(read(s, a("in")),
+          crossValidate = a.bool("cross_validate", true),
+          nSplits = a.int("n_splits", 5),
+          maxIter = a.int("max_iter", 50),
+          maxDepth = a.int("max_depth", 5))
+        res.cvMetrics.foreach(f => println(
+          f"[l2g_train] fold ${f.fold}: auroc=${f.areaUnderROC}%.4f " +
+            f"avgPrecision=${f.averagePrecision}%.4f n=${f.nVal}"))
+        println(f"[l2g_train] holdout: auroc=${res.holdoutAreaUnderROC}%.4f " +
+          f"avgPrecision=${res.holdoutAveragePrecision}%.4f")
+        res.model.write.overwrite().save(a("out"))
+      }),
 
     Step("l2g_score",
       "Score a feature matrix with a trained L2G model",

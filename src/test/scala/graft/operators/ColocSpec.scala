@@ -100,6 +100,41 @@ class ColocSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("fused COLOC equals the aligned-overlap pipeline on unique-tag loci") {
+    // three loci with partial overlaps (incl. one-sided tags), variant
+    // unique within each locus — the credible-set invariant the fused
+    // decomposition relies on
+    val cred = Seq(
+      ("A", "s1", "gwas", "1", "rA", Seq(("v1", 10.2, 0.91, 0.5), ("v2", 1.2, 0.6, 0.3), ("v3", 2.0, 0.2, -0.1))),
+      ("B", "s2", "eqtl", "1", "rB", Seq(("v1", 10.5, 0.92, 0.2), ("v2", 3.8, 0.7, 0.1), ("v9", 0.5, 0.1, 0.4))),
+      ("C", "s3", "eqtl", "1", "rC", Seq(("v2", 6.0, 0.8, -0.2), ("v4", 1.0, 0.3, 0.2))))
+      .toDF("studyLocusId", "studyId", "studyType", "chromosome", "region", "raw")
+      .select(col("studyLocusId"), col("studyId"), col("studyType"),
+        col("chromosome"), col("region"),
+        expr("transform(raw, t -> named_struct(" +
+          "'variantId', t._1, 'logBF', t._2, 'posteriorProbability', t._3," +
+          "'beta', t._4, 'pValueMantissa', CAST(1.0 AS FLOAT)," +
+          "'pValueExponent', -8))").as("locus"))
+    val classic = Coloc.colocalise(Overlaps.findOverlaps(cred))
+    val fused = Coloc.colocaliseFused(Overlaps.explodeLoci(cred))
+    val cols = Seq("leftStudyLocusId", "rightStudyLocusId",
+      "numberColocalisingVariants", "h0", "h1", "h2", "h3", "h4",
+      "betaRatioSignAverage")
+    val c = classic.select(cols.head, cols.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = fused.select(cols.head, cols.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(c.keySet == f.keySet && c.nonEmpty)
+    c.keys.foreach { k =>
+      assert(c(k).getLong(2) == f(k).getLong(2), s"$k count")
+      (3 to 8).foreach { i =>
+        assert(math.abs(c(k).getDouble(i) - f(k).getDouble(i)) < 1e-9,
+          s"$k col$i: ${c(k).getDouble(i)} vs ${f(k).getDouble(i)}")
+      }
+    }
+    spark.sqlContext.clearCache()
+  }
+
   test("betaRatio averages the sign, ignoring null/zero betas") {
     val df = overlapDf(Seq(
       ("snp1", Some(1.0), Some(1.0), Some(0.1), Some(0.2), Some(0.5), Some(0.5)),
