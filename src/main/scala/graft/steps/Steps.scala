@@ -186,6 +186,68 @@ object Steps {
           org.apache.spark.ml.PipelineModel.load(a("model")),
           read(s, a("in"))), a("out"))),
 
+    Step("l2g_predict",
+      "Score GWAS credible sets with a trained L2G model",
+      (s, a) => write(
+        graft.ml.L2GPrediction.fromCredibleSet(
+          org.apache.spark.ml.PipelineModel.load(a("model")),
+          read(s, a("credible_sets")), read(s, a("feature_matrix"))),
+        a("out"))),
+
+    Step("l2g_evidence",
+      "Export disease-target evidence from L2G predictions",
+      (s, a) => write(
+        graft.ml.L2GPrediction.toDiseaseTargetEvidence(
+          read(s, a("predictions")), read(s, a("study_loci")),
+          read(s, a("study_index")),
+          a.double("l2g_threshold", 0.05)), a("out"))),
+
+    Step("convert_to_vcf",
+      "Merge variant sources into sorted VCF-shaped TSV shards",
+      (s, a) => VcfExport.write(
+        VcfExport.toVcf(a("in").split(";").toSeq.map(read(s, _)),
+          a.int("partition_size", 2000)), a("out"))),
+
+    Step("credible_set_qc",
+      "Lead p-value + purity filters, best-BF dedup, optional LD clump",
+      (s, a) => write(
+        CredibleSetQC.credibleSetQc(read(s, a("in")),
+          pValueThreshold = a.double("p_value_threshold", 1e-5),
+          purityMinR2 = a.double("purity_min_r2", 0.01),
+          clump = a.bool("clump", false),
+          ldIndex = a.get("ld_index").map(read(s, _)),
+          studyIndex = a.get("study_index").map(read(s, _)),
+          ldMinR2 = a.double("ld_min_r2", 0.8)), a("out"))),
+
+    Step("foldx_ingestion",
+      "FoldX ddG dataset into amino-acid variant annotations",
+      (s, a) => write(
+        AminoAcidVariants.ingestFoldx(read(s, a("in")),
+          a.double("plddt_threshold", 0.7)), a("out"))),
+
+    Step("lof_curation",
+      "Curated LoF verdicts into variant-index rows",
+      (s, a) => write(
+        AminoAcidVariants.lofCurationAsVariantIndex(read(s, a("in"))),
+        a("out"))),
+
+    Step("pan_ukbb_ld_index",
+      "Align Pan-UKBB LD index alleles against the variant annotation",
+      (s, a) => write(
+        PanUkbbLd.alignLdIndexAlleles(read(s, a("index")),
+          read(s, a("variant_annotation"))), a("out"))),
+
+    Step("ukbiobank_study_index",
+      "UK Biobank study manifest into the study index",
+      (s, a) => write(
+        StudyIndexSources.ukBiobankStudyIndex(read(s, a("in"))), a("out"))),
+
+    Step("finngen_ukb_meta_study_index",
+      "FinnGen-UKB meta-analysis manifest into the study index",
+      (s, a) => write(
+        StudyIndexSources.finngenUkbMetaStudyIndex(read(s, a("in")),
+          a.get("efo_curation").map(read(s, _))), a("out"))),
+
     Step("intervals",
       "Parse an interval source (andersson/javierre/jung/thurman)",
       (s, a) => {
