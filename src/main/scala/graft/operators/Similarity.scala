@@ -113,6 +113,17 @@ object Similarity {
       .select("queryId", "neighbourId", "similarity", "rank")
   }
 
+  /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
+    * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
+    * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */
+  def bruteForceDupPairs(df: DataFrame, threshold: Double): DataFrame =
+    df.select(col("id").as("idA"), col("embedding").as("a"))
+      .join(df.select(col("id").as("idB"), col("embedding").as("b")),
+        col("idA") < col("idB"))
+      .withColumn("similarity", cosine(col("a"), col("b")))
+      .filter(col("similarity") >= threshold)
+      .select("idA", "idB", "similarity")
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH
     * bucketed (candidates must share the full signature). */
   def embeddingDupPairs(df: DataFrame, threshold: Double = 0.95,

@@ -874,6 +874,16 @@ object Oracles {
       |       array_to_string(sources, ',') AS sources_str
       |FROM rfn""".stripMargin
 
+  /** Mirrors Q.embeddingDup + Similarity.bruteForceDupPairs. */
+  val embeddingDup: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings)
+      |SELECT a.vec_id AS "idA", b.vec_id AS "idB",
+      |       ${q("list_cosine_similarity(a.v, b.v)", 6)} AS sim_q6
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+
   /** Mirrors Q.studyDeconvolution + StudyIndexOps.deconvolveStudies. */
   val studyDeconvolution: String =
     """WITH src AS (
@@ -1140,6 +1150,7 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q_gx_intra_overlaps" -> intraStudyOverlaps,
     "q_ml_l2g_gold_standard" -> l2gGoldStandard,
+    "q_dedup_embedding" -> embeddingDup,
     "q_gx_window_clump" -> windowClumpFull,
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,

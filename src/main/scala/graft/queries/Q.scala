@@ -533,6 +533,16 @@ object Q {
         col("posteriorProbability"))
   }
 
+  /** Embedding cosine near-dup pairs, exact (oracle-checked baseline
+    * of the LSH-blocked embeddingDupPairs path). */
+  def embeddingDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceDupPairs(
+      t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("embedding")),
+      threshold = 0.4)
+      .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
+
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",

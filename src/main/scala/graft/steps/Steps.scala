@@ -237,6 +237,26 @@ object Steps {
         PanUkbbLd.alignLdIndexAlleles(read(s, a("index")),
           read(s, a("variant_annotation"))), a("out"))),
 
+    Step("gwas_catalog_study_index",
+      "GWAS Catalog study + ancestry tables into the study index",
+      (s, a) => {
+        var si = GwasCatalogStudyIndex.fromSource(read(s, a("studies")),
+          read(s, a("ancestries")))
+        a.get("curation").foreach(p => si = GwasCatalogStudyIndex
+          .annotateFromStudyCuration(si,
+            Some(GwasCatalogStudyIndex.parseOtCuration(read(s, p)))))
+        a.get("inclusion_list").foreach(p =>
+          si = GwasCatalogStudyIndex.applyInclusionList(si, read(s, p)))
+        write(si, a("out"))
+      }),
+
+    Step("gwas_catalog_study_curation",
+      "Export the curation worksheet for GWAS Catalog sumstats studies",
+      (s, a) => write(
+        GwasCatalogStudyIndex.extractStudiesForCuration(read(s, a("in")),
+          a.get("curation").map(p =>
+            GwasCatalogStudyIndex.parseOtCuration(read(s, p)))), a("out"))),
+
     Step("ukbiobank_study_index",
       "UK Biobank study manifest into the study index",
       (s, a) => write(
