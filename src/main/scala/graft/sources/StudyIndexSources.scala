@@ -89,6 +89,31 @@ object StudyIndexSources {
     efoCuration.map(joinEfoMapping(si, _, "R11")).getOrElse(si)
   }
 
+  /** UKB PPP (EUR) pQTL manifest → study index; nSamples peeked from
+    * the sumstats (chr22 first-N per study, as the reference does).
+    * reference: src/gentropy/datasource/ukb_ppp_eur/study_index.py:14-77 */
+  def ukbPppEurStudyIndex(manifest: DataFrame, sumstats: DataFrame): DataFrame = {
+    val nSamples = sumstats
+      .filter(col("chromosome") === "22")
+      .groupBy("studyId")
+      .agg(first(col("N")).cast("int").as("nSamples"))
+    manifest.select(
+      lit("pqtl").as("studyType"),
+      lit("UKB_PPP_EUR").as("projectId"),
+      col("_gentropy_study_id").as("studyId"),
+      col("UKBPPP_ProteinID").as("traitFromSource"),
+      lit("UBERON_0001969").as("biosampleFromSourceId"),
+      col("ensembl_id").as("geneId"),
+      lit(true).as("hasSumstats"),
+      col("_gentropy_summary_stats_link").as("summarystatsLocation"))
+      .join(nSamples, Seq("studyId"))
+      .withColumn("discoverySamples",
+        array(struct(col("nSamples").cast("int").as("sampleSize"),
+          lit("European").as("ancestry"))))
+      .withColumn("ldPopulationStructure",
+        StudyIndexOps.aggregateAndMapAncestries(col("discoverySamples")))
+  }
+
   /** UK Biobank manifest (SAIGE + Neale round 2) → study index.
     * reference: src/gentropy/datasource/ukbiobank/study_index.py:36-110 */
   def ukBiobankStudyIndex(manifest: DataFrame): DataFrame =

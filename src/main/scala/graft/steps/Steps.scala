@@ -268,6 +268,28 @@ object Steps {
         StudyIndexSources.finngenUkbMetaStudyIndex(read(s, a("in")),
           a.get("efo_curation").map(read(s, _))), a("out"))),
 
+    Step("ukb_ppp_eur_study_index",
+      "UKB PPP (EUR) pQTL manifest into the study index",
+      (s, a) => write(
+        StudyIndexSources.ukbPppEurStudyIndex(read(s, a("in")),
+          read(s, a("summary_stats"))), a("out"))),
+
+    Step("sumstats_harmonisation",
+      "Harmonise raw sumstats (ukb_ppp_eur/finngen_ukb_meta flavours)",
+      (s, a) => {
+        val cols = a.get("flavour").map(_.toLowerCase) match {
+          case Some("finngen_ukb_meta") =>
+            PerChromosome.SumstatColumns.FinngenUkbMeta
+          case Some("ukb_ppp_eur") | None =>
+            PerChromosome.SumstatColumns.UkbPppEur
+          case Some(other) =>
+            throw new IllegalArgumentException(s"Unknown flavour '$other'")
+        }
+        write(PerChromosome.harmoniseSummaryStats(read(s, a("in")),
+          PerChromosome.prepareVariantAnnotation(read(s, a("annotation"))),
+          cols), a("out"))
+      }),
+
     Step("intervals",
       "Parse an interval source (andersson/javierre/jung/thurman)",
       (s, a) => {
