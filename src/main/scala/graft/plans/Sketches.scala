@@ -162,11 +162,41 @@ case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
     copy(child = c)
 }
 
+/** Native dot product of two double arrays: one tight loop per row.
+  * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * allocates an intermediate array and interprets 2 lambdas per
+  * element — measured ~50× slower across a 12.5M-pair join. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
 
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), shingleSize, numHashes))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Cast(Bridge.expression(a), ArrayType(DoubleType)),
+      Cast(Bridge.expression(b), ArrayType(DoubleType))))
 
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))

@@ -863,7 +863,7 @@ object Oracles {
       |         f.label, f.sources
       |  FROM fu f
       |  LEFT JOIN sqi ON f.geneid = sqi.a
-      |  LEFT JOIN (SELECT geneid AS ig, label AS il FROM fu) s2
+      |  LEFT JOIN (SELECT DISTINCT geneid AS ig, label AS il FROM fu) s2
       |    ON sqi.b = s2.ig
       |  WHERE (f.geneid <> sqi.b OR sqi.b IS NULL)
       |    AND ((NOT (f.label = 'negative') AND s2.il = 'positive')

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.functions.{ArrayFns, PValues}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   * the improvement SURVEY §2.1/S7 flags.
   */
 object EqtlCatalogueSusie {
+
+  /** quant_method → QTL class; single-cell studies get the `sc`
+    * prefix. reference: src/gentropy/datasource/eqtl_catalogue/study_index.py:49-87 */
+  val MethodToQtlType: Map[String, String] = Map(
+    "ge" -> "eqtl", "exon" -> "eqtl", "tx" -> "eqtl",
+    "microarray" -> "eqtl", "leafcutter" -> "sqtl",
+    "aptamer" -> "pqtl", "txrev" -> "tuqtl")
+
+  def identifyStudyType(quantMethod: Column, rawStudyType: Column): Column = {
+    val mapping = element_at(
+      map(MethodToQtlType.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+      quantMethod)
+    when(rawStudyType === "single-cell", concat(lit("sc"), mapping))
+      .otherwise(mapping)
+  }
+
+  /** Study-level rows from the processed fine-mapping frame (the
+    * reference projects the StudyIndex column subset and dedups).
+    * reference: src/gentropy/datasource/eqtl_catalogue/study_index.py:109-131 */
+  def studyIndexFromSusieResults(processed: DataFrame): DataFrame = {
+    val cols = Seq("studyId", "projectId", "studyType", "traitFromSource",
+      "geneId", "tissueFromSourceId", "condition", "pubmedId", "nSamples")
+      .filter(processed.columns.contains)
+    processed.select(cols.map(col): _*).distinct()
+  }
 
   def parseSusieResults(credibleSets: DataFrame, lbf: DataFrame,
                         studiesMetadata: DataFrame): DataFrame = {
@@ -42,7 +67,12 @@ object EqtlCatalogueSusie {
             ArrayFns.cleanStringsFromSymbols(concat_ws("_",
               col("study_label"), col("quant_method"), col("sample_group"),
               col("molecular_trait_id"))).as("studyId"),
-            lit("eqtl").as("studyType")): _*)
+            (if (credibleSets.columns.contains("study_type") ||
+              studiesMetadata.columns.contains("study_type"))
+              identifyStudyType(col("quant_method"), col("study_type"))
+            else
+              identifyStudyType(col("quant_method"), lit("bulk")))
+              .as("studyType")): _*)
   }
 
   /** One StudyLocus row per credible set: the top-PIP variant leads,

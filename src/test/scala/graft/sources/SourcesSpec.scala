@@ -85,6 +85,16 @@ class SourcesSpec extends SparkSpec {
     val cs1 = loci.filter(col("credibleSetIndex") === 1)
     assert(cs1.select("variantId").as[String].head() == "1_100_A_T") // lead
     assert(cs1.select(size(col("locus"))).as[Int].head() == 2)
+
+    // quant_method ge + bulk default -> eqtl
+    assert(parsed.select("studyType").distinct().as[String].head() == "eqtl")
+    // reference doctest: study_index.py:70-79
+    val st = Seq(("ge", "bulk"), ("leafcutter", "bulk"), ("tx", "single-cell"))
+      .toDF("quant_method", "study_type")
+      .select(EqtlCatalogueSusie.identifyStudyType(
+        col("quant_method"), col("study_type")).as("t"))
+      .as[String].collect().toSeq
+    assert(st == Seq("eqtl", "sqtl", "sceqtl"))
   }
 
   test("liftover: chain parse, shift, flip handling, interval filter") {
