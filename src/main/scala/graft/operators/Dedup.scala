@@ -203,8 +203,12 @@ object Dedup {
                         maxShingleDF: Int = 100000,
                         cache: graft.core.CacheHandle =
                           graft.core.CacheHandle()): DataFrame = {
+    // native one-pass shingle set (the HOF formulation re-slices the
+    // token array per position through the interpreter — it was more
+    // than half the query's cost at sf0.1)
     val sh0 = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), shingleSize))).as("shingle"))
+      explode(graft.plans.SketchFunctions
+        .distinctShingles(col(textCol), shingleSize)).as("shingle"))
     val stopShingles = sh0
       .groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxShingleDF)

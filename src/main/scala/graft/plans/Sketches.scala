@@ -162,6 +162,36 @@ case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
     copy(child = c)
 }
 
+/** Distinct word-shingle set of a document in one pass: tokenise
+  * once, slide the n-gram window, dedupe. Replaces
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(tokens, i, n))))`, whose interpreted lambdas re-slice the
+  * token array per position (the index-build half of the n-gram
+  * Jaccard cost). Semantics identical to
+  * [[graft.operators.Dedup.shingles]] + `array_distinct`. */
+case class DistinctShingles(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val shingles = Sketches.shingleStrings(toks, shingleSize)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < shingles.length) { seen.add(shingles(i)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}
+
 /** Native dot product of two double arrays: one tight loop per row.
   * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
   * allocates an intermediate array and interprets 2 lambdas per
@@ -192,6 +222,9 @@ object SketchFunctions {
 
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), shingleSize, numHashes))
+
+  def distinctShingles(text: Column, shingleSize: Int): Column =
+    Bridge.column(DistinctShingles(Bridge.expression(text), shingleSize))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

@@ -268,6 +268,34 @@ object Steps {
         StudyIndexSources.finngenUkbMetaStudyIndex(read(s, a("in")),
           a.get("efo_curation").map(read(s, _))), a("out"))),
 
+    Step("biosample_index",
+      "Biosample ontology JSON into the biosample index",
+      (s, a) => write(BiosampleOntology.fromJson(s, a("in")), a("out"))),
+
+    Step("eqtl_catalogue",
+      "eQTL Catalogue SuSiE results into credible sets + study index",
+      (s, a) => {
+        val processed = EqtlCatalogueSusie.parseSusieResults(
+          read(s, a("credible_sets")), read(s, a("lbf")),
+          read(s, a("studies_metadata")))
+        write(EqtlCatalogueSusie.fromSusieResults(processed), a("out"))
+        a.get("study_index_out").foreach(p =>
+          write(EqtlCatalogueSusie.studyIndexFromSusieResults(processed), p))
+      }),
+
+    Step("finngen_studies",
+      "FinnGen phenotype table into the study index (+ optional EFO join)",
+      (s, a) => {
+        var si = StudyIndexSources.finngenStudyIndex(read(s, a("in")),
+          releasePrefix = a.get("release_prefix").getOrElse("FINNGEN_R11"),
+          sumstatsUrlPrefix = a.get("sumstats_url_prefix").getOrElse(""),
+          sumstatsUrlSuffix = a.get("sumstats_url_suffix").getOrElse(""))
+        a.get("efo_curation").foreach(p =>
+          si = StudyIndexSources.joinEfoMapping(si, read(s, p),
+            a.get("release").getOrElse("R11")))
+        write(si, a("out"))
+      }),
+
     Step("ukb_ppp_eur_study_index",
       "UKB PPP (EUR) pQTL manifest into the study index",
       (s, a) => write(
