@@ -67,6 +67,7 @@ object SparkEntry {
     "q_gx_intra_overlaps" -> (Q.intraStudyOverlaps _),
     "q_ml_l2g_gold_standard" -> (Q.l2gGoldStandard _),
     "q_dedup_embedding" -> (Q.embeddingDup _),
+    "q_gx_study_parse" -> (Q.gwasCatalogStudyParse _),
     // rows-only (no SQL-expressible oracle)
     "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),
     "q_gx_study_deconvolution" -> (Q.studyDeconvolution _),

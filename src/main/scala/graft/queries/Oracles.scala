@@ -874,6 +874,67 @@ object Oracles {
       |       array_to_string(sources, ',') AS sources_str
       |FROM rfn""".stripMargin
 
+  /** Mirrors Q.gwasCatalogStudyParse +
+    * GwasCatalogStudyIndex.parseStudyTable/annotateDiscoverySampleSizes. */
+  val gwasCatalogStudyParse: String =
+    """WITH raw AS (
+      |  SELECT 'GCST' || CAST(o_orderkey AS VARCHAR) AS sid,
+      |         CAST(o_custkey % 100000 AS VARCHAR) AS pubmed,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE 'trait ' || CAST(o_orderkey % 100 AS VARCHAR) END
+      |           AS trait,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN
+      |                '1,' || CAST(o_custkey % 900 + 100 AS VARCHAR)
+      |                || ' European cases, '
+      |                || CAST(o_orderkey % 5000 AS VARCHAR)
+      |                || ' European controls'
+      |              WHEN o_orderkey % 3 = 1 THEN
+      |                CAST(o_custkey % 10000 AS VARCHAR)
+      |                || ' European individuals'
+      |              ELSE 'unknown ancestry individuals' END AS iss,
+      |         CASE WHEN o_orderkey % 4 <> 0 THEN
+      |                'http://www.ebi.ac.uk/efo/EFO_'
+      |                || CAST(o_orderkey % 500 AS VARCHAR)
+      |                || ',http://purl.obolibrary.org/obo/MONDO_'
+      |                || CAST(o_custkey % 300 AS VARCHAR) END AS uri,
+      |         CASE WHEN o_orderkey % 5 <> 0 THEN
+      |                'UKB|FHS|GERA|UKB|C' || CAST(o_custkey % 9 AS VARCHAR)
+      |              END AS cohort
+      |  FROM orders),
+      |frag AS (
+      |  SELECT sid, unnest(string_split_regex(iss, ',\s+')) AS samples
+      |  FROM raw),
+      |sz AS (
+      |  SELECT sid,
+      |         TRY_CAST(NULLIF(regexp_extract(
+      |           regexp_replace(samples, ',', '', 'g'), '[0-9]+', 0), '')
+      |           AS INT) AS n,
+      |         samples LIKE '%cases%' AS isc,
+      |         samples LIKE '%controls%' AS isk
+      |  FROM frag),
+      |agg AS (
+      |  SELECT sid,
+      |         CAST(sum(CASE WHEN isc THEN n ELSE 0 END) AS BIGINT) AS ncases,
+      |         CAST(sum(CASE WHEN isk THEN n ELSE 0 END) AS BIGINT)
+      |           AS ncontrols,
+      |         CAST(sum(n) AS BIGINT) AS nsamples
+      |  FROM sz GROUP BY 1)
+      |SELECT raw.sid AS "studyId", raw.pubmed AS "pubmedId",
+      |       coalesce(raw.trait, 'Unreported') AS "traitFromSource",
+      |       coalesce(CASE WHEN raw.uri IS NOT NULL THEN
+      |         array_to_string(list_sort(list_transform(
+      |           string_split(raw.uri, ','),
+      |           x -> regexp_extract(x, '([A-Z]+_[0-9]+)', 1))), ',')
+      |         END, '') AS efos_str,
+      |       coalesce(CASE WHEN raw.cohort IS NOT NULL
+      |                      AND raw.cohort <> '' THEN
+      |         array_to_string(list_sort(list_distinct(
+      |           string_split(raw.cohort, '|'))), ',') END, '')
+      |         AS cohorts_str,
+      |       agg.ncases AS "nCases", agg.ncontrols AS "nControls",
+      |       agg.nsamples AS "nSamples"
+      |FROM raw JOIN agg ON raw.sid = agg.sid""".stripMargin
+
   /** Mirrors Q.embeddingDup + Similarity.bruteForceDupPairs. */
   val embeddingDup: String =
     s"""WITH e AS (
@@ -1151,6 +1212,7 @@ object Oracles {
     "q_gx_intra_overlaps" -> intraStudyOverlaps,
     "q_ml_l2g_gold_standard" -> l2gGoldStandard,
     "q_dedup_embedding" -> embeddingDup,
+    "q_gx_study_parse" -> gwasCatalogStudyParse,
     "q_gx_window_clump" -> windowClumpFull,
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,

@@ -796,6 +796,52 @@ object Q {
         array_join(array_sort(col("sources")), ",").as("sources_str"))
   }
 
+  /** GWAS Catalog study-table parse + discovery-sample-size
+    * extraction (S4 study flow): EFO/cohort parsing and free-text
+    * case/control extraction, oracle-checked. */
+  def gwasCatalogStudyParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GwasCatalogStudyIndex
+    val o = t(s, dir, "orders")
+    val raw = o.select(
+      concat(lit("GCST"), col("o_orderkey")).as("STUDY ACCESSION"),
+      (col("o_custkey") % 100000).cast("string").as("PUBMED ID"),
+      lit("Doe J").as("FIRST AUTHOR"),
+      lit("2020-01-01").as("DATE"),
+      lit("Nat Genet").as("JOURNAL"),
+      concat(lit("Title "), col("o_orderkey") % 7).as("STUDY"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .otherwise(concat(lit("trait "), col("o_orderkey") % 100))
+        .as("DISEASE/TRAIT"),
+      // three sample-description shapes: cases+controls, individuals
+      // only (no case/control hit), and a digit-free fragment
+      when(col("o_orderkey") % 3 === 0,
+        concat(lit("1,"), (col("o_custkey") % 900 + 100),
+          lit(" European cases, "), col("o_orderkey") % 5000,
+          lit(" European controls")))
+        .when(col("o_orderkey") % 3 === 1,
+          concat(col("o_custkey") % 10000, lit(" European individuals")))
+        .otherwise(lit("unknown ancestry individuals"))
+        .as("INITIAL SAMPLE SIZE"),
+      when(col("o_orderkey") % 4 =!= 0, concat(
+        lit("http://www.ebi.ac.uk/efo/EFO_"), col("o_orderkey") % 500,
+        lit(",http://purl.obolibrary.org/obo/MONDO_"), col("o_custkey") % 300))
+        .as("MAPPED_TRAIT_URI"),
+      lit(null).cast("string").as("MAPPED BACKGROUND TRAIT URI"),
+      when(col("o_orderkey") % 5 =!= 0,
+        concat(lit("UKB|FHS|GERA|UKB|C"), col("o_custkey") % 9))
+        .as("COHORT"))
+    GwasCatalogStudyIndex.annotateDiscoverySampleSizes(
+      GwasCatalogStudyIndex.parseStudyTable(raw))
+      .select(col("studyId"), col("pubmedId"), col("traitFromSource"),
+        coalesce(array_join(col("traitFromSourceMappedIds"), ","), lit(""))
+          .as("efos_str"),
+        coalesce(array_join(array_sort(col("cohorts")), ","), lit(""))
+          .as("cohorts_str"),
+        col("nCases").cast("long").as("nCases"),
+        col("nControls").cast("long").as("nControls"),
+        col("nSamples").cast("long").as("nSamples"))
+  }
+
   /** rsID→GnomAD variant mapping over synthesised curated associations
     * and a synthetic variant index: array-overlap concordance join,
     * retain-flag windows, max-MAF top-1 (J11/S4). */

@@ -128,9 +128,12 @@ object GwasCatalogStudyIndex {
     val lut = studies
       .select(col("studyId"),
         explode_outer(split(col("initialSampleSize"), ",\\s+")).as("samples"))
+      // nullif guard: fragments without digits extract to "" which an
+      // ANSI cast would throw on (the reference runs non-ANSI and
+      // silently nulls)
       .withColumn("sampleSize",
-        regexp_extract(regexp_replace(col("samples"), ",", ""),
-          "[0-9]+", 0).cast(IntegerType))
+        nullif(regexp_extract(regexp_replace(col("samples"), ",", ""),
+          "[0-9]+", 0), lit("")).cast(IntegerType))
       .select(col("studyId"), col("sampleSize"),
         when(col("samples").contains("cases"), col("sampleSize"))
           .otherwise(0).as("nCases"),
