@@ -39,5 +39,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 50+ codegen-heavy queries in one JVM overflow the default 240m
   // code cache; once full the JIT disables and late queries run
   // interpreted (3-4x slower than the same query in a fresh JVM)
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

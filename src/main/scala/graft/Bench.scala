@@ -30,6 +30,14 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  rows=$n")
       name -> sec
     }.toMap
+    // JIT health telemetry: if a CodeHeap pool peaks at its max, late
+    // queries ran interpreted and their timings are compilation noise
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .foreach(p => System.err.println(
+        f"[bench] codeheap '${p.getName}' peak=${p.getPeakUsage.getUsed / 1048576}%d MiB" +
+          f" max=${p.getPeakUsage.getMax / 1048576}%d MiB"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
