@@ -69,64 +69,10 @@ object DistributedFineMapper {
 
     grouped
       .cogroup(ldGrouped) { (locusId, vs, ldEntries) =>
-        val variantsArr0 = vs.toArray.sortBy(_.idx)
-        val p0 = variantsArr0.length
-        if (p0 == 0) Iterator.empty
-        else {
-          val ldM0 = DenseMatrix.eye[Double](p0)
-          ldEntries.foreach { e =>
-            if (e.i < p0 && e.j < p0) { ldM0(e.i, e.j) = e.r; ldM0(e.j, e.i) = e.r }
-          }
-          def subLd(keep: Array[Int]): DenseMatrix[Double] =
-            DenseMatrix.tabulate[Double](keep.length, keep.length) {
-              (a, b) => ldM0(keep(a), keep(b))
-            }
-          // observed variants only; NULL-z rows are imputation candidates
-          var knownIdx = variantsArr0.indices.filter(variantsArr0(_).z.isDefined)
-            .toArray
-          // CARMA pre-step on the observed set: drop LD-discordant
-          // outliers, as the reference does before imputation and SuSiE
-          // (outlier rows leave the output — susie_finemapper.py:546-560)
-          if (runCarma && knownIdx.nonEmpty) {
-            val out = Carma.timeLimitedCarmaSpikeSlabNoEM(
-              DenseVector(knownIdx.map(variantsArr0(_).z.get)),
-              subLd(knownIdx),
-              secThreshold = carmaTimeLimitSec, tau = carmaTau)
-            out.outliers match {
-              case Some(outliers) if outliers.nonEmpty =>
-                knownIdx = knownIdx.indices.filterNot(outliers.contains)
-                  .map(knownIdx(_)).toArray
-              case _ =>
-            }
-          }
-          // RAISS imputation of NULL-z variants from the observed set
-          // (susie_finemapper.py:566-608)
-          val unknownIdx = variantsArr0.indices
-            .filterNot(i => variantsArr0(i).z.isDefined).toArray
-          val (finalIdx, zArr) =
-            if (!imputeMissing || unknownIdx.isEmpty || knownIdx.isEmpty)
-              (knownIdx, knownIdx.map(variantsArr0(_).z.get))
-            else {
-              val sigT = subLd(knownIdx)
-              val sigIT = DenseMatrix.tabulate[Double](
-                unknownIdx.length, knownIdx.length) {
-                (a, b) => ldM0(unknownIdx(a), knownIdx(b))
-              }
-              val imp = Raiss.raissModel(
-                DenseVector(knownIdx.map(variantsArr0(_).z.get)), sigT, sigIT)
-              val accepted = unknownIdx.indices.filter { k =>
-                imp.imputationR2(k) >= imputedR2Threshold &&
-                  imp.ldScore(k) >= ldScoreThreshold
-              }
-              (knownIdx ++ accepted.map(unknownIdx(_)),
-                knownIdx.map(variantsArr0(_).z.get) ++
-                  accepted.map(k => imp.mu(k)).toArray)
-            }
-          if (finalIdx.isEmpty) Iterator.empty
-          else {
-            val variantsArr = finalIdx.map(variantsArr0(_))
-            val ldM = subLd(finalIdx)
-            val z = DenseVector(zArr)
+        prepareLocus(vs, ldEntries, runCarma, carmaTimeLimitSec, carmaTau,
+          imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+          case None => Iterator.empty
+          case Some((variantsArr, ldM, z)) =>
             val res = SusieInf.susieInf(z, ldM, n = n, L = L)
             val marginal = SusieInf.marginalPip(res)
             val cred = SusieInf.credInf(res.pip, ldM, coverage = coverage)
@@ -135,7 +81,220 @@ object DistributedFineMapper {
               FineMapped(locusId, v0.variantId, marginal(i),
                 res.lbfVariable(i, ::).t.toArray.max, inCs.contains(i))
             }
-          }
+        }
+      }
+  }
+
+  /** Per-locus CARMA outlier expulsion + optional RAISS imputation:
+    * the shared front half of both fine-mapping surfaces. Returns the
+    * retained variants, their LD block and z vector. */
+  private def prepareLocus(
+      vs: Iterator[LocusVariant], ldEntries: Iterator[LdEntry],
+      runCarma: Boolean, carmaTimeLimitSec: Double, carmaTau: Double,
+      imputeMissing: Boolean, imputedR2Threshold: Double,
+      ldScoreThreshold: Double)
+    : Option[(Array[LocusVariant], DenseMatrix[Double], DenseVector[Double])] = {
+    val variantsArr0 = vs.toArray.sortBy(_.idx)
+    val p0 = variantsArr0.length
+    if (p0 == 0) return None
+    val ldM0 = DenseMatrix.eye[Double](p0)
+    ldEntries.foreach { e =>
+      if (e.i < p0 && e.j < p0) { ldM0(e.i, e.j) = e.r; ldM0(e.j, e.i) = e.r }
+    }
+    def subLd(keep: Array[Int]): DenseMatrix[Double] =
+      DenseMatrix.tabulate[Double](keep.length, keep.length) {
+        (a, b) => ldM0(keep(a), keep(b))
+      }
+    // observed variants only; NULL-z rows are imputation candidates
+    var knownIdx = variantsArr0.indices.filter(variantsArr0(_).z.isDefined)
+      .toArray
+    // CARMA pre-step on the observed set: drop LD-discordant
+    // outliers, as the reference does before imputation and SuSiE
+    // (outlier rows leave the output — susie_finemapper.py:546-560)
+    if (runCarma && knownIdx.nonEmpty) {
+      val out = Carma.timeLimitedCarmaSpikeSlabNoEM(
+        DenseVector(knownIdx.map(variantsArr0(_).z.get)),
+        subLd(knownIdx),
+        secThreshold = carmaTimeLimitSec, tau = carmaTau)
+      out.outliers match {
+        case Some(outliers) if outliers.nonEmpty =>
+          knownIdx = knownIdx.indices.filterNot(outliers.contains)
+            .map(knownIdx(_)).toArray
+        case _ =>
+      }
+    }
+    // RAISS imputation of NULL-z variants from the observed set
+    // (susie_finemapper.py:566-608)
+    val unknownIdx = variantsArr0.indices
+      .filterNot(i => variantsArr0(i).z.isDefined).toArray
+    val (finalIdx, zArr) =
+      if (!imputeMissing || unknownIdx.isEmpty || knownIdx.isEmpty)
+        (knownIdx, knownIdx.map(variantsArr0(_).z.get))
+      else {
+        val sigT = subLd(knownIdx)
+        val sigIT = DenseMatrix.tabulate[Double](
+          unknownIdx.length, knownIdx.length) {
+          (a, b) => ldM0(unknownIdx(a), knownIdx(b))
+        }
+        val imp = Raiss.raissModel(
+          DenseVector(knownIdx.map(variantsArr0(_).z.get)), sigT, sigIT)
+        val accepted = unknownIdx.indices.filter { k =>
+          imp.imputationR2(k) >= imputedR2Threshold &&
+            imp.ldScore(k) >= ldScoreThreshold
+        }
+        (knownIdx ++ accepted.map(unknownIdx(_)),
+          knownIdx.map(variantsArr0(_).z.get) ++
+            accepted.map(k => imp.mu(k)).toArray)
+      }
+    if (finalIdx.isEmpty) None
+    else Some((finalIdx.map(variantsArr0(_)), subLd(finalIdx),
+      DenseVector(zArr)))
+  }
+
+  case class CredTag(variantId: String, posteriorProbability: Double,
+                     logBF: Double, beta: Double)
+  case class CredibleSetRow(
+      locusId: String, credibleSetIndex: Int, variantId: String,
+      beta: Double, credibleSetLog10BF: Double,
+      purityMeanR2: Double, purityMinR2: Double, zScore: Double,
+      pValueMantissa: Float, pValueExponent: Int,
+      locus: Seq[CredTag], finemappingMethod: String)
+
+  private val Log10E = 0.4342944819
+
+  /** SuSiE output → one row per credible set, executor-side: the
+    * reference's `susie_inf_to_studylocus` (per-effect 99% sets by
+    * PIP cumsum, lead selection, purity stats over the LD block,
+    * logBF/p-value/purity filters, lead dedup and high-LD lead
+    * removal) without its per-set `createDataFrame` round-trips.
+    * reference: src/gentropy/susie_finemapper.py:188-456 */
+  private[finemap] def assembleCredibleSets(
+      locusId: String, variantsArr: Array[LocusVariant],
+      z: DenseVector[Double], ldM: DenseMatrix[Double],
+      res: SusieInf.Result,
+      csLbfThr: Double = 2.0, sumPips: Double = 0.99,
+      leadPvalThreshold: Double = 1.0,
+      purityMeanR2Threshold: Double = 0.0,
+      purityMinR2Threshold: Double = 0.0,
+      ldMinR2: Double = 0.9): Seq[CredibleSetRow] = {
+    val orderCreds = res.lbf.toArray.zipWithIndex.sortBy(-_._1)
+    var counter = 0
+    val sets = orderCreds.flatMap { case (csLbf, l) =>
+      // skipped low-BF effects still consume an index (reference quirk,
+      // susie_finemapper.py:243-247); the top effect is always kept
+      if (counter > 0 && csLbf < csLbfThr) { counter += 1; None }
+      else {
+        counter += 1
+        val pipCol = res.pip(::, l).toArray
+        val order = pipCol.zipWithIndex.sortBy(-_._1).map(_._2)
+        var cum = 0.0
+        var cut = -1
+        var r = 0
+        while (r < order.length && cut < 0) {
+          cum += pipCol(order(r))
+          if (cum >= sumPips) cut = r
+          r += 1
+        }
+        val keep = if (cut < 0) order else order.take(cut + 1)
+        val tags = keep.map(j => CredTag(variantsArr(j).variantId,
+          pipCol(j), res.lbfVariable(j, l), res.mu(j, l))).toSeq
+        val leadIdx = keep.head
+        // purity over the |r|² block of the set, diagonal included
+        var s = 0.0
+        var mn = Double.MaxValue
+        for (a <- keep; b <- keep) {
+          val r2 = ldM(a, b) * ldM(a, b)
+          s += r2
+          if (r2 < mn) mn = r2
+        }
+        val nSq = keep.length.toLong * keep.length
+        val zLead = z(leadIdx)
+        // pval = 2·Φ̄(|z|) = erfc(|z|/√2); log-space via commons-math
+        val pval = org.apache.commons.math3.special.Erf.erfc(
+          math.abs(zLead) / math.sqrt(2.0))
+        val neglogp =
+          if (pval > 0) -math.log10(pval) else Double.PositiveInfinity
+        val expo = math.ceil(neglogp)
+        val mantissa =
+          if (expo.isInfinity) 1.0f
+          else math.pow(10.0, expo - neglogp).toFloat
+        val pExpo =
+          if (expo.isInfinity) -308 else (-expo).toInt
+        Some((counter, CredibleSetRow(locusId, counter,
+          variantsArr(leadIdx).variantId, res.mu(leadIdx, l),
+          csLbf * Log10E, s / nSq, mn, zLead, mantissa, pExpo, tags,
+          "SuSiE-inf"), neglogp, leadIdx))
+      }
+    }
+    // lead p-value / logBF / purity filters (susie_finemapper.py:395-402)
+    val filtered = sets.filter { case (_, cs, neglogp, _) =>
+      neglogp >= -math.log10(leadPvalThreshold) &&
+        cs.credibleSetLog10BF >= csLbfThr * Log10E &&
+        !cs.credibleSetLog10BF.isNaN &&
+        cs.purityMinR2 >= purityMinR2Threshold &&
+        cs.purityMeanR2 >= purityMeanR2Threshold
+    }
+    // dedup by lead variant, keep the lowest credibleSetIndex
+    val dedup = filtered.groupBy(_._2.variantId).values
+      .map(_.minBy(_._1)).toSeq.sortBy(_._1)
+    // remove sets whose lead is in high LD with a stronger lead
+    // (ordered by lead -log10 p, strictly-upper-triangular scan —
+    // susie_finemapper.py:414-441)
+    val byP = dedup.sortBy(-_._3)
+    val doomed = scala.collection.mutable.Set.empty[String]
+    for (i <- byP.indices) {
+      val (_, cs, _, leadI) = byP(i)
+      if (!doomed.contains(cs.variantId)) {
+        for (j <- (i + 1) until byP.length) {
+          val r = ldM(leadI, byP(j)._4)
+          if (r * r >= ldMinR2) doomed += byP(j)._2.variantId
+        }
+      }
+    }
+    dedup.collect { case (_, cs, _, _) if !doomed.contains(cs.variantId) => cs }
+  }
+
+  /** Fine-map every locus and emit one row per credible set — the
+    * step-level surface of the reference's SusieFineMapperStep, with
+    * the whole per-locus pipeline (CARMA → RAISS → SuSiE-inf → set
+    * assembly) running inside the executors. */
+  def finemapCredibleSets(
+      spark: SparkSession, variants: DataFrame, ld: DataFrame,
+      n: Int = 100000, L: Int = 10,
+      csLbfThr: Double = 2.0, sumPips: Double = 0.99,
+      leadPvalThreshold: Double = 1.0,
+      purityMeanR2Threshold: Double = 0.0,
+      purityMinR2Threshold: Double = 0.0,
+      ldMinR2: Double = 0.9,
+      runCarma: Boolean = false,
+      carmaTimeLimitSec: Double = 600,
+      carmaTau: Double = 0.04,
+      imputeMissing: Boolean = false,
+      imputedR2Threshold: Double = 0.9,
+      ldScoreThreshold: Double = 5.0): Dataset[CredibleSetRow] = {
+    import spark.implicits._
+    val indexed = variants
+      .withColumn("idx",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("locusId").orderBy("variantId")) - 1).cast("int"))
+      .select(col("locusId").cast("string"), col("variantId").cast("string"),
+        col("z").cast("double"), col("idx"))
+      .as[LocusVariant]
+    val ldTyped = ld.select(col("locusId").cast("string"),
+      col("i").cast("int"), col("j").cast("int"), col("r").cast("double"))
+      .as[LdEntry]
+    indexed.groupByKey(_.locusId)
+      .cogroup(ldTyped.groupByKey(_.locusId)) { (locusId, vs, ldEntries) =>
+        prepareLocus(vs, ldEntries, runCarma, carmaTimeLimitSec, carmaTau,
+          imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+          case None => Iterator.empty
+          case Some((variantsArr, ldM, z)) =>
+            val res = SusieInf.susieInf(z, ldM, n = n, L = L)
+            assembleCredibleSets(locusId, variantsArr, z, ldM, res,
+              csLbfThr, sumPips, leadPvalThreshold,
+              purityMeanR2Threshold, purityMinR2Threshold,
+              ldMinR2).iterator
         }
       }
   }

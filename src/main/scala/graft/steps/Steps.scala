@@ -93,6 +93,22 @@ object Steps {
           ldScoreThreshold = a.double("ld_score_threshold", 5.0)).toDF(),
         a("out"))),
 
+    Step("susie_credible_sets",
+      "Per-locus CARMA→RAISS→SuSiE-inf emitting one row per credible set",
+      (s, a) => write(
+        DistributedFineMapper.finemapCredibleSets(s, read(s, a("in")),
+          read(s, a("ld")),
+          n = a.int("n", 100000), L = a.int("l", 10),
+          csLbfThr = a.double("cs_lbf_thr", 2.0),
+          sumPips = a.double("sum_pips", 0.99),
+          leadPvalThreshold = a.double("lead_pval_threshold", 1.0),
+          purityMeanR2Threshold = a.double("purity_mean_r2_threshold", 0.0),
+          purityMinR2Threshold = a.double("purity_min_r2_threshold", 0.0),
+          ldMinR2 = a.double("ld_min_r2", 0.9),
+          runCarma = a.bool("run_carma", false),
+          imputeMissing = a.bool("run_sumstat_imputation", false)).toDF(),
+        a("out"))),
+
     Step("variant_index",
       "Parse Ensembl VEP JSON output into the variant index",
       (s, a) => write(

@@ -90,4 +90,41 @@ class DistributedFineMapperSpec extends SparkSpec {
       withImp.map(_.variantId).toSeq.toString)
     assert(!withImp.exists(_.variantId == "v11")) // untagged: rejected
   }
+
+  test("credible-set assembly: leads, purity, logBF filter, high-LD lead dedup") {
+    // locus with two signals: v09 strong (z=8), v05 moderate (z=5),
+    // v10 in near-perfect LD with v09 (its set should survive via the
+    // same lead; a separate set led by v10 would be removed)
+    val variants = (0 until 12).map { i =>
+      val z = if (i == 9) 8.0 else if (i == 5) 5.0 else 0.1
+      ("A", f"v$i%02d", z)
+    }.toDF("locusId", "variantId", "z")
+    val ld = Seq(("A", 9, 10, 0.98)).toDF("locusId", "i", "j", "r")
+    val out = DistributedFineMapper.finemapCredibleSets(spark, variants, ld,
+      n = 10000, L = 3).collect()
+    assert(out.nonEmpty)
+    // every surviving set passes the logBF floor and carries purity stats
+    out.foreach { cs =>
+      assert(cs.credibleSetLog10BF >= 2.0 * 0.4342944819 ||
+        cs.credibleSetIndex == 1)
+      assert(cs.purityMeanR2 > 0.0 && cs.purityMeanR2 <= 1.0)
+      assert(cs.purityMinR2 <= cs.purityMeanR2)
+      assert(cs.locus.nonEmpty)
+      assert(cs.locus.map(_.posteriorProbability).sum >= 0.98 ||
+        cs.locus.size == 12) // 99% coverage or the whole locus
+      // lead is the top-PIP tag
+      assert(cs.locus.head.variantId == cs.variantId)
+      // p-value codec: mantissa in [1, 10), exponent negative for z=8
+      assert(cs.pValueMantissa >= 1.0f && cs.pValueMantissa < 10.0f)
+    }
+    // the strong signal leads a set
+    assert(out.exists(_.variantId == "v09"))
+    // leads are unique and not in high mutual LD
+    val leads = out.map(_.variantId)
+    assert(leads.distinct.length == leads.length)
+    assert(!(leads.contains("v09") && leads.contains("v10")))
+    // z=8 lead p-value exponent: p = erfc(8/sqrt(2)) ~ 1.2e-15
+    val v9 = out.find(_.variantId == "v09").get
+    assert(v9.pValueExponent == -15, s"expo=${v9.pValueExponent}")
+  }
 }
