@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication for a document stream — the incremental
+  * counterpart of [[graft.operators.Dedup]] (beyond the batch-only
+  * reference, SURVEY §2.11).
+  *
+  * Exact dedup composes the built-in
+  * `dropDuplicatesWithinWatermark` over a content digest, so state is
+  * watermark-bounded and Spark manages it (no custom operator where a
+  * built-in expresses the semantics). Near-dup detection keys the
+  * stream by MinHash LSH band buckets — the same banding as the batch
+  * operator, via the native one-pass signature expression — and keeps
+  * a bounded per-bucket signature list in `flatMapGroupsWithState`;
+  * an arriving document is flagged when any stored bucket-mate's
+  * signature agrees on ≥ `threshold` of the minima. Per-bucket caps
+  * bound both state size and comparison cost, mirroring the batch
+  * hot-bucket cap.
+  */
+object StreamingDedup {
+
+  /** Exact near-real-time dedup: first arrival of each digest within
+    * the watermark survives. Input needs an event-time column `ts`. */
+  def exactDedup(docs: DataFrame, textCol: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_digest", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
+  case class BandedDoc(band: Int, bandHash: Long, docId: String,
+                       sig: Seq[Long])
+  case class BucketState(sigs: List[(String, Seq[Long])])
+  case class NearDupFlag(docId: String, band: Int, matchedDocId: String,
+                         similarity: Double)
+
+  /** Expand a document stream into LSH band-bucket rows carrying the
+    * full MinHash signature. */
+  def bandedStream(docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16): Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    docs
+      .select(col(idCol).cast("string").as("docId"),
+        graft.plans.SketchFunctions
+          .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .select(col("docId"), col("sig"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"), bands,
+          rowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bandHash").as("bandHash"),
+        col("docId"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** Stateful near-dup flagging: one state entry per live band bucket,
+    * holding at most `maxBucket` (docId, signature) pairs; each
+    * arriving doc is compared against its bucket-mates and flagged
+    * when estimated Jaccard (matching minima fraction) ≥ `threshold`.
+    * With `idleTimeout` set, a processing-time timeout expires idle
+    * buckets so state cannot grow without bound; leave it None in
+    * tests — the periodic timeout wake-up batches never let
+    * `processAllAvailable` settle (same caveat as
+    * [[EventStreams.sessionize]]). */
+  def nearDupFlags(spark: SparkSession, banded: Dataset[BandedDoc],
+                   threshold: Double = 0.7, maxBucket: Int = 64,
+                   idleTimeout: Option[String] = Some("30 minutes"))
+    : Dataset[NearDupFlag] = {
+    import spark.implicits._
+    banded
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), batch: Iterator[BandedDoc],
+         state: GroupState[BucketState]) => {
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+            batch.foreach { d =>
+              sigs.foreach { case (otherId, otherSig) =>
+                if (otherId != d.docId) {
+                  val n = math.min(d.sig.length, otherSig.length)
+                  var m = 0
+                  var i = 0
+                  while (i < n) {
+                    if (d.sig(i) == otherSig(i)) m += 1
+                    i += 1
+                  }
+                  val est = if (n == 0) 0.0 else m.toDouble / n
+                  if (est >= threshold)
+                    out += NearDupFlag(d.docId, key._1, otherId, est)
+                }
+              }
+              if (sigs.length < maxBucket &&
+                !sigs.exists(_._1 == d.docId))
+                sigs = (d.docId, d.sig) :: sigs
+            }
+            state.update(BucketState(sigs))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingDedup._
+
+  test("exact dedup keeps the first arrival of each digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = exactDedup(docs, "text")
+      .writeStream.format("memory").queryName("exactdedup")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        ("d1", "the quick brown fox", ts(0)),
+        ("d2", "a different document", ts(1)),
+        ("d3", "the quick brown fox", ts(2))) // duplicate of d1
+      q.processAllAvailable()
+      val kept = spark.table("exactdedup").select("doc_id").as[String]
+        .collect().toSet
+      assert(kept.contains("d2"))
+      assert((kept - "d2").size == 1) // exactly one of d1/d3 survives
+    } finally q.stop()
+  }
+
+  test("near-dup flags fire for bucket-mates above the signature threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val input = MemoryStream[(String, String)]
+    val banded = bandedStream(input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id")
+    val q = nearDupFlags(spark, banded, threshold = 0.7, idleTimeout = None)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(("d1", base), ("dX", "completely unrelated words here"))
+      q.processAllAvailable()
+      // near-identical doc arrives later
+      input.addData(("d2", base + "extra tail token"))
+      q.processAllAvailable()
+      val flags = spark.table("neardup")
+        .select("docId", "matchedDocId").as[(String, String)]
+        .collect().toSet
+      assert(flags.exists { case (a, b) =>
+        Set(a, b) == Set("d1", "d2") })
+      assert(!flags.exists { case (a, b) => a == "dX" || b == "dX" })
+    } finally q.stop()
+  }
+}
