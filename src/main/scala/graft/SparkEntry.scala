@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Q.minhashPairs _),
     "q_dedup_simhash" -> (Q.simhashPairs _),
     "q_ann_lsh" -> (Q.annLsh _),
+    "q_ann_ivf" -> (Q.annIvf _),
     "q_mm_decode" -> (Q.multimodalDecode _))
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -129,6 +129,64 @@ object Similarity {
       .select("queryId", "neighbourId", "similarity", "rank")
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are partitioned into
+    * `nLists` k-means cells; a query probes only its `nProbe` nearest
+    * cells, turning the all-pairs scan into a centroid-bucketed
+    * equi-join — the classic coarse-quantiser scale path alongside
+    * the random-hyperplane LSH variant. The centroid model is tiny
+    * (nLists × dim) and broadcasts; cell assignment is one distributed
+    * transform per side, so nothing about the index lives on the
+    * driver. Recall is governed by nProbe exactly as in FAISS-style
+    * IVF-flat. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 3,
+              seed: Long = 42L, trainIters: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(
+      col("embedding").cast("array<double>")).as("features"))
+    // a coarse quantiser needs rough cells, not converged clusters —
+    // few iterations keep the (driver-coordinated) training cheap
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainIters)
+      .setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val cellsOf = udf { (emb: Seq[Double], probes: Int) =>
+      bCentroids.value.indices
+        .map { c =>
+          val cent = bCentroids.value(c)
+          var d = 0.0
+          var i = 0
+          while (i < cent.length && i < emb.length) {
+            val x = emb(i) - cent(i); d += x * x; i += 1
+          }
+          (c, d)
+        }
+        .sortBy(_._2).take(probes).map(_._1)
+    }
+    val corpusCells = corpus.select(col("id").as("neighbourId"),
+      col("embedding").cast("array<double>").as("c"),
+      norm(col("embedding")).as("_nc"),
+      explode(cellsOf(col("embedding").cast("array<double>"), lit(1)))
+        .as("cell"))
+    val queryCells = queries.select(col("id").as("queryId"),
+      col("embedding").cast("array<double>").as("q"),
+      norm(col("embedding")).as("_nq"),
+      explode(cellsOf(col("embedding").cast("array<double>"), lit(nProbe)))
+        .as("cell"))
+    val w = Window.partitionBy("queryId")
+      .orderBy(col("similarity").desc, col("neighbourId"))
+    queryCells
+      .join(corpusCells, Seq("cell"))
+      .filter(col("queryId") =!= col("neighbourId"))
+      .dropDuplicates("queryId", "neighbourId")
+      .withColumn("similarity",
+        cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("queryId", "neighbourId", "similarity", "rank")
+  }
+
   /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
     * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
     * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */

@@ -561,6 +561,15 @@ object Q {
       tables = 16, planesPerTable = 3)
   }
 
+  /** IVF ANN top-k (k-means coarse quantiser — no SQL oracle). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.ivfTopK(emb, emb.filter(col("id") < 5), 5,
+      nLists = 16, nProbe = 4)
+  }
+
   /** Multimodal decode stub + features (no SQL oracle). */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(

@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpec {
     assert(brute == 1L)
   }
 
+  test("IVF top-k recovers the true neighbour via probed cells") {
+    val top = Similarity.ivfTopK(vecs, vecs.filter(col("id") === 0), 1,
+      nLists = 3, nProbe = 3)
+      .select("neighbourId").as[Long].collect()
+    assert(top.nonEmpty && top.head == 1L)
+    // recall vs brute force on the real embeddings table (25 q×k pairs)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val ivf = Similarity.ivfTopK(emb, q, 5, nLists = 8, nProbe = 4)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    assert(ivf.intersect(brute).size >= 20, // ≥80% recall at nProbe=4/8
+      s"recall ${ivf.intersect(brute).size}/25")
+  }
+
   test("embeddingDupPairs finds only true near-duplicates") {
     val dups = Similarity.embeddingDupPairs(vecs, threshold = 0.95, planes = 4)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
