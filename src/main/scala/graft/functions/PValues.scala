@@ -92,6 +92,11 @@ object PValues {
       (beta + lit(1.96) * se).as("betaConfidenceIntervalUpper"))
   }
 
+  /** Standard error back out of a 95% confidence interval.
+    * reference: src/gentropy/common/spark_helpers.py:762-792 */
+  def standardErrorFromConfidenceInterval(lower: Column, upper: Column): Column =
+    (upper - lower) / lit(2 * 1.96)
+
   /** z-score from a p-value: qnorm(1 - p/2).
     * reference: src/gentropy/common/spark_helpers.py:101-134 (scipy UDF
     * there; native Catalyst expression here — stays inside codegen). */
