@@ -135,6 +135,39 @@ class ColocSpec extends SparkSpec {
     spark.sqlContext.clearCache()
   }
 
+  test("fused COLOC intra-study mode equals the aligned pipeline") {
+    val cred = Seq(
+      ("A", "s1", "gwas", "1", "r1", Seq(("v1", 10.2, 0.91, 0.5), ("v2", 1.2, 0.6, 0.3))),
+      ("B", "s1", "gwas", "1", "r2", Seq(("v1", 10.5, 0.92, 0.2), ("v3", 3.8, 0.7, 0.1))),
+      ("C", "s2", "gwas", "1", "r3", Seq(("v1", 6.0, 0.8, -0.2)))) // other study: no intra pair
+      .toDF("studyLocusId", "studyId", "studyType", "chromosome", "region", "raw")
+      .select(col("studyLocusId"), col("studyId"), col("studyType"),
+        col("chromosome"), col("region"),
+        expr("transform(raw, t -> named_struct(" +
+          "'variantId', t._1, 'logBF', t._2, 'posteriorProbability', t._3," +
+          "'beta', t._4, 'pValueMantissa', CAST(1.0 AS FLOAT)," +
+          "'pValueExponent', -8))").as("locus"))
+    val classic = Coloc.colocalise(
+      Overlaps.findOverlaps(cred, intraStudy = true)).collect()
+    val fused = Coloc.colocaliseFused(Overlaps.explodeLoci(cred),
+      intraStudy = true).collect()
+    assert(classic.length == fused.length && classic.nonEmpty)
+    val cMap = classic.map(r => r.getAs[String]("leftStudyLocusId") -> r).toMap
+    fused.foreach { f =>
+      val c = cMap(f.getAs[String]("leftStudyLocusId"))
+      assert(c.getAs[String]("rightStudyLocusId") ==
+        f.getAs[String]("rightStudyLocusId"))
+      Seq("h0", "h1", "h2", "h3", "h4").foreach { h =>
+        assert(math.abs(c.getAs[Double](h) - f.getAs[Double](h)) < 1e-9, h)
+      }
+    }
+    // the cross-study locus C never pairs in intra mode
+    assert(!fused.exists(r =>
+      r.getAs[String]("leftStudyLocusId") == "C" ||
+        r.getAs[String]("rightStudyLocusId") == "C"))
+    spark.sqlContext.clearCache()
+  }
+
   test("betaRatio averages the sign, ignoring null/zero betas") {
     val df = overlapDf(Seq(
       ("snp1", Some(1.0), Some(1.0), Some(0.1), Some(0.2), Some(0.5), Some(0.5)),
