@@ -45,6 +45,15 @@ class L2GPredictionSpec extends SparkSpec {
     assert(ev.forall(_.getAs[String]("datasourceId") == "gwas_credible_sets"))
   }
 
+  test("addFeatures attaches name/value structs from the matrix") {
+    val preds = Seq(("sl1", "g1", 0.9)).toDF("studyLocusId", "geneId", "score")
+    val fm = Seq(("sl1", "g1", 0.25, 0.75)).toDF("studyLocusId", "geneId", "f1", "f2")
+    val out = L2GPrediction.addFeatures(preds, fm, Seq("f1", "f2")).head
+    val feats = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("features"))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(feats == Map("f1" -> 0.25, "f2" -> 0.75))
+  }
+
   test("occlusion attributions: informative feature dominates") {
     val model = L2GModel.train(matrix, Seq("f1", "f2"), maxIter = 5,
       maxDepth = 3)
