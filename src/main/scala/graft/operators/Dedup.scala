@@ -19,12 +19,14 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Keep one row per exact text duplicate group (smallest id wins).
-    * A hash-groupBy: one shuffle on the 128-bit digest, no window. */
+    * A hash-groupBy: one shuffle on the 128-bit digest with map-side
+    * partial min_by — no sort-window; duplicate groups are never
+    * sorted, just folded. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   // ------------------------------------------------------------- shingles

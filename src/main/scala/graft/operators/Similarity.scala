@@ -150,30 +150,19 @@ object Similarity {
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainIters)
       .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
-    val bCentroids = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val cellsOf = udf { (emb: Seq[Double], probes: Int) =>
-      bCentroids.value.indices
-        .map { c =>
-          val cent = bCentroids.value(c)
-          var d = 0.0
-          var i = 0
-          while (i < cent.length && i < emb.length) {
-            val x = emb(i) - cent(i); d += x * x; i += 1
-          }
-          (c, d)
-        }
-        .sortBy(_._2).take(probes).map(_._1)
-    }
+    // native one-pass cell assignment: the (nLists × dim) centroid
+    // matrix rides inside the expression — no broadcast variable, no
+    // per-row UDF serialisation boundary
+    def cellsOf(emb: Column, probes: Int): Column =
+      graft.plans.SketchFunctions.nearestCells(emb, centroids, probes)
     val corpusCells = corpus.select(col("id").as("neighbourId"),
       col("embedding").cast("array<double>").as("c"),
       norm(col("embedding")).as("_nc"),
-      explode(cellsOf(col("embedding").cast("array<double>"), lit(1)))
-        .as("cell"))
+      explode(cellsOf(col("embedding"), 1)).as("cell"))
     val queryCells = queries.select(col("id").as("queryId"),
       col("embedding").cast("array<double>").as("q"),
       norm(col("embedding")).as("_nq"),
-      explode(cellsOf(col("embedding").cast("array<double>"), lit(nProbe)))
-        .as("cell"))
+      explode(cellsOf(col("embedding"), nProbe)).as("cell"))
     val w = Window.partitionBy("queryId")
       .orderBy(col("similarity").desc, col("neighbourId"))
     queryCells

@@ -217,6 +217,49 @@ case class DotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
 }
 
+/** Indices of the `nProbe` centroids nearest to the embedding
+  * (squared-L2, ties by centroid index), nearest first — the IVF
+  * coarse-quantiser cell assignment as one tight loop per row over
+  * the (tiny, plan-embedded) centroid matrix. Replaces the per-row
+  * Scala UDF over a broadcast model: same arithmetic, no
+  * serialisation boundary, composes with codegen like [[DotProduct]].
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+                        nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(emb: Any): Any = {
+    val arr = emb.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val x = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { x(i) = arr.getDouble(i); i += 1 }
+    val d2 = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(cent.length, dims)
+      var s = 0.0
+      i = 0
+      while (i < n) { val d = x(i) - cent(i); s += d * d; i += 1 }
+      d2(c) = s
+      c += 1
+    }
+    val order = centroids.indices.sortBy(i => d2(i)) // stable: ties by index
+    val take = math.min(nProbe, centroids.length)
+    val out = new Array[Any](take)
+    i = 0
+    while (i < take) { out(i) = order(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
 
@@ -239,4 +282,10 @@ object SketchFunctions {
     Bridge.column(RhpTableKeys(
       Cast(Bridge.expression(embedding), ArrayType(DoubleType)),
       tables, planesPerTable, seed))
+
+  def nearestCells(embedding: Column, centroids: Array[Array[Double]],
+                   nProbe: Int): Column =
+    Bridge.column(NearestCells(
+      Cast(Bridge.expression(embedding), ArrayType(DoubleType)),
+      centroids, nProbe))
 }

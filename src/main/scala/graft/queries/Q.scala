@@ -489,7 +489,15 @@ object Q {
   /** Intra-study overlapping peaks: same-study pairs across different
     * regions sharing a tag variant (J1 intra mode). */
   def intraStudyOverlaps(s: SparkSession, dir: String): DataFrame = {
-    val cred = t(s, dir, "lineitem")
+    // Flat tag rows straight off lineitem: the peaks query only needs
+    // (locus, tag) keys, so the collect_list -> explode round trip the
+    // COLOC queries use (two shuffles + array builds) is pure overhead
+    // here. Distinct up front: lineitem repeats (orderkey, partkey)
+    // pairs, and duplicate tags inflate the tag self-join
+    // quadratically without changing the distinct pair set. The stats
+    // columns matchedTagPairs projects are unused by peaks — Catalyst
+    // prunes the literals away.
+    val tags = t(s, dir, "lineitem")
       .select(
         concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
         concat(lit("s"), col("l_orderkey") % 40).as("studyId"),
@@ -497,19 +505,14 @@ object Q {
         (col("l_partkey") % 24).cast("string").as("chromosome"),
         concat(lit("r"), col("l_orderkey") % 3).as("region"),
         concat(lit("v"), col("l_partkey"), lit("_"), col("l_orderkey") % 2)
-          .as("variantId"),
-        (col("l_extendedprice") / 1000).as("logBF"),
-        (col("l_discount") * 10).as("posteriorProbability"),
-        col("l_tax").as("beta"),
-        lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
-      .groupBy("studyLocusId", "studyId", "studyType", "chromosome", "region")
-      .agg(collect_list(struct(col("variantId"), col("logBF"),
-        col("posteriorProbability"), col("beta"),
-        col("pValueMantissa"), col("pValueExponent"))).as("locus"))
-    // persist the flat exploded tags: the peak self-join references
-    // them on both sides, and the groupBy+collect_list+explode
-    // pipeline above is too expensive to evaluate twice
-    val tags = Overlaps.explodeLoci(cred).persist()
+          .as("tagVariantId"))
+      .distinct()
+      .withColumn("logBF", lit(1.0))
+      .withColumn("posteriorProbability", lit(1.0))
+      .withColumn("beta", lit(0.0))
+      .withColumn("pValueMantissa", lit(1.0f))
+      .withColumn("pValueExponent", lit(-8))
+      .persist() // both sides of the self-join read it
     Overlaps.overlappingPeaks(tags, intraStudy = true)
   }
 

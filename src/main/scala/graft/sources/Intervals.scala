@@ -63,6 +63,13 @@ object Intervals {
         Seq("geneSymbol"), "inner")
       .drop("geneSymbol")
 
+  /** Typed-index entry point, mirroring the reference's `parse(raw,
+    * target_index, lift)` signature (reference:
+    * src/gentropy/datasource/intervals/andersson.py:49-61). */
+  def resolveGenes(intervals: DataFrame,
+                   genes: graft.core.GDataset[TargetIndexRow]): DataFrame =
+    resolveGenes(intervals, TargetIndex.symbolsLut(genes))
+
   /** A liftover transform: (df, chromCol, startCol, endCol) → lifted
     * df with the same column names. Compose from
     * [[Liftover.liftIntervals]], or pass [[noLift]] for same-build data. */
@@ -133,6 +140,12 @@ object Intervals {
         lit("27863249").as("pmid"))
   }
 
+  /** Typed-index entry point for [[javierre]] (location LUT join).
+    * reference: src/gentropy/datasource/intervals/javierre.py:34-50 */
+  def javierre(raw: DataFrame, genes: graft.core.GDataset[TargetIndexRow],
+               lift: IntervalLift): DataFrame =
+    javierre(raw, TargetIndex.locationsLut(genes), lift)
+
   /** Jung et al. 2019 promoter-capture Hi-C: `Interacting_fragment` is
     * "chr.start.end" dot-separated, `Promoter` a ';'-joined gene list.
     * `genes` carries (geneId, geneSymbol, chromosome).
@@ -166,6 +179,12 @@ object Intervals {
       .dropDuplicates()
   }
 
+  /** Typed-index entry point for [[jung]] (symbol LUT join).
+    * reference: src/gentropy/datasource/intervals/jung.py:35-50 */
+  def jung(raw: DataFrame, genes: graft.core.GDataset[TargetIndexRow],
+           lift: IntervalLift): DataFrame =
+    jung(raw, TargetIndex.symbolsLut(genes), lift)
+
   /** Thurman et al. 2012 DHS-promoter correlation: 8-column headerless
     * TSV (gene location + interval + score); gene symbols resolve
     * against the symbol LUT on (symbol, chromosome).
@@ -189,6 +208,12 @@ object Intervals {
         lit("22955617").as("pmid"))
       .distinct()
   }
+
+  /** Typed-index entry point for [[thurman]] (symbol LUT join).
+    * reference: src/gentropy/datasource/intervals/thurman.py:30-45 */
+  def thurman(raw: DataFrame, genes: graft.core.GDataset[TargetIndexRow],
+              lift: IntervalLift): DataFrame =
+    thurman(raw, TargetIndex.symbolsLut(genes), lift)
 
   /** Reader for the raw Thurman TSV. */
   def readThurman(spark: SparkSession, path: String): DataFrame =

@@ -34,6 +34,33 @@ class LDClumpingL2GSpec extends SparkSpec {
       ("2", "v1", false, false)))
   }
 
+  test("LD clumping caps running state on a degenerate partition") {
+    // 500 mutually-unlinked leads in ONE (study, chromosome): with the
+    // cap at 50, ranks 1-50 are evaluated against a running set that
+    // never exceeds 50 entries (overflow rows contribute null to the
+    // collect_set) and stay unflagged; ranks 51+ are conservatively
+    // flagged instead of growing the window state.
+    val df = (1 to 500).map { i =>
+      ("s1", "1", f"v$i%04d", 1.0f, -100 + i,
+        Some(Seq(Ld2(s"x$i", Some(0.9)))),
+        Some(Seq(Tag2(f"v$i%04d", Some(1.0)))))
+    }.toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+      "pValueExponent", "ldSet", "locus")
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    val out = LDClumping.clump(df, maxLeadsPerPartition = 50)
+      .select(col("pValueExponent"),
+        array_contains(coalesce(col("qualityControls"), array()),
+          LDClumping.LdClumpedFlag).as("clumped"))
+      .as[(Int, Boolean)].collect()
+    assert(out.count(!_._2) == 50)
+    assert(out.filter(_._2).map(_._1).min == -100 + 51)
+    // under the cap the guarded path is byte-identical to the plain one
+    val capped = LDClumping.clump(df).select("variantId", "qualityControls")
+    val plain = LDClumping.clump(df, maxLeadsPerPartition = Int.MaxValue)
+      .select("variantId", "qualityControls")
+    assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
+  }
+
   test("L2G distance features: mean weighted, sentinel, neighbourhood") {
     val credSets = Seq(
       ("sl1", "v1", Seq(Tag2("v1", Some(0.8)), Tag2("v2", Some(0.2))))
