@@ -56,15 +56,25 @@ object Bench {
     */
   private def runSingle(csv: String): Unit = {
     val spark = session()
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val minReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "4").toInt
     csv.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       var best = Double.MaxValue
       var n = -1L
       try {
-        for (_ <- 1 to reps) {
+        var rep = 0
+        var go = true
+        while (go) {
           val t0 = System.nanoTime()
           n = SparkEntry.queries(name)(spark, sfDir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          rep += 1
+          // keep repeating while a heavy query is still JIT-warming
+          // (each rep improving the best by >20%) so the reported
+          // number is the steady-state cost, not compiler residue
+          go = rep < minReps ||
+            (rep < maxReps && best > 3.0 && sec < best * 0.8)
+          best = math.min(best, sec)
           spark.sharedState.cacheManager.clearCache()
         }
       } catch { case e: Throwable =>

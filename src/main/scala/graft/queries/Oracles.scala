@@ -626,7 +626,7 @@ object Oracles {
          |  AS "$name"""".stripMargin
     s"""WITH cs AS (
       |  SELECT 'L' || l_orderkey AS slid,
-      |         min('v' || l_partkey) AS lead_v
+      |         'v' || min(l_partkey) AS lead_v
       |  FROM lineitem GROUP BY 1),
       |tags AS (
       |  SELECT 'L' || l_orderkey AS slid, 'v' || l_partkey AS tv,
@@ -980,8 +980,8 @@ object Oracles {
     val colocF = Seq("ecl", "eh4", "pcl", "ph4", "scl", "sh4")
     val vepF = Seq("vmx", "vmn")
     s"""WITH cs AS (
-      |  SELECT 'L' || l_orderkey AS slid, min('v' || l_partkey) AS lead_v,
-      |         min(CAST(l_suppkey % 3 AS VARCHAR)) AS chrom,
+      |  SELECT 'L' || l_orderkey AS slid, 'v' || min(l_partkey) AS lead_v,
+      |         CAST(min(l_suppkey % 3) AS VARCHAR) AS chrom,
       |         min((l_partkey * 97) % 1000000) AS pos
       |  FROM lineitem GROUP BY 1),
       |tags AS (
@@ -1025,7 +1025,7 @@ object Oracles {
       |  FROM dl JOIN genes USING (gene) WHERE is_pc),
       |qtl AS (
       |  SELECT 'R' || (o_orderkey % 500) AS rslid,
-      |         min('qtl_s' || (o_custkey % 50)) AS sid
+      |         'qtl_s' || min(o_custkey % 50) AS sid
       |  FROM orders GROUP BY 1),
       |rgene AS (
       |  SELECT rslid,

@@ -492,11 +492,12 @@ object Q {
     // Flat tag rows straight off lineitem: the peaks query only needs
     // (locus, tag) keys, so the collect_list -> explode round trip the
     // COLOC queries use (two shuffles + array builds) is pure overhead
-    // here. Distinct up front: lineitem repeats (orderkey, partkey)
-    // pairs, and duplicate tags inflate the tag self-join
-    // quadratically without changing the distinct pair set. The stats
-    // columns matchedTagPairs projects are unused by peaks — Catalyst
-    // prunes the literals away.
+    // here. No tag-level distinct/persist either: near-duplicate tags
+    // are rare in this shape, overlappingPeaks' final distinct already
+    // dedupes the pairs, and recomputing the 2-column scan+project per
+    // join side is cheaper than materialising a 60 MB columnar cache.
+    // The stats columns matchedTagPairs projects are unused by peaks —
+    // Catalyst prunes the literals away.
     val tags = t(s, dir, "lineitem")
       .select(
         concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
@@ -506,13 +507,11 @@ object Q {
         concat(lit("r"), col("l_orderkey") % 3).as("region"),
         concat(lit("v"), col("l_partkey"), lit("_"), col("l_orderkey") % 2)
           .as("tagVariantId"))
-      .distinct()
       .withColumn("logBF", lit(1.0))
       .withColumn("posteriorProbability", lit(1.0))
       .withColumn("beta", lit(0.0))
       .withColumn("pValueMantissa", lit(1.0f))
       .withColumn("pValueExponent", lit(-8))
-      .persist() // both sides of the self-join read it
     Overlaps.overlappingPeaks(tags, intraStudy = true)
   }
 
@@ -658,16 +657,24 @@ object Q {
   /** Shared synthetic credible sets for the L2G queries. */
   private def l2gCredSets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .groupBy(concat(lit("L"), col("l_orderkey")).as("studyLocusId"))
       // min/deterministic aggregates so the lead variant (sentinel) is
-      // reproducible across engines
-      .agg(min(concat(lit("v"), col("l_partkey"))).as("variantId"),
-        min(concat(lit("gwas_s"), col("l_orderkey") % 5)).as("studyId"),
-        min((col("l_suppkey") % 3).cast("string")).as("chromosome"),
+      // reproducible across engines. Aggregate NUMERIC keys and build
+      // the strings afterwards: min(string) has no mutable agg buffer,
+      // so it demotes the whole groupBy to a SortAggregate (two sorts
+      // of the fact table); numeric mins keep it a HashAggregate.
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_partkey")).as("_leadPart"),
+        min(col("l_suppkey") % 3).as("_chrom"),
         min((col("l_partkey") * 97) % 1000000).as("position"),
         collect_list(struct(
           concat(lit("v"), col("l_partkey")).as("variantId"),
           (col("l_discount") * 10).as("posteriorProbability"))).as("locus"))
+      .select(
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        concat(lit("v"), col("_leadPart")).as("variantId"),
+        concat(lit("gwas_s"), col("l_orderkey") % 5).as("studyId"),
+        col("_chrom").cast("string").as("chromosome"),
+        col("position"), col("locus"))
 
   private def l2gDistances(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -718,11 +725,19 @@ object Q {
             (col("p_partkey") * 29 % 600000).as("distanceFromFootprint")))
           .as("transcriptConsequences"))
     // QTL-side loci + study metadata for the colocalisation family
+    // numeric min then concat — same SortAggregate-avoidance as
+    // l2gCredSets (min over strings has no mutable agg buffer)
     val qtlLoci = t(s, dir, "orders")
-      .groupBy(concat(lit("R"), col("o_orderkey") % 500).as("studyLocusId"))
-      .agg(min(concat(lit("qtl_s"), col("o_custkey") % 50)).as("studyId"))
+      .groupBy((col("o_orderkey") % 500).as("_rk"))
+      .agg(min(col("o_custkey") % 50).as("_sk"))
+      .select(concat(lit("R"), col("_rk")).as("studyLocusId"),
+        concat(lit("qtl_s"), col("_sk")).as("studyId"))
+    // flat + tiny, and read by both the coloc right-side mapping and
+    // the left-semi probe — persist so each use doesn't recompute the
+    // credSets/qtlLoci source aggregations
     val studyLoci = credSets.select("studyLocusId", "studyId", "variantId")
       .unionByName(qtlLoci.withColumn("variantId", lit(null).cast("string")))
+      .persist()
     // study metadata derived from the numeric id suffix (engine-neutral,
     // unlike hash()) so the query admits a DuckDB oracle
     val qtlKey = regexp_extract(col("studyId"), "(\\d+)$", 1).cast("int")
@@ -734,6 +749,7 @@ object Q {
       .unionByName(credSets.select(col("studyId")).distinct()
         .withColumn("studyType", lit("gwas"))
         .withColumn("geneId", lit(null).cast("string")))
+      .persist()
     val coloc = t(s, dir, "orders")
       .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
         concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   * min_r2=0.5 genome-wide); every step keeps it in (i, j) or
   * variant-keyed shuffles, the index LUT is broadcast, and nothing
   * ever materialises a dense matrix outside a per-locus executor task.
+  *
+  * One-time export recipe for users holding raw Hail-format LD (run
+  * wherever Hail is installed; public Hail API only):
+  * {{{
+  *   import hail as hl
+  *   hl.init()
+  *   # entry triangle: (i, j, entry=r)
+  *   bm = hl.linalg.BlockMatrix.read("gs://.../matrix.bm")
+  *   et = bm.entries()                          # Table<i, j, entry>
+  *   et = et.filter(et.entry ** 2 >= 0.25)      # optional r2 prefilter
+  *   et.to_spark().write.parquet(".../entries.parquet")
+  *   # variant index: (contig, position, alleles, idx)
+  *   ht = hl.read_table("gs://.../index.ht").add_index("idx")
+  *   ht.select(contig=ht.locus.contig, position=ht.locus.position,
+  *             alleles=ht.alleles, idx=ht.idx) \
+  *     .to_spark().write.parquet(".../index.parquet")
+  * }}}
+  * The two parquet outputs feed [[filterEntries]] /
+  * [[processVariantIndices]] unchanged.
   */
 object GnomadLd {
 
