@@ -469,13 +469,13 @@ object Q {
         (col("_disc") * 10).as("posteriorProbability"),
         col("_tax").as("beta"),
         lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
-      .groupBy("studyLocusId", "studyId", "studyType", "chromosome", "region")
-      .agg(collect_list(struct(col("variantId"), col("logBF"),
-        col("posteriorProbability"), col("beta"),
-        col("pValueMantissa"), col("pValueExponent"))).as("locus"))
     // fused COLOC: per-locus logsumexps + intersection-only aggregates
-    // off the tag self-join — no aligned-overlap materialisation
-    val tags = Overlaps.explodeLoci(cred).persist()
+    // off the tag self-join — no aligned-overlap materialisation. The
+    // dedup'd rows above ARE the flat exploded tags (one per (locus,
+    // variant), same schema as Overlaps.explodeLoci), so feed them
+    // straight to the fused kernel — no collect_list locus rebuild
+    // only to re-explode it (saves a shuffle + per-locus array builds).
+    val tags = cred.withColumnRenamed("variantId", "tagVariantId").persist()
     Coloc.colocaliseFused(tags)
       .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
         col("rightStudyType"), col("chromosome"),
