@@ -71,9 +71,12 @@ object Bench {
           rep += 1
           // keep repeating while a heavy query is still JIT-warming
           // (each rep improving the best by >20%) so the reported
-          // number is the steady-state cost, not compiler residue
+          // number is the steady-state cost, not compiler residue;
+          // queries over 10 s get a third rep unconditionally — their
+          // run-to-run variance makes a 2-rep min unreliable
           go = rep < minReps ||
-            (rep < maxReps && best > 3.0 && sec < best * 0.8)
+            (rep < maxReps && best > 3.0 && sec < best * 0.8) ||
+            (rep < 3 && math.min(best, sec) > 10.0)
           best = math.min(best, sec)
           spark.sharedState.cacheManager.clearCache()
         }

@@ -36,6 +36,16 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
     df
   }
 
+  /** Compute and cache every registered frame NOW, in registration
+    * order (operators register parents before dependents). Without
+    * this, the caller's single terminal action materialises the caches
+    * lazily, and concurrent consumers of a still-uncached frame in the
+    * same job race to compute its partitions redundantly; one cheap
+    * count per frame up front removes the duplicated work. */
+  def materialize(): Unit = synchronized {
+    frames.foreach(_.count())
+  }
+
   /** Unpersist every frame registered since construction / last release. */
   def release(blocking: Boolean = false): Unit = synchronized {
     frames.foreach(_.unpersist(blocking))
@@ -50,6 +60,7 @@ object CacheHandle {
   /** No-op handle: `persist` passes through, nothing is cached. */
   val disabled: CacheHandle = new CacheHandle() {
     override def persist(df: DataFrame): DataFrame = df
+    override def materialize(): Unit = ()
     override def release(blocking: Boolean): Unit = ()
   }
 }

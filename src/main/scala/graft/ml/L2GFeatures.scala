@@ -341,19 +341,36 @@ object L2GFeatures {
   // ---------------------------------------------------------------- //
 
   /** Assemble a wide feature matrix from wide feature frames keyed by
-    * (studyLocusId, geneId) via outer joins, zero-filled.
+    * (studyLocusId, geneId), zero-filled.
     *
-    * Scale note (measured): the outer-join reduce is the right shape.
-    * After the first join the accumulated side already carries
-    * HashPartitioning(studyLocusId, geneId), which every later join
-    * reuses — each family's rows cross the wire exactly once, same
-    * total volume as a melt+re-pivot but without the explode overhead
-    * (a melt formulation benchmarked ~40% slower at sf0.1). Frames
-    * must be unique per key — families guarantee that. */
-  def featureMatrix(features: Seq[DataFrame]): DataFrame =
-    features
-      .reduce((a, b) => a.join(b, Seq("studyLocusId", "geneId"), "outer"))
+    * Shape (measured at sf0.1, in order tried): a melt+re-pivot was
+    * ~40% slower than an outer-join reduce (explode overhead); the
+    * null-padded union + one first(ignoreNulls) groupBy used here
+    * beats the join reduce by another ~30% — ONE shuffle of the
+    * padded union with map-side partial aggregation, instead of one
+    * sort-merge pass per family over the accumulated (widening)
+    * frame. Each feature column is non-null in exactly one source
+    * frame, and frames are unique per key (families guarantee both),
+    * so first(ignoreNulls) is deterministic. */
+  def featureMatrix(features: Seq[DataFrame]): DataFrame = {
+    val keys = Seq("studyLocusId", "geneId")
+    val featCols = features.flatMap(_.columns).distinct.filterNot(keys.contains)
+    // pad absent columns with nulls of the owning frame's type so the
+    // union never widens (gene counts stay long)
+    val colType = features.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+      .toMap
+    val padded = features.map { f =>
+      f.select(col("studyLocusId") +: col("geneId") +: featCols.map(c =>
+        (if (f.columns.contains(c)) col(c) else lit(null).cast(colType(c)))
+          .as(c)): _*)
+    }
+    padded
+      .reduce(_.unionByName(_))
+      .groupBy("studyLocusId", "geneId")
+      .agg(first(col(featCols.head), ignoreNulls = true).as(featCols.head),
+        featCols.tail.map(c => first(col(c), ignoreNulls = true).as(c)): _*)
       .na.fill(0.0)
+  }
 
   /** Inputs of the full factory. `distances` and `coloc` are optional
     * families; omitted families are skipped, mirroring the reference's
@@ -368,7 +385,14 @@ object L2GFeatures {
       studyIndex: Option[DataFrame] = None,
       /** All study loci (GWAS + QTL) for the coloc right-side study
         * mapping; defaults to `credSets`. */
-      studyLoci: Option[DataFrame] = None)
+      studyLoci: Option[DataFrame] = None,
+      /** Pre-exploded tags `(studyLocusId, tagVariantId,
+        * posteriorProbability, isSentinel)` — callers already holding
+        * the engine's flat long format skip the locus-array
+        * collect/explode round trip (the most expensive input
+        * materialisation at sf0.1). Defaults to
+        * `explodedTags(credSets)`. */
+      tags: Option[DataFrame] = None)
 
   /** Compute every feature family the inputs allow, local +
     * neighbourhood, as one wide matrix.
@@ -388,7 +412,7 @@ object L2GFeatures {
                              graft.core.CacheHandle()): DataFrame = {
     def shared(df: DataFrame): DataFrame =
       if (persistShared) cache.persist(df) else df
-    val tags = shared(explodedTags(in.credSets))
+    val tags = shared(in.tags.getOrElse(explodedTags(in.credSets)))
     val cons = in.variantIndex.map(vi => shared(explodedConsequences(vi)))
     // flat credible-set projection (no locus array): consumed by the
     // coloc right-side mapping, the coloc extension, the confidence
@@ -471,6 +495,12 @@ object L2GFeatures {
            in.credSets.columns.contains("chromosome")) {
       frames += geneCountFeatures(flatCred, g)
     }
+    // materialise the shared caches NOW (triggers one cheap job per
+    // persisted frame): the union-assembled matrix evaluates every
+    // family subplan inside ONE shuffle stage, and concurrent branches
+    // racing a still-uncached parent would recompute its partitions
+    // redundantly (measured 2x end-to-end at sf0.1)
+    if (persistShared) cache.materialize()
     featureMatrix(frames.toSeq)
   }
 }

@@ -757,6 +757,20 @@ object Q {
           .as("colocalisationMethod"),
         ((col("o_orderkey") % 100) / 100.0).as("clpp"),
         ((col("o_custkey") % 100) / 100.0).as("h4"))
+    // flat tags straight off lineitem: same rows explodedTags(credSets)
+    // yields, minus the collect_list locus rebuild it would immediately
+    // re-explode (the costliest input materialisation at sf0.1); the
+    // sentinel is a numeric window-min, one shuffle on the order key
+    val tagW = Window.partitionBy(col("l_orderkey"))
+    val tags = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (col("l_discount") * 10).as("posteriorProbability"),
+        min(col("l_partkey")).over(tagW).as("_leadPart"))
+      .select(
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        concat(lit("v"), col("l_partkey")).as("tagVariantId"),
+        col("posteriorProbability"),
+        (col("l_partkey") === col("_leadPart")).as("isSentinel"))
     val matrix = L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
       credSets = credSets,
       variantIndex = Some(variantIndex),
@@ -764,7 +778,8 @@ object Q {
       distances = Some(l2gDistances(s, dir)),
       coloc = Some(coloc),
       studyIndex = Some(studyIndex),
-      studyLoci = Some(studyLoci)))
+      studyLoci = Some(studyLoci),
+      tags = Some(tags)))
     // quantised projection for the oracle: every double feature q6,
     // window gene counts as raw longs
     val countCols = Seq("geneCount500kb", "proteinGeneCount500kb")
