@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
     "q_text_stats" -> (Q.textStats _),
     "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
+    "q_pack_shards" -> (Q.packShards _),
     "q_ann_topk" -> (Q.annTopK _),
     "q_mm_blob_meta" -> (Q.blobMeta _),
     "q_f_variant_hash" -> (Q.variantHash _),

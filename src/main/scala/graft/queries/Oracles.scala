@@ -393,6 +393,24 @@ object Oracles {
       |    AS n_stopwords
       |FROM documents""".stripMargin
 
+  /** Mirrors Q.packShards + Packing.packByBudget: the two-level
+    * distributed prefix sum equals a plain global window cumsum. */
+  val packShards: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                         x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM tok)
+      |SELECT doc_id, n_tokens,
+      |       CAST(FLOOR(pre / 2000.0) AS BIGINT) AS "shardId",
+      |       n_tokens > 2000 AS oversize
+      |FROM c""".stripMargin
+
   val fingerprintSummary: String =
     """SELECT count(*) AS n_docs,
       |       count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -1256,6 +1274,7 @@ object Oracles {
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_text_stats" -> textStats,
     "q_text_fingerprint_summary" -> fingerprintSummary,
+    "q_pack_shards" -> packShards,
     "q_ann_topk" -> annTopK,
     "q_mm_blob_meta" -> blobMeta)
 }

@@ -404,6 +404,16 @@ object Q {
         .as("n_stopwords"))
   }
 
+  /** Sequence packing: documents into ~2000-token shards via the
+    * distributed two-level prefix sum (no global single-partition
+    * window). Oracle mirrors with a plain window cumsum. */
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    Packing.packByBudget(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2000L, buckets = 64)
+
   /** Fingerprint-style whitespace-normalised dup summary. */
   def fingerprintSummary(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")

@@ -372,6 +372,16 @@ object Steps {
         FinnGenSusie.parseSnpFiles(s, a("in"),
           a.get("release_prefix").getOrElse("FINNGEN_R11")), a("out"))),
 
+    Step("pack_shards",
+      "Pack documents into fixed token-budget shards (distributed prefix sum)",
+      (s, a) => write(
+        Packing.packByBudget(
+          read(s, a("in")).withColumn("n_tokens",
+            TextAnalysis.tokenCount(org.apache.spark.sql.functions
+              .col(a.get("text_col").getOrElse("text"))).cast("long")),
+          a.get("id_col").getOrElse("doc_id"), "n_tokens",
+          a.get("budget").map(_.toLong).getOrElse(1 << 20)), a("out"))),
+
     Step("dedup_exact",
       "Exact text deduplication on a document table",
       (s, a) => write(
