@@ -82,6 +82,47 @@ class TreeShapSpec extends SparkSpec {
     }
   }
 
+  test("property: random trees (with repeated features) match brute force") {
+    val rnd = new scala.util.Random(42)
+    // random full binary tree of the given depth over `m` features;
+    // features repeat freely across depths — the UNWIND-heavy path
+    def randomTree(depth: Int, m: Int): ShapTree = {
+      val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val feature = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val threshold = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val value = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val cover = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def build(d: Int, cov: Double): Int = {
+        val id = left.length
+        left += -1; right += -1; feature += -1; threshold += 0.0
+        value += (rnd.nextDouble() * 4 - 2); cover += cov
+        if (d > 0 && cov >= 2) {
+          feature(id) = rnd.nextInt(m)
+          threshold(id) = rnd.nextDouble()
+          val lc = math.max(1.0, math.rint(cov * (0.2 + 0.6 * rnd.nextDouble())))
+          left(id) = build(d - 1, lc)
+          right(id) = build(d - 1, cov - lc)
+        }
+        id
+      }
+      build(depth, 64 + rnd.nextInt(200))
+      ShapTree(left.toArray, right.toArray, feature.toArray,
+        threshold.toArray, value.toArray, cover.toArray,
+        0.1 + rnd.nextDouble())
+    }
+    for (trial <- 1 to 30) {
+      val m = 2 + rnd.nextInt(3) // 2-4 features -> subsets enumerable
+      val ensemble = Array.fill(1 + rnd.nextInt(3))(randomTree(2 + rnd.nextInt(3), m))
+      val x = Array.fill(m)(rnd.nextDouble())
+      val fast = TreeShap.shapValues(ensemble, x, m)
+      val brute = bruteShap(ensemble, x, m)
+      for (i <- 0 until m)
+        assert(math.abs(fast(i) - brute(i)) < 1e-9,
+          s"trial $trial feature $i: ${fast(i)} vs ${brute(i)}")
+    }
+  }
+
   test("explainByShap on a trained GBT: score matches the model exactly") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 300).map { i =>
