@@ -19,14 +19,20 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Keep one row per exact text duplicate group (smallest id wins).
-    * A hash-groupBy: one shuffle on the 128-bit digest with map-side
-    * partial min_by — no sort-window; duplicate groups are never
-    * sorted, just folded. */
+    * A hash-groupBy: winners = HashAggregate(min(id)) keyed on the
+    * 128-bit digest with map-side partial combine, then a left-semi
+    * join fetches the winning rows — duplicate groups are folded, not
+    * sorted. (A min_by(struct) formulation would carry the whole row
+    * in the aggregation buffer, which has no mutable form and demotes
+    * the plan to SortAggregate; min over a numeric id keeps it hash.) */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val cols = df.columns
-    df.groupBy(md5(col(textCol)).as("__digest"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
-      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+    val keyed = df.withColumn("__digest", md5(col(textCol)))
+    val winners = keyed
+      .groupBy("__digest")
+      .agg(min(col(idCol)).as(idCol))
+    keyed
+      .join(winners, Seq("__digest", idCol), "left_semi")
+      .drop("__digest")
   }
 
   // ------------------------------------------------------------- shingles

@@ -58,10 +58,29 @@ object Overlaps {
     * self-join, with both sides' statistics. This is the shared
     * intersection kernel: [[overlappingPeaks]] is its distinct
     * projection, and [[graft.operators.Coloc.colocaliseFused]]
-    * aggregates it directly without materialising aligned overlaps. */
-  def matchedTagPairs(tags: DataFrame, intraStudy: Boolean = false): DataFrame = {
-    val left = tags.alias("left")
-    val right = tags.alias("right")
+    * aggregates it directly without materialising aligned overlaps.
+    *
+    * `maxTagLoci`: optional hot-tag guard — a tag shared by n loci
+    * yields O(n²) pairs, so a pathological ubiquitous tag (an
+    * MHC-region variant present in most credible sets of a
+    * chromosome) can quadratically dominate the join. When set, tags
+    * appearing in more than `maxTagLoci` loci are dropped from the
+    * pair space via a groupBy-derived stop-set + broadcast anti-join
+    * (the same pattern as the dedup hot-bucket and LD-clump caps).
+    * Default None = exact reference semantics. */
+  def matchedTagPairs(tags: DataFrame, intraStudy: Boolean = false,
+                      maxTagLoci: Option[Int] = None): DataFrame = {
+    val bounded = maxTagLoci match {
+      case None => tags
+      case Some(cap) =>
+        val hot = tags
+          .groupBy("chromosome", "tagVariantId").count()
+          .filter(col("count") > cap)
+          .select("chromosome", "tagVariantId")
+        tags.join(broadcast(hot), Seq("chromosome", "tagVariantId"), "left_anti")
+    }
+    val left = bounded.alias("left")
+    val right = bounded.alias("right")
     left
       .join(right, pairCondition(intraStudy), "inner")
       .select(

@@ -35,6 +35,26 @@ class OverlapsSpec extends SparkSpec {
     assert(peaks == Set(("B", "A", "gwas"), ("A", "C", "eqtl")))
   }
 
+  test("hot-tag guard drops ubiquitous tags but keeps normal pairs") {
+    // 40 gwas loci all sharing ubiquitous tag "hot" (780 pairs), plus
+    // the normal credSet overlaps
+    val hotLoci = (1 to 40).map { i =>
+      (s"H$i", s"hs$i", "gwas", "1", s"hr$i",
+        Seq(Tag("hot", Some(1.0), Some(0.5), Some(0.1), Some(1f), Some(-8))))
+    }.toDF("studyLocusId", "studyId", "studyType", "chromosome", "region", "locus")
+    val tags = Overlaps.explodeLoci(credSet.unionByName(hotLoci))
+    val unguarded = Overlaps.matchedTagPairs(tags)
+    assert(unguarded.count() == 40 * 39 / 2 + 2)
+    val guarded = Overlaps.matchedTagPairs(tags, maxTagLoci = Some(10))
+      .select("leftStudyLocusId", "rightStudyLocusId")
+      .as[(String, String)].collect().toSet
+    // the quadratic hot-tag block is gone; the real overlaps survive
+    assert(guarded == Set(("B", "A"), ("A", "C")))
+    // a cap above every tag's locus count changes nothing
+    val loose = Overlaps.matchedTagPairs(tags, maxTagLoci = Some(1000))
+    assert(loose.count() == unguarded.count())
+  }
+
   test("aligned tags keep the union of both credible sets") {
     val overlaps = Overlaps.findOverlaps(credSet)
     val ac = overlaps.filter(col("leftStudyLocusId") === "A" &&
