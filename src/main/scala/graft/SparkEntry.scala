@@ -68,6 +68,8 @@ object SparkEntry {
     "q_gx_intra_overlaps" -> (Q.intraStudyOverlaps _),
     "q_ml_l2g_gold_standard" -> (Q.l2gGoldStandard _),
     "q_dedup_embedding" -> (Q.embeddingDup _),
+    "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),
+    "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
     "q_gx_study_parse" -> (Q.gwasCatalogStudyParse _),
     // rows-only (no SQL-expressible oracle)
     "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Q.simhashPairs _),
     "q_ann_lsh" -> (Q.annLsh _),
     "q_ann_ivf" -> (Q.annIvf _),
+    // oracle-checked again: the fake decode is replayed in SQL
     "q_mm_decode" -> (Q.multimodalDecode _))
 
   def oracleSql: Map[String, String] = Oracles.all

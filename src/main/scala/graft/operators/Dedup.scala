@@ -49,17 +49,21 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** k-component MinHash signature over the shingle set. Each
-    * component h applies an affine rehash of the shingle hash and
-    * takes the min — the standard (a·x+b) family with fixed odd
-    * multipliers, computed in a 32-bit domain so ANSI-mode long
-    * arithmetic can never overflow. Deterministic across runs. */
+    * component h applies an affine rehash of the shingle hash *mod
+    * 2³²* and takes the min — the (a·x+b) mod m family with odd
+    * multipliers, each a bijection of the 32-bit hash domain (the mod
+    * is essential: without it the map is order-preserving, every
+    * component's argmin is the same shingle, and the sketch
+    * degenerates to k=1). 32-bit domain keeps the pre-mask products
+    * far from ANSI long overflow. Deterministic across runs. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), h => {
       val a = h * 2 + 1 // odd multiplier per component (<= 2k+1)
       val b = h * lit(0x9E3779B9L)
       // upper 32 bits of xxhash64 -> value in [0, 2^32)
       array_min(transform(shingleArr,
-        s => a * shiftrightunsigned(xxhash64(s), 32) + b))
+        s => (a * shiftrightunsigned(xxhash64(s), 32) + b)
+          .bitwiseAND(lit(0xFFFFFFFFL))))
     })
 
   /** LSH band keys: hash each band of `rowsPerBand` signature
@@ -236,5 +240,103 @@ object Dedup {
         col("common").cast("double") / (col("nA") + col("nB") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
+  }
+
+  // ------------------------------------------------ oracle anchors (md5)
+
+  /** Oracle-parity MinHash anchor: identical shingling / affine-rehash
+    * / banding / similarity semantics to [[minhashDupPairs]], but the
+    * base shingle hash is the first 32 bits of md5 (a function SQL
+    * engines share — DuckDB has no xxhash64) and band keys are the
+    * plain component strings. Exists so the whole LSH dataflow can be
+    * hash-pinned end-to-end by a SQL oracle, the same role
+    * `Similarity.bruteForceTopK` plays for the ANN family; the
+    * production path keeps the native one-pass xxhash64 signature.
+    *
+    * Physically an explode → (id, h) hash-groupBy rather than a nested
+    * higher-order function: the k×|shingles| inner loop stays inside
+    * whole-stage codegen with map-side partial min, where the HOF
+    * formulation interprets every lambda step (~100× slower). */
+  def minhashDupPairsMd5(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // one row per (doc, shingle-hash); duplicates are harmless to min
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
+    // k affine rehashes mod 2^32 (see minhashSignature for why mod),
+    // min per (doc, component) via hash aggregation
+    val comps = sh
+      .select(col("id"), col("x"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .groupBy("id", "h")
+      .agg(min(((col("h") * 2 + 1) * col("x") + col("h") * lit(0x9E3779B9L))
+        .bitwiseAND(lit(0xFFFFFFFFL))).as("comp"))
+    val signed = comps
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("h"), col("comp")))).as("hc"))
+      .select(col("id"), transform(col("hc"), p => p("comp")).as("sig"))
+    val banded = signed
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            concat_ws(",",
+              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                c => c.cast("string"))).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .dropDuplicates("idA", "idB")
+    pairs
+      .withColumn("similarity", signatureSimilarity(col("sigA"), col("sigB")))
+      .filter(col("similarity") >= threshold)
+      .select("idA", "idB", "similarity")
+  }
+
+  /** Oracle-parity SimHash anchor: same sign-sum sketch and quarter
+    * blocking as [[simhashDupPairs]] over a 60-bit md5-derived token
+    * hash (60 = 15 hex chars, so the value stays positive in a signed
+    * long on both engines; 4 blocks of 15 bits preserve the pigeonhole
+    * guarantee for Hamming ≤ 3). Explode → hash-groupBy shape for the
+    * same codegen reason as [[minhashDupPairsMd5]]. */
+  def simhashDupPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val qBits = bits / 4 // 15-bit quarters
+    // one row per (doc, token-hash, bit); ±1 votes summed per bit,
+    // then the sign bits packed with a second tiny groupBy
+    val votes = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("x"))
+      .select(col("id"), col("x"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .groupBy("id", "b")
+      .agg(sum(when(bit_get(col("x"), col("b")) === 1, 1L).otherwise(-1L)).as("v"))
+    val sketched = votes
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0,
+        call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
+    val quartered = sketched
+      .select(col("id"), col("sh"), posexplode(array(
+        (0 until 4).map(i =>
+          shiftright(col("sh"), i * qBits).bitwiseAND(lit((1L << qBits) - 1))): _*)))
+      .withColumnsRenamed(Map("pos" -> "q", "col" -> "qh"))
+    quartered.alias("a")
+      .join(quartered.alias("b"),
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingDistance(col("a.sh"), col("b.sh")).cast("long").as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("hamming") <= maxHamming)
   }
 }

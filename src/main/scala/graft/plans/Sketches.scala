@@ -65,7 +65,11 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
       val h32 = h64 >>> 32 // upper 32 bits, in [0, 2^32)
       var h = 0
       while (h < numHashes) {
-        val v = (2L * h + 1) * h32 + h * 0x9E3779B9L
+        // mask back to 32 bits: the affine map must wrap to act as a
+        // permutation of the hash domain — without the mod it is
+        // order-preserving, every component's argmin is the same
+        // shingle, and the signature degenerates to a k=1 sketch
+        val v = ((2L * h + 1) * h32 + h * 0x9E3779B9L) & 0xFFFFFFFFL
         if (v < mins(h)) mins(h) = v
         h += 1
       }

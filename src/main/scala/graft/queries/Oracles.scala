@@ -444,6 +444,110 @@ object Oracles {
       |       CAST(octet_length(encode(text)) AS BIGINT) AS "nBytes"
       |FROM documents""".stripMargin
 
+  /** Replays Multimodal.decode's byte-fold h ← h·31 + byte exactly:
+    * HUGEINT arithmetic mod 2⁶⁴, reinterpreted signed, then Java
+    * floorMod / arithmetic-shift (= floor-division) for the fake
+    * dimensions. Text is ASCII in the testdata, so ord(char) = the
+    * UTF-8 byte the Scala side folds. */
+  val mmDecode: String =
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(25214903917::HUGEINT,
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> ord(substring(text, i, 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM h),
+      |d AS (
+      |  SELECT doc_id, hs,
+      |    64 + ((hs % 960 + 960) % 960) AS w,
+      |    64 + ((((hs - (hs % 1024 + 1024) % 1024) // 1024) % 960 + 960) % 960) AS ht
+      |  FROM s)
+      |SELECT CAST(doc_id AS BIGINT) AS id, 'image' AS kind,
+      |       CAST(w AS INTEGER) AS width, CAST(ht AS INTEGER) AS height,
+      |       3 AS channels, CAST(hs AS BIGINT) AS checksum,
+      |       ${q("CAST(w AS DOUBLE) / ht", 4)} AS aspect_q4,
+      |       ${q("CAST(w AS DOUBLE) * ht / 1e6", 4)} AS mega_q4
+      |FROM d""".stripMargin
+
+  /** Mirrors Dedup.minhashDupPairsMd5: 3-shingles → 32-bit md5 base
+    * hash → 64 affine rehashes (min each) → 16 plain-string band keys
+    * → bucket self-join → component-match similarity ≥ 0.5. */
+  val minhashMd5: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents)),
+      |sh AS (
+      |  SELECT doc_id,
+      |         ('0x' || substring(md5(
+      |            tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w
+      |          ), 1, 8))::BIGINT AS x
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL),
+      |comps AS (
+      |  SELECT doc_id, h, min(((2 * h + 1) * x + h * 2654435761) % 4294967296) AS comp
+      |  FROM sh, range(64) r(h)
+      |  GROUP BY doc_id, h),
+      |bandkeys AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         string_agg(comp::VARCHAR, ',' ORDER BY h) AS key
+      |  FROM comps GROUP BY doc_id, h // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |simil AS (
+      |  SELECT ia, ib,
+      |         count(*) FILTER (WHERE ca.comp = cb.comp) / 64.0 AS s
+      |  FROM cand
+      |  JOIN comps ca ON ca.doc_id = ia
+      |  JOIN comps cb ON cb.doc_id = ib AND cb.h = ca.h
+      |  GROUP BY ia, ib)
+      |SELECT ia AS "idA", ib AS "idB", ${q("s", 6)} AS sim_q6
+      |FROM simil WHERE s >= 0.5""".stripMargin
+
+  /** Mirrors Dedup.simhashDupPairsMd5: 60-bit md5 token hash,
+    * sign-sum bits over the token multiset, 15-bit quarter blocking,
+    * Hamming ≤ 3 via popcount(xor). */
+  val simhashMd5: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |           string_split_regex(lower(trim(text)), '\s+'),
+      |           x -> x <> '')) AS tk
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tk), 1, 15))::BIGINT AS x
+      |  FROM toks),
+      |bitsum AS (
+      |  SELECT doc_id, b,
+      |         CASE WHEN count(*) FILTER (WHERE (x >> b) & 1 = 1)
+      |                   > count(*) FILTER (WHERE (x >> b) & 1 = 0)
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM th, range(60) r(b)
+      |  GROUP BY doc_id, b),
+      |sims AS (
+      |  SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS sh
+      |  FROM bitsum GROUP BY doc_id),
+      |quarters AS (
+      |  SELECT doc_id, sh, qi, (sh >> (15 * qi)) & 32767 AS qv
+      |  FROM sims, range(4) r(qi)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+      |                  a.sh AS sa, b.sh AS sb
+      |  FROM quarters a JOIN quarters b
+      |    ON a.qi = b.qi AND a.qv = b.qv AND a.doc_id < b.doc_id)
+      |SELECT ia AS "idA", ib AS "idB",
+      |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   val variantHash: String =
     """WITH v AS (
       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -1276,5 +1380,8 @@ object Oracles {
     "q_text_fingerprint_summary" -> fingerprintSummary,
     "q_pack_shards" -> packShards,
     "q_ann_topk" -> annTopK,
-    "q_mm_blob_meta" -> blobMeta)
+    "q_mm_blob_meta" -> blobMeta,
+    "q_mm_decode" -> mmDecode,
+    "q_dedup_minhash_md5" -> minhashMd5,
+    "q_dedup_simhash_md5" -> simhashMd5)
 }

@@ -582,11 +582,30 @@ object Q {
       nLists = 16, nProbe = 4)
   }
 
-  /** Multimodal decode stub + features (no SQL oracle). */
+  /** Multimodal decode stub + feature math, quantised engine-stably.
+    * The deterministic fake decode (a byte-fold mod 2⁶⁴) is replayed
+    * exactly by the DuckDB oracle via HUGEINT modular arithmetic, so
+    * the whole mapPartitions decode path is hash-checked end-to-end;
+    * the float features are re-derived with [[Q.q]] instead of
+    * emitting `features`' round(·,4) columns (engine round ties). */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.features(
-      Multimodal.decode(s,
-        Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")).toDF())
+    Multimodal.decode(s,
+        Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")).toDF()
+      .select(col("id"), col("kind"), col("width"), col("height"),
+        col("channels"), col("checksum"),
+        q(col("width").cast("double") / col("height"), 4).as("aspect_q4"),
+        q(col("width").cast("double") * col("height") / 1e6, 4).as("mega_q4"))
+
+  /** MinHash LSH pairs, md5-anchored variant (SQL oracle). */
+  def minhashPairsMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
+
+  /** SimHash pairs, md5-anchored 60-bit variant (SQL oracle). */
+  def simhashPairsMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 3)
 
   /** Full QC battery incl. approx percentiles + chi2 (no SQL oracle). */
   def qcBatteryFull(s: SparkSession, dir: String): DataFrame =

@@ -100,6 +100,45 @@ class DedupSpec extends SparkSpec {
     assert(withDefault == withHugeCap && withDefault == Set((1L, 2L)))
   }
 
+  test("native sketch expressions match the HOF formulations exactly") {
+    val hof = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"),
+      Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val native = docs.select(col("doc_id"),
+      graft.plans.SketchFunctions.minhashSignature(col("text"), 3, 64).as("sig"),
+      graft.plans.SketchFunctions.simhash64(col("text")).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(hof.toSeq == native.toSeq)
+  }
+
+  test("minhash components decorrelate: a shared non-min shingle moves some " +
+    "components but not all (the mod-2^32 rehash is a real permutation)") {
+    val sigs = docs.select(col("doc_id"),
+      graft.plans.SketchFunctions.minhashSignature(col("text"), 3, 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sim13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 64.0
+    // docs 1 and 3 share 6 of 8 distinct shingles (jaccard 0.6): a
+    // degenerate (orderless) family gives similarity exactly 0 or 1;
+    // a real permutation family estimates ~0.6
+    assert(sim13 > 0.0 && sim13 < 1.0, s"degenerate signature: $sim13")
+    assert(math.abs(sim13 - 0.6) < 0.3)
+  }
+
+  test("md5 anchor variants behave like the xxhash64 family") {
+    val m = Dedup.minhashDupPairsMd5(docs, "text", "doc_id", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(m.contains((1L, 2L))) // identical
+    assert(m.contains((1L, 5L))) // identical after normalisation
+    assert(!m.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+    val s = Dedup.simhashDupPairsMd5(docs, "text", "doc_id", maxHamming = 10)
+      .select("idA", "idB", "hamming").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(s((1L, 2L)) == 0L)
+    assert(s((1L, 5L)) == 0L)
+    assert(!s.contains((1L, 4L)) || s((1L, 4L)) > 3L)
+  }
+
   test("minhash band-bucket cap drops degenerate identical-signature buckets") {
     // 40 identical documents collapse to one signature: every band
     // bucket holds all 40 docs
