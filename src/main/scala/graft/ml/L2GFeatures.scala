@@ -336,6 +336,29 @@ object L2GFeatures {
     neighbourhoodFeatures(localFeature, genes, Seq(localName))
       .withColumnRenamed(s"${localName}Neighbourhood", featureName)
 
+  /** [[neighbourhoodFeatures]] appended IN-FRAME instead of as a
+    * separate (studyLocusId, geneId) frame: one broadcast biotype
+    * lookup + one window pass adds every `<c>Neighbourhood` column to
+    * `wide` itself. Non-protein-coding genes get 0.0 — exactly the
+    * value the separate-frame shape gives them via the matrix
+    * zero-fill (they are absent from that frame). Halves the union
+    * volume of [[featureMatrix]] and drops a persist: the parent
+    * frame no longer needs caching for a second consumer. */
+  def appendNeighbourhoodCols(wide: DataFrame, genes: DataFrame,
+                              featureCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("studyLocusId")
+    val coded = wide.join(
+      broadcast(genes.select(col("id").as("geneId"),
+        (col("biotype") === "protein_coding").as("_coding"))),
+      Seq("geneId"), "left")
+    featureCols.foldLeft(coded) { (df, c) =>
+      df.withColumn(s"${c}Neighbourhood",
+        when(col("_coding"),
+          ratioToRegionalMax(col(c), max(when(col("_coding"), col(c))).over(w)))
+          .otherwise(lit(0.0)))
+    }.drop("_coding")
+  }
+
   // ---------------------------------------------------------------- //
   // Factory                                                          //
   // ---------------------------------------------------------------- //
@@ -401,18 +424,21 @@ object L2GFeatures {
     * are never persisted — their columnar cache conversion costs more
     * than re-running the codegen'd source aggregation. What IS
     * persisted (when `persistShared`, on `cache`) are the FLAT frames
-    * each consumed by ≥2 families — the exploded tags (distance + VEP
-    * + isProteinCoding), the exploded transcript consequences (VEP +
-    * isProteinCoding + coloc-extension + confidence) — and the small
-    * per-family local aggregates that feed both the matrix and their
-    * neighbourhood window pass. Callers release via `cache.release()`
-    * after the terminal action on the matrix. */
+    * each consumed by ≥2 subplans — the exploded transcript
+    * consequences (fused tag block + coloc-extension + confidence),
+    * the flat credible-set projection, and the local coloc aggregate
+    * (union leg + extension anti-join probe). Neighbourhood features
+    * are appended IN-FRAME by [[appendNeighbourhoodCols]], so the big
+    * per-family local aggregates have a single consumer and are never
+    * persisted. Callers release via `cache.release()` after the
+    * terminal action on the matrix. */
   def computeFeatureMatrix(in: Inputs, persistShared: Boolean = true,
                            cache: graft.core.CacheHandle =
                              graft.core.CacheHandle()): DataFrame = {
     def shared(df: DataFrame): DataFrame =
       if (persistShared) cache.persist(df) else df
-    val tags = shared(in.tags.getOrElse(explodedTags(in.credSets)))
+    // tags feed exactly one join (the fused tag-family block) — no persist
+    val tags = in.tags.getOrElse(explodedTags(in.credSets))
     val cons = in.variantIndex.map(vi => shared(explodedConsequences(vi)))
     // flat credible-set projection (no locus array): consumed by the
     // coloc right-side mapping, the coloc extension, the confidence
@@ -462,26 +488,37 @@ object L2GFeatures {
           when(col("biotype") === "protein_coding", lit(1.0))
             .otherwise(lit(0.0)))).as("isProteinCoding"))
       val aggs = distAggs ++ vepAggs
-      val local = shared(tags
+      // single consumer (the window below reads it once) — no persist
+      val local = tags
         .join(right, Seq("tagVariantId"))
         .groupBy("studyLocusId", "geneId")
-        .agg(aggs.head, aggs.tail: _*))
-      frames += local
-      in.genes.foreach { g =>
-        val neighCols = local.columns
-          .filterNot(Seq("studyLocusId", "geneId", "isProteinCoding").contains)
-        frames += neighbourhoodFeatures(local.drop("isProteinCoding"), g,
-          neighCols.toSeq)
-      }
+        .agg(aggs.head, aggs.tail: _*)
+      frames += (in.genes match {
+        case Some(g) =>
+          val neighCols = local.columns
+            .filterNot(Seq("studyLocusId", "geneId", "isProteinCoding").contains)
+          // neighbourhood ratios appended in-frame: one union leg and
+          // one persisted 1M-row frame fewer than the separate-frame
+          // shape (measured ~2x on this stage at sf0.1)
+          appendNeighbourhoodCols(local, g, neighCols.toSeq)
+        case None => local
+      })
     }
     for (c <- in.coloc; si <- in.studyIndex) {
-      val local = shared(
-        colocFeatures(c, in.studyLoci.getOrElse(flatCred), si))
-      frames += local
-      for (g <- in.genes; tc <- cons) {
-        val extended = local.unionByName(
-          extendMissingColocFromConsequences(local, tc, g, flatCred))
-        frames += neighbourhoodFeatures(extended, g, colocFeatureNames)
+      (in.genes, cons) match {
+        case (Some(g), Some(tc)) =>
+          // two consumers (the union + the extension's anti-join probe)
+          val local = shared(
+            colocFeatures(c, in.studyLoci.getOrElse(flatCred), si))
+          // the extension's zero rows carry local features = 0.0 —
+          // exactly the matrix zero-fill for those keys — so the
+          // extended frame subsumes the local one: merge local +
+          // extension + neighbourhood ratios into ONE union leg
+          val extended = local.unionByName(
+            extendMissingColocFromConsequences(local, tc, g, flatCred))
+          frames += appendNeighbourhoodCols(extended, g, colocFeatureNames)
+        case _ =>
+          frames += colocFeatures(c, in.studyLoci.getOrElse(flatCred), si)
       }
     }
     // VEP + isProteinCoding are folded into the fused tag-keyed block
