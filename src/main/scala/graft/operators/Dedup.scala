@@ -253,33 +253,21 @@ object Dedup {
     * `Similarity.bruteForceTopK` plays for the ANN family; the
     * production path keeps the native one-pass xxhash64 signature.
     *
-    * Physically an explode → (id, h) hash-groupBy rather than a nested
-    * higher-order function: the k×|shingles| inner loop stays inside
-    * whole-stage codegen with map-side partial min, where the HOF
-    * formulation interprets every lambda step (~100× slower). */
+    * Physically the same one-pass-per-document native signature shape
+    * as [[minhashDupPairs]] ([[graft.plans.Md5MinHashSignature]]):
+    * tokenise once, md5 each shingle once, keep k running minima. The
+    * earlier explode → (id, component) hash-groupBy formulation pushed
+    * k×|shingle occurrences| rows (95M at sf0.1) through two
+    * aggregations — 4× slower than the sketch expression, and a shape
+    * that shuffles where this one never does. */
   def minhashDupPairsMd5(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // one row per (doc, shingle-hash); duplicates are harmless to min
-    val sh = df.select(
-      col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleSize)).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
-    // k affine rehashes mod 2^32 (see minhashSignature for why mod),
-    // min per (doc, component) via hash aggregation
-    val comps = sh
-      .select(col("id"), col("x"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
-      .groupBy("id", "h")
-      .agg(min(((col("h") * 2 + 1) * col("x") + col("h") * lit(0x9E3779B9L))
-        .bitwiseAND(lit(0xFFFFFFFFL))).as("comp"))
-    val signed = comps
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("h"), col("comp")))).as("hc"))
-      .select(col("id"), transform(col("hc"), p => p("comp")).as("sig"))
+    val signed = df.select(col(idCol).as("id"),
+      graft.plans.SketchFunctions
+        .md5MinhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     val banded = signed
       .select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -311,20 +299,12 @@ object Dedup {
                          maxHamming: Int = 3): DataFrame = {
     val bits = 60
     val qBits = bits / 4 // 15-bit quarters
-    // one row per (doc, token-hash, bit); ±1 votes summed per bit,
-    // then the sign bits packed with a second tiny groupBy
-    val votes = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col("id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("x"))
-      .select(col("id"), col("x"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .groupBy("id", "b")
-      .agg(sum(when(bit_get(col("x"), col("b")) === 1, 1L).otherwise(-1L)).as("v"))
-    val sketched = votes
-      .groupBy("id")
-      .agg(sum(when(col("v") > 0,
-        call_function("shiftleft", lit(1L), col("b"))).otherwise(0L)).as("sh"))
+    // one pass per document (tokenise once, md5 each token once, ±1
+    // votes per bit, sign-pack) — same native-sketch shape as
+    // [[simhashDupPairs]]; the earlier explode-per-(token, bit) → two
+    // groupBys pushed 60×|tokens| rows through the shuffle instead
+    val sketched = df.select(col(idCol).as("id"),
+      graft.plans.SketchFunctions.md5Simhash(col(textCol), bits).as("sh"))
     val quartered = sketched
       .select(col("id"), col("sh"), posexplode(array(
         (0 until 4).map(i =>

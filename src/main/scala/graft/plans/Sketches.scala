@@ -42,6 +42,26 @@ object Sketches {
     if (toks.length >= n) Array.tabulate(toks.length - n + 1)(i =>
       toks.slice(i, i + n).mkString(" "))
     else Array(toks.mkString(" "))
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `4·nibbles` bits of md5(s) as an unsigned long — exactly
+    * `conv(substring(md5(s), 1, nibbles), 16, 10)` (both Spark and
+    * DuckDB md5 the UTF-8 bytes and hex-encode big-endian). Max 15
+    * nibbles (60 bits) so the value stays non-negative in a Long. */
+  private[plans] def md5Prefix(s: String, nibbles: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < (nibbles + 1) / 2) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    if (nibbles % 2 == 1) v >>>= 4
+    v
+  }
 }
 
 /** MinHash signature: k running minima of affine-rehashed shingle
@@ -79,6 +99,81 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** [[MinHashSignature]] with an md5-derived shingle hash — the
+  * SQL-anchored variant: x = first 8 md5 hex digits as an unsigned
+  * 32-bit value (`conv(substring(md5(s),1,8),16,10)`), then the same
+  * affine family mod 2^32. Replaces the explode-64×-rehash → two
+  * hash-aggregate pipeline of the Column formulation (95M intermediate
+  * rows at sf0.1) with one pass per document and zero shuffles.
+  * Byte-identical to [[graft.operators.Dedup.minhashDupPairsMd5]]'s
+  * component stage and to the DuckDB oracle. */
+case class Md5MinHashSignature(child: Expression, shingleSize: Int,
+                               numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_signature"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val shingles = Sketches.shingleStrings(toks, shingleSize)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val x = Sketches.md5Prefix(shingles(i), 8) // 32-bit domain
+      var h = 0
+      while (h < numHashes) {
+        val v = ((2L * h + 1) * x + h * 0x9E3779B9L) & 0xFFFFFFFFL
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
+    copy(child = c)
+}
+
+/** [[SimHash64]] with an md5-derived 60-bit token hash — the
+  * SQL-anchored variant (`conv(substring(md5(t),1,15),16,10)`; 15
+  * nibbles keep `conv`'s signed-long parse exact in both engines).
+  * One pass per document instead of explode-60×-vote → two
+  * aggregations. */
+case class Md5SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits <= 60, "md5 prefix parse is exact only up to 60 bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val counts = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      val h = Sketches.md5Prefix(toks(t), 15)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var i = 0
+    while (i < bits) {
+      if (counts(i) > 0) packed |= (1L << i)
+      i += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHash =
     copy(child = c)
 }
 
@@ -269,6 +364,12 @@ object SketchFunctions {
 
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), shingleSize, numHashes))
+
+  def md5MinhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    Bridge.column(Md5MinHashSignature(Bridge.expression(text), shingleSize, numHashes))
+
+  def md5Simhash(text: Column, bits: Int): Column =
+    Bridge.column(Md5SimHash(Bridge.expression(text), bits))
 
   def distinctShingles(text: Column, shingleSize: Int): Column =
     Bridge.column(DistinctShingles(Bridge.expression(text), shingleSize))
