@@ -70,6 +70,9 @@ object SparkEntry {
     "q_dedup_embedding" -> (Q.embeddingDup _),
     "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),
     "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
+    "q_dedup_decontaminate" -> (Q.decontamination _),
+    "q_text_tfidf" -> (Q.tfidfTopTerms _),
+    "q_dedup_semantic" -> (Q.semanticDedup _),
     "q_gx_study_parse" -> (Q.gwasCatalogStudyParse _),
     // rows-only (no SQL-expressible oracle)
     "q_gx_ancestry_agg" -> (Q.ancestryAggregation _),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find corpus
+  * documents whose word n-grams cover a large fraction of some
+  * benchmark (eval-set) document — the standard leakage check run
+  * before training on web-scale text (n-gram overlap against the
+  * eval suites, as popularised by the GPT-3 / FLAN / Llama reports).
+  *
+  * Shape, designed for the 100 TB corpus × small benchmark regime:
+  *  - each side is reduced to DISTINCT word shingles in ONE pass per
+  *    document ([[graft.plans.DistinctShingles]], no interpreted HOF);
+  *  - the benchmark shingle index is orders of magnitude smaller than
+  *    the corpus (eval suites are MBs), so the equi-join on the
+  *    shingle hits it broadcast — the corpus is never shuffled;
+  *  - only MATCHED (corpus, benchmark) pairs reach the aggregation,
+  *    whose output is bounded by true contamination, not corpus size.
+  */
+object Decontamination {
+
+  /** (corpusId, benchId, overlap, benchShingles, coverage) for every
+    * corpus document sharing ≥ `minOverlap` distinct `shingleSize`-gram
+    * shingles with a benchmark document. `coverage` = overlap /
+    * benchmark-doc shingle count — the fraction of the benchmark
+    * document reproduced by the corpus document. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 3,
+                         minOverlap: Int = 1): DataFrame = {
+    def shingled(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        explode(graft.plans.SketchFunctions
+          .distinctShingles(col(textCol), shingleSize)).as("shingle"))
+    val bench = shingled(benchmark, "benchId")
+    val benchSizes = bench.groupBy("benchId").agg(count(lit(1)).as("benchShingles"))
+    shingled(corpus, "corpusId")
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy("corpusId", "benchId")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .join(broadcast(benchSizes), Seq("benchId"))
+      .withColumn("coverage",
+        col("overlap").cast("double") / col("benchShingles"))
+      .select("corpusId", "benchId", "overlap", "benchShingles", "coverage")
+  }
+
+  /** Per-corpus-document contamination verdict: the worst (highest)
+    * benchmark coverage and its benchmark id, flagged at `minCoverage`.
+    * Ties resolve to the smallest benchId (deterministic). */
+  def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
+                       textCol: String, idCol: String,
+                       shingleSize: Int = 3,
+                       minCoverage: Double = 0.8): DataFrame = {
+    val worst = contaminationPairs(corpus, benchmark, textCol, idCol,
+      shingleSize)
+      .groupBy("corpusId")
+      // min over (−coverage, benchId): highest coverage, ties to the
+      // smallest benchId — deterministic without a sort-window
+      .agg(min_by(struct(col("coverage"), col("benchId")),
+        struct(negate(col("coverage")), col("benchId"))).as("_w"))
+      .select(col("corpusId"), col("_w.coverage").as("worstCoverage"),
+        col("_w.benchId").as("worstBenchId"))
+    corpus.join(worst, corpus(idCol) === worst("corpusId"), "left")
+      .drop("corpusId")
+      .withColumn("worstCoverage", coalesce(col("worstCoverage"), lit(0.0)))
+      .withColumn("isContaminated", col("worstCoverage") >= minCoverage)
+  }
+}

@@ -203,4 +203,42 @@ object Similarity {
       .filter(col("similarity") >= threshold)
       .select(col("a.id").as("idA"), col("b.id").as("idB"), col("similarity"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): every
+    * embedding is assigned to its most-cosine-similar seed centroid,
+    * then near-duplicate pairs are searched WITHIN clusters only —
+    * the pigeonhole that turns the all-pairs scan into per-cluster
+    * blocks. `centroids` is a small deterministic seed frame (id,
+    * embedding) — e.g. a fixed modulus of the corpus ids or k-means
+    * centres from [[ivfTopK]]'s trainer; it broadcasts, so assignment
+    * is one map-side pass + one per-id top-1 (no driver model state,
+    * and the pipeline stays SQL-mirrorable for the oracle, unlike the
+    * k-means path). Ties (equal similarity) resolve to the smallest
+    * centroid id. Returns (cell, idA, idB, similarity) with idA<idB
+    * and cosine ≥ threshold. Dropping every idB leaves exactly the
+    * SemDeDup survivor set (keep-lowest-id policy). */
+  def semanticDupPairs(embeddings: DataFrame, centroids: DataFrame,
+                       threshold: Double = 0.9): DataFrame = {
+    val cents = centroids.select(col("id").as("centId"),
+      col("embedding").as("cv"), norm(col("embedding")).as("_ncv"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("csim").desc_nulls_last, col("centId"))
+    val assigned = embeddings
+      .select(col("id"), col("embedding"), norm(col("embedding")).as("_n"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        cosineWithNorms(dot(col("embedding"), col("cv")), col("_n"), col("_ncv")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("embedding"), col("_n"), col("centId").as("cell"))
+    assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("similarity",
+        cosineWithNorms(dot(col("a.embedding"), col("b.embedding")),
+          col("a._n"), col("b._n")))
+      .filter(col("similarity") >= threshold)
+      .select(col("a.cell").as("cell"), col("a.id").as("idA"),
+        col("b.id").as("idB"), col("similarity"))
+  }
 }

@@ -384,6 +384,76 @@ object Oracles {
       |JOIN sizes sb ON sb.doc_id = "idB"
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4""".stripMargin
 
+  /** Mirrors Q.decontamination + Decontamination.contaminationPairs:
+    * distinct 3-gram shingles per doc, benchmark = doc_id % 37 subset,
+    * coverage = overlap / benchmark shingle count. */
+  val decontamination: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents)),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w
+      |           AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 = 0),
+      |bsize AS (SELECT doc_id, count(*) AS n FROM bench GROUP BY 1),
+      |common AS (
+      |  SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS ov
+      |  FROM sh c JOIN bench b ON c.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT cid AS "corpusId", bid AS "benchId", ov AS overlap,
+      |       n AS "benchShingles", ${q("ov * 1.0 / n", 6)} AS coverage_q6
+      |FROM common JOIN bsize ON bsize.doc_id = bid
+      |WHERE cid <> bid AND ov * 1.0 / n >= 0.6""".stripMargin
+
+  /** Mirrors Q.tfidfTopTerms + TextAnalysis.tfIdfTopTerms: smoothed
+    * sklearn idf, top-3 per doc by (tfidf desc, term asc). */
+  val tfidfTopTerms: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                            x -> x <> '')) AS term
+      |  FROM documents),
+      |tc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+      |         tc.tf * (ln((n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+      |  FROM tc JOIN dfreq USING (term) CROSS JOIN nd),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id AS "docId", rk AS rank, term, tf, df,
+      |       ${q("tfidf", 6)} AS tfidf_q6
+      |FROM ranked WHERE rk <= 3""".stripMargin
+
+  /** Mirrors Q.semanticDedup + Similarity.semanticDupPairs: cosine
+    * argmax assignment to the vec_id % 100 seed centroids (ties to the
+    * smallest centroid id), within-cell pairs at cosine ≥ 0.4. */
+  val semanticDedup: String =
+    s"""WITH e AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % 100 = 0),
+      |sim AS (
+      |  SELECT e.id, e.v, c.cent_id,
+      |         row_number() OVER (PARTITION BY e.id
+      |           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)
+      |           AS rk
+      |  FROM e CROSS JOIN c),
+      |a AS (SELECT id, v, cent_id AS cell FROM sim WHERE rk = 1)
+      |SELECT a.cell AS cell, a.id AS "idA", b.id AS "idB",
+      |       ${q("list_cosine_similarity(a.v, b.v)", 6)} AS sim_q6
+      |FROM a JOIN a b ON a.cell = b.cell AND a.id < b.id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+
   val textStats: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1376,6 +1446,9 @@ object Oracles {
     "q_gx_qc_metrics" -> qcMetrics,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_decontaminate" -> decontamination,
+    "q_text_tfidf" -> tfidfTopTerms,
+    "q_dedup_semantic" -> semanticDedup,
     "q_text_stats" -> textStats,
     "q_text_fingerprint_summary" -> fingerprintSummary,
     "q_pack_shards" -> packShards,

@@ -607,6 +607,37 @@ object Q {
     Dedup.simhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
 
+  /** Benchmark decontamination: corpus documents covering ≥ 60% of a
+    * benchmark document's distinct 3-gram shingles (benchmark = the
+    * deterministic doc_id % 37 subset; self-matches excluded). */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontamination.contaminationPairs(docs,
+      docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
+      .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
+      .select(col("corpusId"), col("benchId"), col("overlap"),
+        col("benchShingles"), q(col("coverage"), 6).as("coverage_q6"))
+  }
+
+  /** Top-3 TF-IDF terms per document (smoothed sklearn idf,
+    * deterministic (tfidf desc, term asc) ranking). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+      .select(col("docId"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), q(col("tfidf"), 6).as("tfidf_q6"))
+
+  /** SemDeDup-style semantic near-dup pairs: nearest-seed-centroid
+    * cells (seeds = vec_id % 100 = 0), within-cell cosine ≥ 0.4. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.semanticDupPairs(emb, emb.filter(col("id") % 100 === 0),
+      threshold = 0.4)
+      .select(col("cell"), col("idA"), col("idB"),
+        q(col("similarity"), 6).as("sim_q6"))
+  }
+
   /** Full QC battery incl. approx percentiles + chi2 (no SQL oracle). */
   def qcBatteryFull(s: SparkSession, dir: String): DataFrame =
     SumstatQC.qualityControlMetrics(synthSumstats(s, dir))

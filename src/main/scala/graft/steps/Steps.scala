@@ -394,7 +394,31 @@ object Steps {
         Dedup.minhashDupPairs(read(s, a("in")),
           a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id"),
-          threshold = a.double("threshold", 0.7)), a("out")))
+          threshold = a.double("threshold", 0.7)), a("out"))),
+
+    Step("decontaminate",
+      "Flag corpus documents whose n-grams cover a benchmark document",
+      (s, a) => write(
+        Decontamination.flagContaminated(
+          read(s, a("in")), read(s, a("benchmark")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          minCoverage = a.double("min_coverage", 0.8)), a("out"))),
+
+    Step("tfidf_top_terms",
+      "Top-k TF-IDF terms per document (smoothed sklearn idf)",
+      (s, a) => write(
+        TextAnalysis.tfIdfTopTerms(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          k = a.get("k").map(_.toInt).getOrElse(3)), a("out"))),
+
+    Step("dedup_semantic",
+      "SemDeDup-style within-cluster embedding near-dup pairs",
+      (s, a) => write(
+        Similarity.semanticDupPairs(read(s, a("in")),
+          read(s, a("centroids")),
+          threshold = a.double("threshold", 0.9)), a("out")))
   ).map(s => s.name -> s).toMap
 
   /** Parse `step key=value...` and run. */

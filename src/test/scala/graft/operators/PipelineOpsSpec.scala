@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decontamination, TF-IDF, and SemDeDup-style semantic dedup. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationPairs counts distinct shingle overlap and coverage") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text with no shared phrases at all"),
+      (3L, "quick brown fox jumps high")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .contaminationPairs(corpus, bench, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // bench doc has 3 distinct shingles: "the quick brown",
+    // "quick brown fox", "brown fox jumps"; doc 1 shares all 3
+    val full = out((1L, 100L))
+    assert(full.getAs[Long]("overlap") == 3)
+    assert(full.getAs[Long]("benchShingles") == 3)
+    assert(full.getAs[Double]("coverage") == 1.0)
+    // doc 3 shares "quick brown fox" and "brown fox jumps"
+    assert(out((3L, 100L)).getAs[Double]("coverage") == 2.0 / 3.0)
+    assert(!out.contains((2L, 100L)))
+  }
+
+  test("flagContaminated keeps the worst benchmark coverage per doc") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma"),           // covered 1/1 by doc 1
+      (11L, "beta gamma delta zeta eta")   // covered 2/3 by doc 1
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .flagContaminated(corpus, bench, "text", "doc_id", minCoverage = 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("isContaminated"))
+    assert(out(1L).getAs[Long]("worstBenchId") == 10L)
+    assert(out(1L).getAs[Double]("worstCoverage") == 1.0)
+    assert(!out(2L).getAs[Boolean]("isContaminated"))
+    assert(out(2L).getAs[Double]("worstCoverage") == 0.0)
+  }
+
+  test("tfIdfTopTerms ranks rare terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("docId"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .toMap
+    // doc 1: rare1 (tf=1, df=1) outranks common (tf=2, df=3) because
+    // idf(common) = ln(4/4)+1 = 1 -> tfidf 2 < 1*(ln(2)+1) = 1.69? No:
+    // 2*1.0 = 2.0 > 1.69 -- common wins on tf. Verify the math instead.
+    val idfRare = math.log(4.0 / 2.0) + 1.0
+    val idfCommon = math.log(4.0 / 4.0) + 1.0
+    assert((2 * idfCommon) > (1 * idfRare)) // common's tf carries doc 1
+    assert(out((1L, 1))._1 == "common")
+    assert(out((1L, 2))._1 == "rare1")
+    // doc 2: rare2 tf=2 with high idf dominates
+    assert(out((2L, 1))._1 == "rare2")
+    assert(out((2L, 1))._2 == 2L && out((2L, 1))._3 == 1L)
+    // doc 3: tie-break on term asc between common (tfidf 1.0) and
+    // filler (tfidf 1.69): filler wins on score, not order
+    assert(out((3L, 1))._1 == "filler")
+  }
+
+  test("semanticDupPairs blocks by nearest centroid and finds in-cell dups") {
+    def vec(x: Double, y: Double) = Array(x, y)
+    val emb = Seq(
+      (0L, vec(1.0, 0.0)),   // seed A
+      (100L, vec(0.0, 1.0)), // seed B
+      (1L, vec(0.9, 0.1)),   // near A
+      (2L, vec(0.95, 0.05)), // near A, near-dup of 1
+      (3L, vec(0.1, 0.9))    // near B, no in-cell partner above threshold
+    ).toDF("id", "embedding")
+    val seeds = emb.filter(col("id") % 100 === 0)
+    val pairs = Similarity.semanticDupPairs(emb, seeds, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("idA"), r.getAs[Long]("idB")) -> r)
+      .toMap
+    // cell 0 = {0, 1, 2} (all pairwise cos > 0.99), cell 100 = {3, 100}
+    // (cos 0.9939); cross-cell candidates are never even scored
+    assert(pairs.keySet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 100L)))
+    assert(pairs((1L, 2L)).getAs[Long]("cell") == 0L)
+    assert(pairs((3L, 100L)).getAs[Long]("cell") == 100L)
+  }
+}
