@@ -486,6 +486,12 @@ object Q {
     // straight to the fused kernel — no collect_list locus rebuild
     // only to re-explode it (saves a shuffle + per-locus array builds).
     val tags = cred.withColumnRenamed("variantId", "tagVariantId").persist()
+    // materialise the cache BEFORE the fused kernel's first action: it
+    // reads tags through four subplans (self-join sides + both locus
+    // aggregates), and concurrent consumers of a still-uncached frame
+    // race to compute its partitions redundantly (the run-to-run 3.5 ->
+    // 10 s wobble this query showed under the bench harness)
+    tags.count()
     Coloc.colocaliseFused(tags)
       .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
         col("rightStudyType"), col("chromosome"),
@@ -810,6 +816,11 @@ object Q {
         .withColumn("studyType", lit("gwas"))
         .withColumn("geneId", lit(null).cast("string")))
       .persist()
+    // materialise both caches before the factory's single wide action
+    // so its concurrent subplans don't race the uncached parents
+    // (see overlapsColocE2E; same duplicated-partition effect)
+    studyLoci.count()
+    studyIndex.count()
     val coloc = t(s, dir, "orders")
       .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
         concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),
