@@ -36,14 +36,33 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
     df
   }
 
-  /** Compute and cache every registered frame NOW, in registration
-    * order (operators register parents before dependents). Without
-    * this, the caller's single terminal action materialises the caches
-    * lazily, and concurrent consumers of a still-uncached frame in the
-    * same job race to compute its partitions redundantly; one cheap
-    * count per frame up front removes the duplicated work. */
-  def materialize(): Unit = synchronized {
-    frames.foreach(_.count())
+  /** Compute and cache every registered frame NOW. Without this, the
+    * caller's single terminal action materialises the caches lazily,
+    * and concurrent consumers of a still-uncached frame in the same
+    * job race to compute its partitions redundantly; one cheap count
+    * per frame up front removes the duplicated work.
+    *
+    * The counts run CONCURRENTLY (bounded pool), submitted in
+    * registration order so parents (registered first by convention)
+    * get a head start over dependents. Sequential counts pay one full
+    * job-scheduling latency per frame — at benchmark scale that fixed
+    * cost rivals the compute itself; overlapping the jobs collapses it
+    * to ~max instead of sum. Worst case a dependent recomputes a few
+    * parent partitions the parent's own count has not cached yet —
+    * duplicated work, never wrong results. */
+  def materialize(): Unit = {
+    val fs = synchronized { frames.toList }
+    if (fs.sizeIs <= 1) fs.foreach(_.count())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, fs.size))
+      try {
+        val futures = fs.map(f => pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = f.count()
+        }))
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   /** Unpersist every frame registered since construction / last release. */

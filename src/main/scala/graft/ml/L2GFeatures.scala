@@ -415,7 +415,14 @@ object L2GFeatures {
         * collect/explode round trip (the most expensive input
         * materialisation at sf0.1). Defaults to
         * `explodedTags(credSets)`. */
-      tags: Option[DataFrame] = None)
+      tags: Option[DataFrame] = None,
+      /** Pre-persisted FLAT credible-set projection (studyLocusId,
+        * studyId, variantId, chromosome, position[, confidence]) —
+        * callers that already cache this frame (e.g. because it also
+        * feeds their studyLoci union) pass it here and the factory
+        * consumes it directly instead of re-projecting and re-caching
+        * its own copy from `credSets`. */
+      flatCred: Option[DataFrame] = None)
 
   /** Compute every feature family the inputs allow, local +
     * neighbourhood, as one wide matrix.
@@ -444,11 +451,12 @@ object L2GFeatures {
     // coloc right-side mapping, the coloc extension, the confidence
     // feature, and the gene-count window — persisting it once spares
     // each of those a recompute of the caller's source aggregation,
-    // and unlike the array-bearing frame it columnar-caches cheaply
-    val flatCred = shared(in.credSets.select(
+    // and unlike the array-bearing frame it columnar-caches cheaply.
+    // A caller-persisted projection (Inputs.flatCred) is used as-is.
+    val flatCred = in.flatCred.getOrElse(shared(in.credSets.select(
       in.credSets.columns.filter(Seq("studyLocusId", "studyId", "variantId",
         "chromosome", "position", "confidence").contains).map(col)
-        .toIndexedSeq: _*))
+        .toIndexedSeq: _*)))
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // ---- fused tag-keyed families (distance + VEP + isProteinCoding):
@@ -524,12 +532,12 @@ object L2GFeatures {
     // VEP + isProteinCoding are folded into the fused tag-keyed block
     // above; only the (lead-variant-keyed) confidence feature remains
     cons.foreach { tc =>
-      if (in.credSets.columns.contains("confidence"))
+      if (flatCred.columns.contains("confidence"))
         frames += credibleSetConfidenceFromConsequences(flatCred, tc)
     }
     for (g <- in.genes
-         if in.credSets.columns.contains("position") &&
-           in.credSets.columns.contains("chromosome")) {
+         if flatCred.columns.contains("position") &&
+           flatCred.columns.contains("chromosome")) {
       frames += geneCountFeatures(flatCred, g)
     }
     // materialise the shared caches NOW (triggers one cheap job per

@@ -768,7 +768,24 @@ object Q {
     * count families, local and neighbourhood variants (rows-only). */
   def l2gFullFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.L2GFeatures
-    val credSets = l2gCredSets(s, dir)
+    // ONE cached flat credible-set frame (no locus array) feeds every
+    // locus-keyed consumer: the factory's flatCred, the studyLoci
+    // union, and the study-id distinct. The original shape re-ran the
+    // lineitem groupBy once per persisted consumer — at bench scale
+    // those duplicated source aggregations and their serial
+    // materialisation jobs cost more than the feature math itself.
+    val flatCred = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_partkey")).as("_leadPart"),
+        min(col("l_suppkey") % 3).as("_chrom"),
+        min((col("l_partkey") * 97) % 1000000).as("position"))
+      .select(
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        concat(lit("v"), col("_leadPart")).as("variantId"),
+        concat(lit("gwas_s"), col("l_orderkey") % 5).as("studyId"),
+        col("_chrom").cast("string").as("chromosome"),
+        col("position"))
+      .persist()
     val genes = s.range(50).toDF("gid")
       .select(concat(lit("g"), col("gid")).as("id"),
         when(col("gid") % 2 === 0, "protein_coding").otherwise("lncRNA")
@@ -798,29 +815,30 @@ object Q {
       .agg(min(col("o_custkey") % 50).as("_sk"))
       .select(concat(lit("R"), col("_rk")).as("studyLocusId"),
         concat(lit("qtl_s"), col("_sk")).as("studyId"))
-    // flat + tiny, and read by both the coloc right-side mapping and
-    // the left-semi probe — persist so each use doesn't recompute the
-    // credSets/qtlLoci source aggregations
-    val studyLoci = credSets.select("studyLocusId", "studyId", "variantId")
-      .unionByName(qtlLoci.withColumn("variantId", lit(null).cast("string")))
-      .persist()
+    // tiny (500 rows) but read by the studyLoci union AND the study
+    // index — persist so the orders aggregation runs once
+    val qtlLociP = qtlLoci.persist()
+    // both studyLoci and studyIndex now derive from the two caches
+    // above — no separate persists or counts; each consumer pays a
+    // cache scan plus a 500-row union
+    val studyLoci = flatCred.select("studyLocusId", "studyId", "variantId")
+      .unionByName(qtlLociP.withColumn("variantId", lit(null).cast("string")))
     // study metadata derived from the numeric id suffix (engine-neutral,
     // unlike hash()) so the query admits a DuckDB oracle
     val qtlKey = regexp_extract(col("studyId"), "(\\d+)$", 1).cast("int")
-    val studyIndex = qtlLoci.select("studyId").distinct()
+    val studyIndex = qtlLociP.select("studyId").distinct()
       .withColumn("studyType",
         element_at(array(lit("eqtl"), lit("pqtl"), lit("sqtl")),
           (qtlKey % 3 + 1).cast("int")))
       .withColumn("geneId", concat(lit("g"), qtlKey % 50))
-      .unionByName(credSets.select(col("studyId")).distinct()
+      .unionByName(flatCred.select(col("studyId")).distinct()
         .withColumn("studyType", lit("gwas"))
         .withColumn("geneId", lit(null).cast("string")))
-      .persist()
-    // materialise both caches before the factory's single wide action
-    // so its concurrent subplans don't race the uncached parents
-    // (see overlapsColocE2E; same duplicated-partition effect)
-    studyLoci.count()
-    studyIndex.count()
+    // materialise the two source caches before the factory's wide
+    // action so its concurrent subplans don't race the uncached
+    // parents (see overlapsColocE2E; same duplicated-partition effect)
+    flatCred.count()
+    qtlLociP.count()
     val coloc = t(s, dir, "orders")
       .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
         concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),
@@ -843,14 +861,15 @@ object Q {
         col("posteriorProbability"),
         (col("l_partkey") === col("_leadPart")).as("isSentinel"))
     val matrix = L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
-      credSets = credSets,
+      credSets = flatCred,
       variantIndex = Some(variantIndex),
       genes = Some(genes),
       distances = Some(l2gDistances(s, dir)),
       coloc = Some(coloc),
       studyIndex = Some(studyIndex),
       studyLoci = Some(studyLoci),
-      tags = Some(tags)))
+      tags = Some(tags),
+      flatCred = Some(flatCred)))
     // quantised projection for the oracle: every double feature q6,
     // window gene counts as raw longs
     val countCols = Seq("geneCount500kb", "proteinGeneCount500kb")
