@@ -35,6 +35,16 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Spread rows across the session's shuffle parallelism before a
+    * CPU-bound per-row sketch. Source layout rarely matches compute
+    * cost — a corpus that arrives as few fat files (one file = one
+    * partition) serialises the whole tokenise+hash pass onto as many
+    * cores; one cheap shuffle of the raw (id, text) rows buys
+    * full-width signature compute, and the sketch output is what gets
+    * persisted, so the shuffle runs once. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles of the normalised text. */
@@ -109,7 +119,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // native one-pass signature (the HOF formulation re-tokenises per
     // hash component through the interpreter — ~100x slower)
-    val signed = cache.persist(df.select(
+    val signed = cache.persist(spread(df, idCol).select(
       col(idCol).as("id"),
       graft.plans.SketchFunctions
         .minhashSignature(col(textCol), shingleSize, numHashes).as("sig")))
@@ -166,7 +176,7 @@ object Dedup {
     * quarter), then filter by exact Hamming distance. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = spread(df, idCol).select(col(idCol).as("id"),
       graft.plans.SketchFunctions.simhash64(col(textCol)).as("sh"))
     val quartered = hashed
       .select(col("id"), col("sh"), posexplode(array(
@@ -218,7 +228,7 @@ object Dedup {
     // native one-pass shingle set (the HOF formulation re-slices the
     // token array per position through the interpreter — it was more
     // than half the query's cost at sf0.1)
-    val sh0 = df.select(col(idCol).as("id"),
+    val sh0 = spread(df, idCol).select(col(idCol).as("id"),
       explode(graft.plans.SketchFunctions
         .distinctShingles(col(textCol), shingleSize)).as("shingle"))
     val stopShingles = sh0
@@ -263,18 +273,22 @@ object Dedup {
   def minhashDupPairsMd5(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      cache: graft.core.CacheHandle = graft.core.CacheHandle()): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val signed = df.select(col(idCol).as("id"),
+    val signed = cache.persist(spread(df, idCol).select(col(idCol).as("id"),
       graft.plans.SketchFunctions
-        .md5MinhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+        .md5MinhashSignature(col(textCol), shingleSize, numHashes).as("sig")))
+    // band key = the raw component slice (array equality in the join);
+    // equal slices ⟺ equal joined strings, so the candidate set — and
+    // the oracle output — is unchanged, without the per-row interpreted
+    // concat_ws(transform(...)) string build
     val banded = signed
       .select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
-            concat_ws(",",
-              transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                c => c.cast("string"))).as("key")))).as("bk"))
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+              .as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
@@ -296,15 +310,17 @@ object Dedup {
     * guarantee for Hamming ≤ 3). Explode → hash-groupBy shape for the
     * same codegen reason as [[minhashDupPairsMd5]]. */
   def simhashDupPairsMd5(df: DataFrame, textCol: String, idCol: String,
-                         maxHamming: Int = 3): DataFrame = {
+                         maxHamming: Int = 3,
+                         cache: graft.core.CacheHandle =
+                           graft.core.CacheHandle()): DataFrame = {
     val bits = 60
     val qBits = bits / 4 // 15-bit quarters
     // one pass per document (tokenise once, md5 each token once, ±1
     // votes per bit, sign-pack) — same native-sketch shape as
     // [[simhashDupPairs]]; the earlier explode-per-(token, bit) → two
     // groupBys pushed 60×|tokens| rows through the shuffle instead
-    val sketched = df.select(col(idCol).as("id"),
-      graft.plans.SketchFunctions.md5Simhash(col(textCol), bits).as("sh"))
+    val sketched = cache.persist(spread(df, idCol).select(col(idCol).as("id"),
+      graft.plans.SketchFunctions.md5Simhash(col(textCol), bits).as("sh")))
     val quartered = sketched
       .select(col("id"), col("sh"), posexplode(array(
         (0 until 4).map(i =>
