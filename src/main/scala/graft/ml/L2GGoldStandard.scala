@@ -183,6 +183,11 @@ object L2GGoldStandard {
                         graft.core.CacheHandle()): DataFrame = {
     val gs = cache.persist(fromCuration(curation, distances))
     val unique = cache.persist(filterUniqueAssociations(gs, overlaps))
+    // compute the caches NOW: the terminal action evaluates the
+    // multi-consumer subplans concurrently, and consumers racing a
+    // still-uncached frame recompute its partitions redundantly (the
+    // same effect measured 2x on the COLOC e2e and L2G matrix paths)
+    cache.materialize()
     removeFalseNegatives(unique, processGeneInteractions(interactions))
   }
 }
