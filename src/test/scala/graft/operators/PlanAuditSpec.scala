@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ml.L2GFeatures
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: lock the SCALE-CRITICAL plan shapes so a
+  * refactor cannot silently demote them (a hash aggregate decaying to
+  * a sort aggregate, an equi join decaying to a cartesian product, a
+  * parquet filter failing to push down). These are the properties the
+  * operators' scaladocs promise; the specs make the promises
+  * executable.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+    (3L, "epsilon zeta eta theta"), (4L, "iota kappa lambda mu"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup plans as a hash aggregate, never a sort-window") {
+    val p = plan(Dedup.exactDedup(docs, "text", "doc_id"))
+    assert(p.contains("HashAggregate"), s"no HashAggregate in:\n$p")
+    assert(!p.contains("Window"), s"window leaked into exactDedup plan:\n$p")
+    assert(!p.contains("SortAggregate"), s"agg demoted to sort:\n$p")
+  }
+
+  test("LSH banding joins are equi joins, never cartesian") {
+    val p = plan(Dedup.minhashDupPairs(docs, "text", "doc_id",
+      cache = graft.core.CacheHandle.disabled))
+    assert(!p.contains("CartesianProduct"), s"cartesian in minhash plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in minhash plan:\n$p")
+  }
+
+  test("md5 LSH banding joins are equi joins, never cartesian") {
+    val p = plan(Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
+      cache = graft.core.CacheHandle.disabled))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
+  test("overlap tag self-join stays an equi join on (chromosome, tag)") {
+    val tags = Seq(
+      ("L1", "s1", "gwas", "1", "r", "v1", 1.0, 0.5, 0.1, 1.0f, -8),
+      ("L2", "s2", "eqtl", "1", "r", "v1", 2.0, 0.6, 0.2, 1.0f, -8))
+      .toDF("studyLocusId", "studyId", "studyType", "chromosome", "region",
+        "tagVariantId", "logBF", "posteriorProbability", "beta",
+        "pValueMantissa", "pValueExponent")
+    val p = plan(Overlaps.matchedTagPairs(tags))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tag self-join decayed to non-equi:\n$p")
+  }
+
+  test("fused COLOC never materialises a cartesian pair space") {
+    val tags = Seq(
+      ("L1", "s1", "gwas", "1", "r", "v1", 1.0, 0.5, 0.1, 1.0f, -8),
+      ("L2", "s2", "eqtl", "1", "r", "v1", 2.0, 0.6, 0.2, 1.0f, -8))
+      .toDF("studyLocusId", "studyId", "studyType", "chromosome", "region",
+        "tagVariantId", "logBF", "posteriorProbability", "beta",
+        "pValueMantissa", "pValueExponent")
+    val p = plan(Coloc.colocaliseFused(tags))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in COLOC:\n$p")
+  }
+
+  test("gene-count window features broadcast the gene side and aggregate hash-side") {
+    val loci = Seq(("L1", "1", 500000L), ("L2", "1", 700000L))
+      .toDF("studyLocusId", "chromosome", "position")
+    val genes = Seq(("g1", "protein_coding", "1", 510000L),
+      ("g2", "lncRNA", "1", 520000L)).toDF("id", "biotype", "chromosome", "tss")
+    val p = plan(L2GFeatures.geneCountFeatures(loci, genes))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"gene side not broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("parquet scan prunes columns and pushes filters down") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_audit").toString
+    try {
+      Seq((1L, "a", 10.0, "x"), (2L, "b", 20.0, "y"))
+        .toDF("id", "name", "score", "tag")
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+        .filter(col("score") > 15.0).select("id", "score")
+      val p = plan(df)
+      assert(p.contains("PushedFilters: [IsNotNull(score), GreaterThan(score,15.0)]"),
+        s"filter not pushed to scan:\n$p")
+      assert(p.contains("ReadSchema: struct<id:bigint,score:double>"),
+        s"column pruning failed:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ngram jaccard index join is equi on the shingle") {
+    val p = plan(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      cache = graft.core.CacheHandle.disabled))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi index join:\n$p")
+  }
+}
