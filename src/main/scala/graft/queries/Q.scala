@@ -774,7 +774,8 @@ object Q {
     // lineitem groupBy once per persisted consumer — at bench scale
     // those duplicated source aggregations and their serial
     // materialisation jobs cost more than the feature math itself.
-    val flatCred = t(s, dir, "lineitem")
+    val srcCache = graft.core.CacheHandle()
+    val flatCred = srcCache.persist(t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(min(col("l_partkey")).as("_leadPart"),
         min(col("l_suppkey") % 3).as("_chrom"),
@@ -784,8 +785,7 @@ object Q {
         concat(lit("v"), col("_leadPart")).as("variantId"),
         concat(lit("gwas_s"), col("l_orderkey") % 5).as("studyId"),
         col("_chrom").cast("string").as("chromosome"),
-        col("position"))
-      .persist()
+        col("position")))
     val genes = s.range(50).toDF("gid")
       .select(concat(lit("g"), col("gid")).as("id"),
         when(col("gid") % 2 === 0, "protein_coding").otherwise("lncRNA")
@@ -817,7 +817,7 @@ object Q {
         concat(lit("qtl_s"), col("_sk")).as("studyId"))
     // tiny (500 rows) but read by the studyLoci union AND the study
     // index — persist so the orders aggregation runs once
-    val qtlLociP = qtlLoci.persist()
+    val qtlLociP = srcCache.persist(qtlLoci)
     // both studyLoci and studyIndex now derive from the two caches
     // above — no separate persists or counts; each consumer pays a
     // cache scan plus a 500-row union
@@ -836,9 +836,9 @@ object Q {
         .withColumn("geneId", lit(null).cast("string")))
     // materialise the two source caches before the factory's wide
     // action so its concurrent subplans don't race the uncached
-    // parents (see overlapsColocE2E; same duplicated-partition effect)
-    flatCred.count()
-    qtlLociP.count()
+    // parents (see overlapsColocE2E; same duplicated-partition
+    // effect); the handle overlaps the two independent count jobs
+    srcCache.materialize()
     val coloc = t(s, dir, "orders")
       .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
         concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),
