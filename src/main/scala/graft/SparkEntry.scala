@@ -90,7 +90,8 @@ object SparkEntry {
     "q_ann_lsh" -> (Q.annLsh _),
     "q_ann_ivf" -> (Q.annIvf _),
     // oracle-checked again: the fake decode is replayed in SQL
-    "q_mm_decode" -> (Q.multimodalDecode _))
+    "q_mm_decode" -> (Q.multimodalDecode _),
+    "q_mm_frames" -> (Q.multimodalFrames _))
 
   def oracleSql: Map[String, String] = Oracles.all
 }

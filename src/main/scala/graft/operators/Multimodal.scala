@@ -60,6 +60,39 @@ object Multimodal {
                       maxFrames: Int): org.apache.spark.sql.Column =
     slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames)
 
+  case class FrameRow(id: Long, frameIdx: Int, width: Int, height: Int,
+    checksum: Long)
+
+  /** STUB frame sampler for video-kind blobs: the frame count comes
+    * deterministically from the payload size (stand-in for reading the
+    * container header), every `stride`-th frame up to `maxFrames` is
+    * "decoded" to dimensions + a checksum mixed from the payload fold
+    * and the frame index. The Spark shape is the real contract: one
+    * codec init per partition, frames FLAT-MAPPED off the row iterator
+    * (never a per-blob frame buffer — a long video must stream), and
+    * output rows independent of input partitioning. */
+  def sampleFrames(spark: SparkSession, blobs: DataFrame, stride: Int = 2,
+                   maxFrames: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions { rows =>
+      val codecSeed = 0x5DEECE66DL // one "codec" init per partition
+      rows.flatMap { r =>
+        var h = codecSeed
+        var i = 0
+        while (i < r.payload.length) { h = h * 31 + r.payload(i); i += 1 }
+        val base = h
+        val nFrames = 1 + math.floorMod(r.nBytes, 16L).toInt
+        Iterator.range(0, nFrames, stride).take(maxFrames).map { f =>
+          val fh = base * 31 + f
+          FrameRow(r.id, f,
+            width = 64 + math.floorMod(fh, 960).toInt,
+            height = 64 + math.floorMod(fh >> 10, 960).toInt,
+            checksum = fh)
+        }
+      }
+    }
+  }
+
   /** Feature extraction over decoded rows: aspect ratio + megapixels,
     * pure column math post-decode. */
   def features(decoded: DataFrame): DataFrame =

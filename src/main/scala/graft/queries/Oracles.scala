@@ -545,6 +545,40 @@ object Oracles {
       |       ${q("CAST(w AS DOUBLE) * ht / 1e6", 4)} AS mega_q4
       |FROM d""".stripMargin
 
+  /** Mirrors Multimodal.sampleFrames over toBlobTable(documents,
+    * kind=video): payload byte-fold (same as mmDecode), frame count =
+    * 1 + nBytes % 16, sampled indices 0,2,..  capped at 4 frames
+    * (fidx < stride·maxFrames = 8), per-frame hash = (fold·31 + fidx)
+    * wrapped to a signed 64-bit value. */
+  val mmFrames: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    list_reduce(
+      |      list_prepend(25214903917::HUGEINT,
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> ord(substring(text, i, 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, hu, 1 + (length(text) % 16) AS nframes FROM h),
+      |f AS (
+      |  SELECT doc_id, hu, unnest(range(0, nframes, 2)) AS fidx FROM n),
+      |w AS (
+      |  SELECT doc_id, fidx,
+      |         (hu * 31 + fidx) % 18446744073709551616::HUGEINT AS fhu
+      |  FROM f WHERE fidx < 8),
+      |sgn AS (
+      |  SELECT doc_id, fidx,
+      |         CASE WHEN fhu >= 9223372036854775808::HUGEINT
+      |              THEN fhu - 18446744073709551616::HUGEINT ELSE fhu END AS fhs
+      |  FROM w)
+      |SELECT CAST(doc_id AS BIGINT) AS id, CAST(fidx AS INTEGER) AS "frameIdx",
+      |       CAST(64 + ((fhs % 960 + 960) % 960) AS INTEGER) AS width,
+      |       CAST(64 + ((((fhs - (fhs % 1024 + 1024) % 1024) // 1024) % 960 + 960) % 960)
+      |            AS INTEGER) AS height,
+      |       CAST(fhs AS BIGINT) AS checksum
+      |FROM sgn""".stripMargin
+
   /** Mirrors Dedup.minhashDupPairsMd5: 3-shingles → 32-bit md5 base
     * hash → 64 affine rehashes (min each) → 16 plain-string band keys
     * → bucket self-join → component-match similarity ≥ 0.5. */
@@ -1455,6 +1489,7 @@ object Oracles {
     "q_ann_topk" -> annTopK,
     "q_mm_blob_meta" -> blobMeta,
     "q_mm_decode" -> mmDecode,
+    "q_mm_frames" -> mmFrames,
     "q_dedup_minhash_md5" -> minhashMd5,
     "q_dedup_simhash_md5" -> simhashMd5)
 }

@@ -602,6 +602,18 @@ object Q {
         q(col("width").cast("double") / col("height"), 4).as("aspect_q4"),
         q(col("width").cast("double") * col("height") / 1e6, 4).as("mega_q4"))
 
+  /** Video frame sampling over fake blobs (kind=video): deterministic
+    * frame count from the payload size, every 2nd frame up to 4 per
+    * blob, per-frame dimensions + checksum mixed from the payload fold
+    * and frame index — the whole mapPartitions flat-map path replayed
+    * exactly by the DuckDB oracle (same HUGEINT trick as q_mm_decode). */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s,
+        Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text",
+          kind = "video")).toDF()
+      .select(col("id"), col("frameIdx"), col("width"), col("height"),
+        col("checksum"))
+
   /** MinHash LSH pairs, md5-anchored variant (SQL oracle). */
   def minhashPairsMd5(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",

@@ -71,4 +71,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows(1) == Seq(0L))
     assert(rows(2) == Seq(0L))
   }
+
+  test("frame sampler: stride/cap bounds, determinism across partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val blobs = Multimodal.toBlobTable(docs, "doc_id", "text", kind = "video")
+    val frames = Multimodal.sampleFrames(spark, blobs.repartition(3))
+    // every blob yields >= 1 frame (frame 0 always sampled), <= maxFrames
+    val per = frames.groupBy("id").count()
+    val mm = per.agg(min("count"), max("count")).head
+    assert(mm.getLong(0) >= 1 && mm.getLong(1) <= 4)
+    assert(per.count() == docs.count())
+    // only even indices under stride 2, below stride*maxFrames
+    val idx = frames.select("frameIdx").distinct().as[Int].collect()
+    assert(idx.forall(i => i % 2 == 0 && i < 8))
+    // deterministic regardless of input partitioning
+    val a = frames.filter(col("id") === 1).orderBy("frameIdx")
+      .select("checksum").as[Long].collect().toSeq
+    val b = Multimodal.sampleFrames(spark, blobs.repartition(7))
+      .filter(col("id") === 1).orderBy("frameIdx")
+      .select("checksum").as[Long].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
