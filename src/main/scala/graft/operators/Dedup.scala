@@ -252,6 +252,83 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  // ------------------------------------------- components / survivors
+
+  /** Connected components over a near-dup pair list: (id, componentId)
+    * for every id appearing in `pairs`, componentId = the minimum id
+    * reachable through the pair graph.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * vertex takes the min of its own label and its neighbours' labels
+    * (one equi-join + one hash groupBy per round), stopping when no
+    * label changes. Rounds needed = graph diameter; LSH dup clusters
+    * are locally dense (every member shares a band bucket with most
+    * others), so real corpora converge in 2–4 rounds. A pathological
+    * path graph costs O(diameter) rounds — the alternating star
+    * contractions of Kiveris et al. (CC-MR) would cut that to
+    * O(log d), at double the per-round shuffle count; min-label wins
+    * for the dup-cluster workload this serves.
+    *
+    * Scale notes: labels re-persist per round with the previous round
+    * released, and every few rounds the lineage is truncated with a
+    * localCheckpoint so the plan does not deepen with the iteration
+    * count. Hot vertices (a doc paired with millions) skew the join;
+    * AQE skew-join splits those partitions. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "idA",
+                          bCol: String = "idB",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighbourMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+      // truncate lineage every 3 rounds: persist alone still grows the
+      // logical plan linearly with iterations
+      val next = (if (iter % 3 == 2) neighbourMin.localCheckpoint(false)
+                  else neighbourMin).persist()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
+        .filter(col("comp") =!= col("_old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop every non-canonical member of each near-dup cluster: rows
+    * whose id maps to a component led by a smaller id are removed, the
+    * component minimum (and every unpaired row) survives. This is the
+    * keep-one-per-cluster step a pair list alone cannot express —
+    * pair-level filtering under-deletes transitive duplicates (A~B,
+    * B~C keeps A and C without the closure). */
+  def keepClusterCanonical(df: DataFrame, idCol: String,
+                           pairs: DataFrame, aCol: String = "idA",
+                           bCol: String = "idB"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    // no broadcast hint: the loser set scales with the corpus' true
+    // duplication rate; AQE broadcasts it when it is actually small
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------ oracle anchors (md5)
 
   /** Oracle-parity MinHash anchor: identical shingling / affine-rehash

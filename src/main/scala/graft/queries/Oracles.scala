@@ -618,6 +618,56 @@ object Oracles {
       |SELECT ia AS "idA", ib AS "idB", ${q("s", 6)} AS sim_q6
       |FROM simil WHERE s >= 0.5""".stripMargin
 
+  /** Mirrors Q.dedupComponents: the [[minhashMd5]] pair derivation,
+    * then connected components as a recursive reachability closure —
+    * componentId = min id reachable through the (symmetric) pair
+    * graph, exactly the fixed point the Spark min-label propagation
+    * converges to. */
+  val dedupComponents: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents)),
+      |sh AS (
+      |  SELECT doc_id,
+      |         ('0x' || substring(md5(
+      |            tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w
+      |          ), 1, 8))::BIGINT AS x
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL),
+      |comps AS (
+      |  SELECT doc_id, h, min(((2 * h + 1) * x + h * 2654435761) % 4294967296) AS comp
+      |  FROM sh, range(64) r(h)
+      |  GROUP BY doc_id, h),
+      |bandkeys AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         string_agg(comp::VARCHAR, ',' ORDER BY h) AS key
+      |  FROM comps GROUP BY doc_id, h // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |simil AS (
+      |  SELECT ia, ib,
+      |         count(*) FILTER (WHERE ca.comp = cb.comp) / 64.0 AS s
+      |  FROM cand
+      |  JOIN comps ca ON ca.doc_id = ia
+      |  JOIN comps cb ON cb.doc_id = ib AND cb.h = ca.h
+      |  GROUP BY ia, ib),
+      |edges AS (
+      |  SELECT ia AS a, ib AS b FROM simil WHERE s >= 0.5
+      |  UNION
+      |  SELECT ib, ia FROM simil WHERE s >= 0.5),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT CAST(src AS BIGINT) AS "docId",
+      |       CAST(min(dst) AS BIGINT) AS "componentId"
+      |FROM reach GROUP BY src""".stripMargin
+
   /** Mirrors Dedup.simhashDupPairsMd5: 60-bit md5 token hash,
     * sign-sum bits over the token multiset, 15-bit quarter blocking,
     * Hamming ≤ 3 via popcount(xor). */
@@ -1491,5 +1541,6 @@ object Oracles {
     "q_mm_decode" -> mmDecode,
     "q_mm_frames" -> mmFrames,
     "q_dedup_minhash_md5" -> minhashMd5,
+    "q_dedup_components" -> dedupComponents,
     "q_dedup_simhash_md5" -> simhashMd5)
 }

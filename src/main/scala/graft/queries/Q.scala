@@ -625,6 +625,19 @@ object Q {
     Dedup.simhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
 
+  /** Near-dup clusters: connected components over the md5-anchored
+    * MinHash pair graph — (docId, componentId) with componentId = min
+    * reachable doc. The DuckDB oracle recomputes the same closure with
+    * a recursive CTE over the same SQL-derived pair list, pinning the
+    * whole pairs→clusters path. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
+      "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").cast("long").as("docId"),
+        col("comp").cast("long").as("componentId"))
+  }
+
   /** Benchmark decontamination: corpus documents covering ≥ 60% of a
     * benchmark document's distinct 3-gram shingles (benchmark = the
     * deterministic doc_id % 37 subset; self-matches excluded). */

@@ -150,4 +150,46 @@ class DedupSpec extends SparkSpec {
       maxBandBucket = 10)
     assert(capped.count() == 0)
   }
+
+  test("connected components match brute-force closure on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // brute force: BFS per node over the undirected adjacency
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupMap(_._1)(_._2)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      def reach(s: Long): Set[Long] = {
+        var seen = Set(s); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+            .filterNot(seen)
+          seen ++= next; frontier = next
+        }
+        seen
+      }
+      val expected = nodes.map(v => v -> reach(v).min).toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("idA", "idB"), maxIter = n)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("component labelling converges on a worst-case path graph") {
+    // path 0-1-2-...-19: diameter 19, the slowest shape for min-label
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(comps.size == 20 && comps.values.forall(_ == 0L))
+  }
+
+  test("keepClusterCanonical deletes transitive duplicates, keeps minima") {
+    // clusters {1,2,3} (via 1-2, 2-3) and {5,6}; 4 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
+    val kept = Dedup.keepClusterCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
 }
