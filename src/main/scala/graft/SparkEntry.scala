@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Q.embeddingDup _),
     "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),
     "q_dedup_components" -> (Q.dedupComponents _),
+    "q_mix_sample" -> (Q.mixSample _),
     "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
     "q_dedup_decontaminate" -> (Q.decontamination _),
     "q_text_tfidf" -> (Q.tfidfTopTerms _),

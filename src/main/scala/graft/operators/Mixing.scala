@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain mixing for training corpora: downsample each source to hit
+  * a target token mix (the "data recipe" step of large-model training
+  * — N% web, M% code, K% books — applied as per-source acceptance
+  * sampling against a total token budget).
+  *
+  * Scale design: ONE aggregation computes per-source token
+  * availability (map-side combined, output rows = #sources, i.e.
+  * tiny); acceptance fractions derive from it and broadcast-join back
+  * onto the corpus, which is filtered in place — the corpus itself is
+  * never shuffled. Acceptance is a DETERMINISTIC per-document uniform
+  * (md5 of the id), so the same inputs always select the same subset
+  * (resumable across reruns, replayable by a SQL engine) and the
+  * sample needs no global sort or per-partition state.
+  */
+object Mixing {
+
+  /** Deterministic uniform in [0, 1): the first 32 md5 bits of the
+    * id rendered as a fraction. Engine-neutral (md5 of the decimal
+    * string), unlike xxhash64. */
+  def uniform01(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Sample `docs` so each source contributes ≈ `weights(source) ×
+    * totalTokenBudget` tokens. A source with fewer tokens than its
+    * target keeps everything (fraction capped at 1 — the budget is
+    * best-effort, as in production mixes where a scarce domain is
+    * simply exhausted); a source absent from `weights` is dropped.
+    * Output = the surviving corpus rows plus the acceptance metadata
+    * (`_frac` removed; survivors keep their full row). */
+  def sampleToMix(docs: DataFrame, idCol: String, sourceCol: String,
+                  tokenCol: String, weights: Map[String, Double],
+                  totalTokenBudget: Long): DataFrame = {
+    val target = element_at(typedlit(weights), col(sourceCol))
+    val fractions = docs
+      .groupBy(sourceCol)
+      .agg(sum(col(tokenCol)).as("_avail"))
+      .withColumn("_frac",
+        least(lit(1.0),
+          coalesce(target, lit(0.0)) * totalTokenBudget / col("_avail")))
+      .select(col(sourceCol), col("_frac"))
+    docs
+      .join(broadcast(fractions), Seq(sourceCol))
+      .filter(uniform01(col(idCol)) < col("_frac"))
+      .drop("_frac")
+  }
+
+  /** Achieved-vs-target report for a sampled mix: per source, the
+    * token share realised by `sampled` against `weights`. */
+  def mixReport(sampled: DataFrame, sourceCol: String, tokenCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    val perSource = sampled.groupBy(sourceCol)
+      .agg(sum(col(tokenCol)).as("tokens"))
+    val total = sampled.agg(sum(col(tokenCol)).as("_total"))
+    perSource
+      .crossJoin(broadcast(total))
+      .withColumn("achievedShare", col("tokens") / col("_total"))
+      .withColumn("targetShare",
+        coalesce(element_at(typedlit(weights), col(sourceCol)), lit(0.0)))
+      .drop("_total")
+  }
+}

@@ -618,6 +618,26 @@ object Oracles {
       |SELECT ia AS "idA", ib AS "idB", ${q("s", 6)} AS sim_q6
       |FROM simil WHERE s >= 0.5""".stripMargin
 
+  /** Mirrors Q.mixSample / Mixing.sampleToMix: whitespace token
+    * counts, per-source availability, capped acceptance fraction
+    * target·budget/avail, md5-uniform acceptance on the decimal id. */
+  val mixSample: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                         x -> x <> ''))::BIGINT AS tokens
+      |  FROM documents),
+      |w(source, wt) AS (
+      |  VALUES ('src0', 0.05), ('src1', 0.15), ('src2', 0.3), ('src3', 0.8)),
+      |f AS (
+      |  SELECT d.source, least(1.0, w.wt * 2000 / sum(d.tokens)) AS frac
+      |  FROM d JOIN w USING (source)
+      |  GROUP BY d.source, w.wt)
+      |SELECT d.doc_id, d.source, d.tokens
+      |FROM d JOIN f USING (source)
+      |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0 < f.frac""".stripMargin
+
   /** Mirrors Q.dedupComponents: the [[minhashMd5]] pair derivation,
     * then connected components as a recursive reachability closure —
     * componentId = min id reachable through the (symmetric) pair
@@ -1542,5 +1562,6 @@ object Oracles {
     "q_mm_frames" -> mmFrames,
     "q_dedup_minhash_md5" -> minhashMd5,
     "q_dedup_components" -> dedupComponents,
+    "q_mix_sample" -> mixSample,
     "q_dedup_simhash_md5" -> simhashMd5)
 }

@@ -638,6 +638,21 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Domain-mix sampling: four weighted sources against a 2000-token
+    * budget (src3's target exceeds its supply, exercising the
+    * keep-everything cap; unweighted sources drop). Acceptance is the
+    * deterministic md5 uniform, replayed exactly by the oracle. */
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val weights = Map("src0" -> 0.05, "src1" -> 0.15, "src2" -> 0.3,
+      "src3" -> 0.8)
+    val docs = t(s, dir, "documents")
+      .withColumn("tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    Mixing.sampleToMix(docs, "doc_id", "source", "tokens", weights,
+        totalTokenBudget = 2000L)
+      .select(col("doc_id"), col("source"), col("tokens"))
+  }
+
   /** Benchmark decontamination: corpus documents covering ≥ 60% of a
     * benchmark document's distinct 3-gram shingles (benchmark = the
     * deterministic doc_id % 37 subset; self-matches excluded). */
