@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Q.simhashPairs _),
     "q_ann_lsh" -> (Q.annLsh _),
     "q_ann_ivf" -> (Q.annIvf _),
+    "q_ann_pq" -> (Q.annPq _),
     // oracle-checked again: the fake decode is replayed in SQL
     "q_mm_decode" -> (Q.multimodalDecode _),
     "q_mm_frames" -> (Q.multimodalFrames _))

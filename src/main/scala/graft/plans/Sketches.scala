@@ -359,6 +359,122 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     copy(child = c)
 }
 
+/** Product-quantisation codes: the embedding is split into
+  * `codebooks.length` contiguous subvectors; each emits the index of
+  * its nearest (squared-L2) codebook entry, ties to the lower index.
+  * `codebooks(s)(c)` = centroid c of subspace s. One tight loop per
+  * row; the (m × k × subDim) codebook rides in the plan like
+  * [[NearestCells]]' centroids. */
+case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(emb: Any): Any = {
+    val arr = emb.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val subDim = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = arr.getDouble(off + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+/** Per-query ADC lookup table: lut[s][c] = inner product of the
+  * query's subvector s with codebook entry c. Computed ONCE per query
+  * row; candidate scoring then costs m array lookups per pair
+  * ([[PqAdc]]) instead of a full d-dimensional dot product — the
+  * asymmetric-distance shape of IVF-PQ (Jégou et al. 2011). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(emb: Any): Any = {
+    val arr = emb.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val subDim = book(0).length
+      val row = new Array[Any](book.length)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var ip = 0.0
+        var i = 0
+        while (i < subDim) { ip += arr.getDouble(off + i) * cent(i); i += 1 }
+        row(c) = ip
+        c += 1
+      }
+      out(s) = new GenericArrayData(row)
+      off += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** ADC score: Σ_s lut[s][codes[s]] — the approximate inner product of
+  * the query against the RECONSTRUCTED corpus vector, in m lookups. */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  // left = codes array<int>, right = lut array<array<double>>
+  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), lut.numElements())
+    var s = 0
+    var sum = 0.0
+    while (s < m) {
+      sum += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
 
@@ -393,4 +509,15 @@ object SketchFunctions {
     Bridge.column(NearestCells(
       Cast(Bridge.expression(embedding), ArrayType(DoubleType)),
       centroids, nProbe))
+
+  def pqCodes(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqCodes(
+      Cast(Bridge.expression(embedding), ArrayType(DoubleType)), codebooks))
+
+  def pqLut(embedding: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqLut(
+      Cast(Bridge.expression(embedding), ArrayType(DoubleType)), codebooks))
+
+  def pqAdc(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes), Bridge.expression(lut)))
 }

@@ -588,6 +588,17 @@ object Q {
       nLists = 16, nProbe = 4)
   }
 
+  /** IVF-PQ top-k (residual product quantisation + exact refine):
+    * rows-only check (k-means, like [[annIvf]]); the refined scores
+    * are exact cosines, anchored semantically by q_ann_topk. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.pqTopK(emb, emb.filter(col("id") < 5), 5,
+      m = 16, kCodes = 16, nLists = 16, nProbe = 6, refineFactor = 8)
+  }
+
   /** Multimodal decode stub + feature math, quantised engine-stably.
     * The deterministic fake decode (a byte-fold mod 2⁶⁴) is replayed
     * exactly by the DuckDB oracle via HUGEINT modular arithmetic, so

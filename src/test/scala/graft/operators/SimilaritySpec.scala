@@ -78,4 +78,47 @@ class SimilaritySpec extends SparkSpec {
     val sims = top3.map(_.getAs[Double]("similarity"))
     assert(sims.sorted.reverse.sameElements(sims)) // descending
   }
+
+  test("PQ ADC score equals the exact dot with the reconstructed vector") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val m = 4
+    val books = Similarity.pqTrain(emb, m, kCodes = 8)
+    val subDim = books(0)(0).length
+    val rows = emb.limit(10).select(col("id"),
+        col("embedding").cast("array<double>").as("e"),
+        graft.plans.SketchFunctions.pqCodes(col("embedding"), books).as("codes"),
+        graft.plans.SketchFunctions.pqLut(col("embedding"), books).as("lut"),
+        graft.plans.SketchFunctions.pqAdc(
+          graft.plans.SketchFunctions.pqCodes(col("embedding"), books),
+          graft.plans.SketchFunctions.pqLut(col("embedding"), books)).as("selfAdc"))
+      .as[(Long, Seq[Double], Seq[Int], Seq[Seq[Double]], Double)].collect()
+    for ((_, e, codes, lut, selfAdc) <- rows) {
+      // reconstruct from codes, dot against the query = its own lut sum
+      val recon = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      val exact = e.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(exact - selfAdc) < 1e-9, s"$exact vs $selfAdc")
+      // lut agrees with the naive per-subspace inner product
+      for (s <- 0 until m; c <- books(s).indices) {
+        val ip = e.slice(s * subDim, (s + 1) * subDim).zip(books(s)(c))
+          .map { case (a, b) => a * b }.sum
+        assert(math.abs(ip - lut(s)(c)) < 1e-9)
+      }
+    }
+  }
+
+  test("IVF-PQ top-k recalls most true neighbours on the real table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val pq = Similarity.pqTopK(emb, q, 5, m = 16, kCodes = 16,
+      nLists = 8, nProbe = 6, refineFactor = 8)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    assert(pq.size == 25)
+    // quantised scores reorder the tail; require >=60% of true top-5
+    assert(pq.intersect(brute).size >= 15,
+      s"recall ${pq.intersect(brute).size}/25")
+  }
 }
