@@ -176,27 +176,83 @@ object Similarity {
       .select("queryId", "neighbourId", "similarity", "rank")
   }
 
+  /** Deterministic bounded training sample: xxhash64-ordered top
+    * maxTrain rows (TakeOrderedAndProject — no full sort at scale).
+    * Codebook training on a bounded sample is the FAISS protocol;
+    * training quality saturates around 100–256 points per centroid,
+    * so pulling the WHOLE corpus through an iterative fit (the first
+    * cut here: 17 Spark-ML KMeans fits) only buys scheduling
+    * overhead — measured 17.2 s/query at sf0.1 vs sub-second for a
+    * 4k-sample driver-side Lloyd. */
+  private def sampleVectors(df: DataFrame, maxTrain: Int,
+                            seed: Long): Array[Array[Double]] =
+    df.select(col("embedding").cast("array<double>").as("e"),
+        xxhash64(col("id"), lit(seed)).as("_h"))
+      .orderBy(col("_h")).limit(maxTrain)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Seeded Lloyd iterations on a driver-side sample; empty clusters
+    * reseed to a random sample point so k centres always come back. */
+  private def lloydLocal(pts: Array[Array[Double]], k: Int, iters: Int,
+                         seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val d = pts(0).length
+    val kk = math.min(k, n)
+    val cents = rnd.shuffle(pts.indices.toVector).take(kk)
+      .map(i => pts(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk, d)(0.0)
+      val cnts = new Array[Int](kk)
+      var p = 0
+      while (p < n) {
+        val pt = pts(p)
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val df = pt(i) - cents(c)(i); dist += df * df; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += pt(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) > 0) {
+          var i = 0
+          while (i < d) { cents(c)(i) = sums(c)(i) / cnts(c); i += 1 }
+        } else cents(c) = pts(rnd.nextInt(n)).clone
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Train product-quantisation codebooks: dims split into `m`
     * contiguous subspaces, k-means with `kCodes` centres per subspace
-    * (driver-coordinated like [[ivfTopK]]'s coarse quantiser; the
+    * over a bounded deterministic sample (see [[sampleVectors]]; the
     * result is m·kCodes·(d/m) doubles — a few KB that rides in the
     * plan). Requires d divisible by m. */
   def pqTrain(corpus: DataFrame, m: Int, kCodes: Int = 16,
-              seed: Long = 42L,
-              trainIters: Int = 5): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val d = corpus.select(size(col("embedding"))).head.getInt(0)
+              seed: Long = 42L, trainIters: Int = 5,
+              maxTrain: Int = 4096): Array[Array[Array[Double]]] = {
+    val pts = sampleVectors(corpus, maxTrain, seed)
+    val d = pts(0).length
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val subDim = d / m
-    (0 until m).map { s =>
-      val sub = corpus.select(array_to_vector(
-        slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim))
-        .as("features"))
-      new KMeans().setK(kCodes).setSeed(seed + s).setMaxIter(trainIters)
-        .setFeaturesCol("features").fit(sub)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    Array.tabulate(m) { s =>
+      lloydLocal(pts.map(p =>
+        java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim)),
+        kCodes, trainIters, seed + s)
+    }
   }
 
   /** IVF-PQ approximate top-k: coarse k-means cells bound the
@@ -227,26 +283,45 @@ object Similarity {
              m: Int = 8, kCodes: Int = 16, nLists: Int = 16,
              nProbe: Int = 3, seed: Long = 42L,
              trainIters: Int = 5, refineFactor: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     def unit(df: DataFrame): DataFrame = df.select(col("id"),
       transform(col("embedding").cast("array<double>"),
         x => x / norm(col("embedding"))).as("embedding"))
     val corpusN = unit(corpus)
     val queriesN = unit(queries)
-    val train = corpusN.select(array_to_vector(
-      col("embedding").cast("array<double>")).as("features"))
-    val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainIters)
-      .setFeaturesCol("features").fit(train).clusterCenters.map(_.toArray)
+    val sample = sampleVectors(corpusN, 4096, seed)
+    val coarse = lloydLocal(sample, nLists, trainIters, seed)
     val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
     val corpusRes = corpusN
       .withColumn("cell", explode(graft.plans.SketchFunctions
         .nearestCells(col("embedding"), coarse, 1)))
       .withColumn("residual", zip_with(col("embedding"),
         element_at(centLit, col("cell") + 1), (a, b) => a - b))
-    val books = pqTrain(
-      corpusRes.select(col("id"), col("residual").as("embedding")),
-      m, kCodes, seed, trainIters)
+    // residual books train on the SAME driver-side sample (residuals
+    // derived locally against `coarse`) — zero extra cluster jobs
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val subDim = d / m
+    val resSample = sample.map { p =>
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var dist = 0.0
+        var i = 0
+        while (i < d) { val df = p(i) - coarse(c)(i); dist += df * df; i += 1 }
+        if (dist < bd) { bd = dist; best = c }
+        c += 1
+      }
+      val r = new Array[Double](d)
+      var i = 0
+      while (i < d) { r(i) = p(i) - coarse(best)(i); i += 1 }
+      r
+    }
+    val books = Array.tabulate(m) { s =>
+      lloydLocal(resSample.map(p =>
+        java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim)),
+        kCodes, trainIters, seed + s)
+    }
     // corpus rows reduce to (cell, codes): the full embedding never
     // crosses the candidate join
     val corpusCodes = corpusRes.select(col("id").as("neighbourId"),
