@@ -359,22 +359,26 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     copy(child = c)
 }
 
-/** Product-quantisation codes: the embedding is split into
-  * `codebooks.length` contiguous subvectors; each emits the index of
-  * its nearest (squared-L2) codebook entry, ties to the lower index.
-  * `codebooks(s)(c)` = centroid c of subspace s. One tight loop per
-  * row; the (m × k × subDim) codebook rides in the plan like
-  * [[NearestCells]]' centroids. */
+/** Product-quantisation codes, PACKED TO BINARY (m bytes per vector —
+  * the storage shape that lets a quantised 100 TB corpus sit in
+  * cluster RAM): the embedding is split into `codebooks.length`
+  * contiguous subvectors; byte s is the index of subvector s's
+  * nearest (squared-L2) codebook entry, ties to the lower index.
+  * Requires kCodes ≤ 256. `codebooks(s)(c)` = centroid c of subspace
+  * s. One tight loop per row; the (m × k × subDim) codebook rides in
+  * the plan like [[NearestCells]]' centroids. */
 case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
+  require(codebooks.forall(_.length <= 256),
+    "PqCodes packs one byte per subspace: kCodes must be <= 256")
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_codes"
 
   override protected def nullSafeEval(emb: Any): Any = {
     val arr = emb.asInstanceOf[ArrayData]
     val m = codebooks.length
-    val out = new Array[Any](m)
+    val out = new Array[Byte](m)
     var off = 0
     var s = 0
     while (s < m) {
@@ -395,11 +399,11 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      out(s) = best
+      out(s) = best.toByte
       off += subDim
       s += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   override protected def withNewChildInternal(c: Expression): PqCodes =
@@ -457,15 +461,16 @@ case class PqAdc(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
-  // left = codes array<int>, right = lut array<array<double>>
+  // left = packed codes binary (one unsigned byte per subspace),
+  // right = lut array<array<double>>
   override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
+    val codes = codesAny.asInstanceOf[Array[Byte]]
     val lut = lutAny.asInstanceOf[ArrayData]
-    val m = math.min(codes.numElements(), lut.numElements())
+    val m = math.min(codes.length, lut.numElements())
     var s = 0
     var sum = 0.0
     while (s < m) {
-      sum += lut.getArray(s).getDouble(codes.getInt(s))
+      sum += lut.getArray(s).getDouble(codes(s) & 0xff)
       s += 1
     }
     sum

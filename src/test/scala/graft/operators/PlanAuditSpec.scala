@@ -105,4 +105,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi index join:\n$p")
   }
+
+  test("IVF-PQ candidate join is equi on the cell, never cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val p = plan(Similarity.pqTopK(emb, emb.filter(col("id") < 2), 3,
+      m = 8, nLists = 4, nProbe = 2))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ candidate join decayed to non-equi:\n$p")
+  }
 }

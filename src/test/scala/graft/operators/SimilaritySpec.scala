@@ -92,10 +92,11 @@ class SimilaritySpec extends SparkSpec {
         graft.plans.SketchFunctions.pqAdc(
           graft.plans.SketchFunctions.pqCodes(col("embedding"), books),
           graft.plans.SketchFunctions.pqLut(col("embedding"), books)).as("selfAdc"))
-      .as[(Long, Seq[Double], Seq[Int], Seq[Seq[Double]], Double)].collect()
+      .as[(Long, Seq[Double], Array[Byte], Seq[Seq[Double]], Double)].collect()
     for ((_, e, codes, lut, selfAdc) <- rows) {
-      // reconstruct from codes, dot against the query = its own lut sum
-      val recon = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      // reconstruct from packed byte codes; dot vs query = own lut sum
+      val recon = codes.toSeq.zipWithIndex
+        .flatMap { case (c, s) => books(s)(c & 0xff) }
       val exact = e.zip(recon).map { case (a, b) => a * b }.sum
       assert(math.abs(exact - selfAdc) < 1e-9, s"$exact vs $selfAdc")
       // lut agrees with the naive per-subspace inner product
