@@ -286,25 +286,32 @@ object Dedup {
       .withColumn("comp", col("id"))
       .persist()
     labels.count()
+    // the persisted frame backing `labels` (labels itself may be a
+    // projection over it once the loop starts)
+    var cached = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighbourMin = edges
+      // the id's OWN previous label rides through the same groupBy
+      // (exactly one _own row per id), so convergence detection is a
+      // filter-count over the freshly persisted result — not a second
+      // shuffle join per round against the previous labels
+      val step = edges
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .select(col("src").as("id"), col("comp"))
-        .unionByName(labels)
+        .withColumn("_own", lit(false))
+        .unionByName(labels.withColumn("_own", lit(true)))
         .groupBy("id")
-        .agg(min("comp").as("comp"))
+        .agg(min("comp").as("comp"),
+          max(when(col("_own"), col("comp"))).as("_old"))
       // truncate lineage every 3 rounds: persist alone still grows the
       // logical plan linearly with iterations
-      val next = (if (iter % 3 == 2) neighbourMin.localCheckpoint(false)
-                  else neighbourMin).persist()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
-        .filter(col("comp") =!= col("_old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      val next = (if (iter % 3 == 2) step.localCheckpoint(false)
+                  else step).persist()
+      val changed = next.filter(col("comp") =!= col("_old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
       converged = changed == 0
       iter += 1
     }
