@@ -141,15 +141,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 3,
               seed: Long = 42L, trainIters: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(
-      col("embedding").cast("array<double>")).as("features"))
     // a coarse quantiser needs rough cells, not converged clusters —
-    // few iterations keep the (driver-coordinated) training cheap
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainIters)
-      .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    // seeded Lloyd on a bounded deterministic sample (the FAISS
+    // training protocol; see sampleVectors) replaces the iterative
+    // whole-corpus Spark-ML fit and its per-iteration job latency
+    val centroids =
+      lloydLocal(sampleVectors(corpus, 4096, seed), nLists, trainIters, seed)
     // native one-pass cell assignment: the (nLists × dim) centroid
     // matrix rides inside the expression — no broadcast variable, no
     // per-row UDF serialisation boundary
@@ -191,7 +188,9 @@ object Similarity {
       .orderBy(col("_h")).limit(maxTrain)
       .collect().map(_.getSeq[Double](0).toArray)
 
-  /** Seeded Lloyd iterations on a driver-side sample; empty clusters
+  /** Seeded Lloyd iterations on a driver-side sample, k-means++
+    * initialisation (next centre drawn ∝ D² — random init costs
+    * measurable recall through unbalanced cells); empty clusters
     * reseed to a random sample point so k centres always come back. */
   private def lloydLocal(pts: Array[Array[Double]], k: Int, iters: Int,
                          seed: Long): Array[Array[Double]] = {
@@ -199,8 +198,30 @@ object Similarity {
     val n = pts.length
     val d = pts(0).length
     val kk = math.min(k, n)
-    val cents = rnd.shuffle(pts.indices.toVector).take(kk)
-      .map(i => pts(i).clone).toArray
+    val cents = new Array[Array[Double]](kk)
+    cents(0) = pts(rnd.nextInt(n)).clone
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var picked = 1
+    while (picked < kk) {
+      val last = cents(picked - 1)
+      var total = 0.0
+      var p = 0
+      while (p < n) {
+        var dist = 0.0
+        var i = 0
+        while (i < d) { val df = pts(p)(i) - last(i); dist += df * df; i += 1 }
+        if (dist < d2(p)) d2(p) = dist
+        total += d2(p)
+        p += 1
+      }
+      var target = rnd.nextDouble() * total
+      var pick = 0
+      p = 0
+      var acc = 0.0
+      while (p < n && acc + d2(p) < target) { acc += d2(p); pick = p + 1; p += 1 }
+      cents(picked) = pts(math.min(pick, n - 1)).clone
+      picked += 1
+    }
     var it = 0
     while (it < iters) {
       val sums = Array.fill(kk, d)(0.0)
