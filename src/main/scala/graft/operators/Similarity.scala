@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -299,24 +299,41 @@ object Similarity {
     *    a per-query constant. `refineFactor = 0` disables refinement
     *    and returns raw ADC scores.
     * Rank quality is then governed by (m, kCodes, refineFactor); m
-    * must divide d. */
+    * must divide d.
+    *
+    * Build/search split: [[pqIndexBuild]] trains the model and encodes
+    * the corpus ONCE; [[pqIndexWrite]]/[[pqIndexRead]] persist both as
+    * parquet (build once over the 100 TB corpus, search many times
+    * against m-byte codes); [[pqSearch]] runs queries against an
+    * index. This method is the one-shot composition. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, kCodes: Int = 16, nLists: Int = 16,
              nProbe: Int = 3, seed: Long = 42L,
              trainIters: Int = 5, refineFactor: Int = 4): DataFrame = {
-    def unit(df: DataFrame): DataFrame = df.select(col("id"),
-      transform(col("embedding").cast("array<double>"),
-        x => x / norm(col("embedding"))).as("embedding"))
-    val corpusN = unit(corpus)
-    val queriesN = unit(queries)
+    val (index, codes) = pqIndexBuild(corpus, m, kCodes, nLists, seed, trainIters)
+    pqSearch(index, codes, queries, k, nProbe,
+      if (refineFactor > 0) Some(corpus) else None, refineFactor)
+  }
+
+  /** Trained IVF-PQ model: coarse centroids + per-subspace residual
+    * codebooks. A few KB of doubles — rides in plans as literals. */
+  final case class PqIndex(coarse: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]])
+
+  private def unitVectors(df: DataFrame): DataFrame = df.select(col("id"),
+    transform(col("embedding").cast("array<double>"),
+      x => x / norm(col("embedding"))).as("embedding"))
+
+  /** Train the coarse quantiser + residual codebooks (driver-side
+    * sampled Lloyd — see [[sampleVectors]]) and encode the corpus to
+    * its (neighbourId, cell, m-byte codes) index frame. */
+  def pqIndexBuild(corpus: DataFrame, m: Int = 8, kCodes: Int = 16,
+                   nLists: Int = 16, seed: Long = 42L,
+                   trainIters: Int = 5): (PqIndex, DataFrame) = {
+    val corpusN = unitVectors(corpus)
     val sample = sampleVectors(corpusN, 4096, seed)
     val coarse = lloydLocal(sample, nLists, trainIters, seed)
     val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    val corpusRes = corpusN
-      .withColumn("cell", explode(graft.plans.SketchFunctions
-        .nearestCells(col("embedding"), coarse, 1)))
-      .withColumn("residual", zip_with(col("embedding"),
-        element_at(centLit, col("cell") + 1), (a, b) => a - b))
     // residual books train on the SAME driver-side sample (residuals
     // derived locally against `coarse`) — zero extra cluster jobs
     val d = sample(0).length
@@ -345,9 +362,54 @@ object Similarity {
     }
     // corpus rows reduce to (cell, codes): the full embedding never
     // crosses the candidate join
-    val corpusCodes = corpusRes.select(col("id").as("neighbourId"),
-      col("cell"),
-      graft.plans.SketchFunctions.pqCodes(col("residual"), books).as("codes"))
+    val codes = corpusN
+      .withColumn("cell", explode(graft.plans.SketchFunctions
+        .nearestCells(col("embedding"), coarse, 1)))
+      .withColumn("residual", zip_with(col("embedding"),
+        element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("id").as("neighbourId"), col("cell"),
+        graft.plans.SketchFunctions.pqCodes(col("residual"), books).as("codes"))
+    (PqIndex(coarse, books), codes)
+  }
+
+  /** Persist an IVF-PQ index: the model as a tiny (subspace, centre,
+    * vec) parquet (subspace −1 = coarse centroids), the codes frame
+    * partitioned BY CELL so a search probing nProbe cells prunes its
+    * scan to nProbe/nLists of the index files. */
+  def pqIndexWrite(index: PqIndex, codes: DataFrame, path: String): Unit = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val coarseRows = index.coarse.zipWithIndex.map { case (v, c) =>
+      (-1, c, v.toSeq) }.toSeq
+    val bookRows = for {(book, sub) <- index.books.zipWithIndex.toSeq
+                        (v, c) <- book.zipWithIndex} yield (sub, c, v.toSeq)
+    (coarseRows ++ bookRows).toDF("subspace", "centre", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Load an index persisted by [[pqIndexWrite]]. */
+  def pqIndexRead(s: SparkSession, path: String): (PqIndex, DataFrame) = {
+    val rows = s.read.parquet(s"$path/model")
+      .select("subspace", "centre", "vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val coarse = rows.filter(_._1 == -1).sortBy(_._2).map(_._3)
+    val books = rows.filter(_._1 >= 0).groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (PqIndex(coarse, books), s.read.parquet(s"$path/codes"))
+  }
+
+  /** Search an IVF-PQ index (see [[pqTopK]] for the scoring model).
+    * `refineCorpus` supplies full vectors for the exact re-rank of the
+    * ADC shortlist; None returns raw ADC scores. */
+  def pqSearch(index: PqIndex, codes: DataFrame, queries: DataFrame,
+               k: Int, nProbe: Int = 3,
+               refineCorpus: Option[DataFrame] = None,
+               refineFactor: Int = 4): DataFrame = {
+    val coarse = index.coarse
+    val books = index.books
+    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    val queriesN = unitVectors(queries)
     val queryLuts = queriesN.select(col("id").as("queryId"), col("embedding"),
         graft.plans.SketchFunctions.pqLut(col("embedding"), books).as("lut"))
       .select(col("queryId"), col("lut"), col("embedding"),
@@ -361,25 +423,27 @@ object Similarity {
     // a corpus row lives in exactly one cell, so each (query, corpus)
     // pair appears at most once — no dedup needed
     val adcTop = queryLuts
-      .join(corpusCodes, Seq("cell"))
+      .join(codes, Seq("cell"))
       .filter(col("queryId") =!= col("neighbourId"))
       .withColumn("score", col("cellDot") +
         graft.plans.SketchFunctions.pqAdc(col("codes"), col("lut")))
       .withColumn("rank", row_number().over(w))
-    if (refineFactor <= 0)
-      adcTop.filter(col("rank") <= k)
-        .select("queryId", "neighbourId", "score", "rank")
-    else
-      adcTop.filter(col("rank") <= k * refineFactor)
-        .select("queryId", "neighbourId")
-        .join(corpusN.select(col("id").as("neighbourId"),
-          col("embedding").as("_c")), Seq("neighbourId"))
-        .join(queriesN.select(col("id").as("queryId"),
-          col("embedding").as("_q")), Seq("queryId"))
-        .withColumn("score", dot(col("_q"), col("_c")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("queryId", "neighbourId", "score", "rank")
+    refineCorpus match {
+      case None =>
+        adcTop.filter(col("rank") <= k)
+          .select("queryId", "neighbourId", "score", "rank")
+      case Some(corpus) =>
+        adcTop.filter(col("rank") <= k * refineFactor)
+          .select("queryId", "neighbourId")
+          .join(unitVectors(corpus).select(col("id").as("neighbourId"),
+            col("embedding").as("_c")), Seq("neighbourId"))
+          .join(queriesN.select(col("id").as("queryId"),
+            col("embedding").as("_q")), Seq("queryId"))
+          .withColumn("score", dot(col("_q"), col("_c")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("queryId", "neighbourId", "score", "rank")
+    }
   }
 
   /** Exact all-pairs cosine near-duplicates (id-ordered, one row per

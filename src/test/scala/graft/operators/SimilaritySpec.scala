@@ -108,6 +108,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index round-trips and searches identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val direct = Similarity.pqTopK(emb, q, 5, m = 16, kCodes = 16,
+      nLists = 8, nProbe = 6, refineFactor = 8)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      val (index, codes) = Similarity.pqIndexBuild(emb, m = 16,
+        kCodes = 16, nLists = 8)
+      Similarity.pqIndexWrite(index, codes, dir)
+      val (loaded, loadedCodes) = Similarity.pqIndexRead(spark, dir)
+      val viaIndex = Similarity.pqSearch(loaded, loadedCodes, q, 5,
+        nProbe = 6, refineCorpus = Some(emb), refineFactor = 8)
+      assert(viaIndex.collect().map(_.toSeq).toSet == direct)
+      // the codes frame is laid out partitioned BY CELL on disk, so a
+      // cell-filtered probe is a partition-pruned scan
+      val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, s"no cell= partitions under $dir/codes")
+      val pruned = loadedCodes.filter(col("cell") === lit(
+        cellDirs.head.getName.stripPrefix("cell=").toInt))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"cell filter not pruned at scan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF-PQ top-k recalls most true neighbours on the real table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
