@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Q.dedupExact _),
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
     "q_text_stats" -> (Q.textStats _),
+    "q_text_unigram_lp" -> (Q.textUnigramLp _),
     "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
     "q_pack_shards" -> (Q.packShards _),
     "q_ann_topk" -> (Q.annTopK _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),
     "q_dedup_components" -> (Q.dedupComponents _),
     "q_mix_sample" -> (Q.mixSample _),
+    "q_mix_split" -> (Q.mixSplit _),
     "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
     "q_dedup_decontaminate" -> (Q.decontamination _),
     "q_text_tfidf" -> (Q.tfidfTopTerms _),

@@ -50,6 +50,24 @@ object Mixing {
       .drop("_frac")
   }
 
+  /** Deterministic train/val/test assignment: each row's split is a
+    * pure function of its id (salted md5-uniform, so the assignment is
+    * independent of [[sampleToMix]]'s acceptance draw on the same
+    * ids), replayable by any SQL engine and stable across reruns,
+    * repartitioning, and corpus growth — a doc keeps its split when
+    * new docs arrive, which leakage audits rely on. No shuffle: one
+    * projected column. */
+  def assignSplit(docs: DataFrame, idCol: String,
+                  valFrac: Double = 0.05, testFrac: Double = 0.05,
+                  salt: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1)
+    val u = uniform01(concat(col(idCol).cast("string"), lit(":" + salt)))
+    docs.withColumn("split",
+      when(u < valFrac, "val")
+        .when(u < valFrac + testFrac, "test")
+        .otherwise("train"))
+  }
+
   /** Achieved-vs-target report for a sampled mix: per source, the
     * token share realised by `sampled` against `weights`. */
   def mixReport(sampled: DataFrame, sourceCol: String, tokenCol: String,

@@ -113,4 +113,28 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("docId", "rank", "term", "tf", "df", "tfidf")
   }
+
+  /** Corpus-relative unigram log-probability per document (the mean
+    * ln p(token) under the corpus' own unigram LM) — the classic
+    * cheap fluency/quality signal: gibberish and boilerplate-heavy
+    * docs sit far from the corpus mode; complements [[tfIdfTopTerms]]
+    * with a corpus-global scalar. One token-keyed shuffle for the
+    * term counts, one token-keyed join back (right side is
+    * vocabulary-sized — AQE broadcasts it when small), one group by
+    * doc. The exploded token frame is recomputed rather than cached:
+    * at corpus scale it is larger than the corpus itself, so
+    * re-tokenising (scan-speed codegen) beats materialising it. */
+  def unigramLogProbScores(docs: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+    val total = counts.agg(sum("_tf").as("_n"))
+    toks
+      .join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(avg(log(col("_tf").cast("double") / col("_n")))
+          .as("unigramLogProb"),
+        count(lit(1)).as("nTokens"))
+  }
 }

@@ -463,6 +463,35 @@ object Oracles {
       |    AS n_stopwords
       |FROM documents""".stripMargin
 
+  /** Mirrors Q.textUnigramLp / TextAnalysis.unigramLogProbScores:
+    * per-doc mean ln of corpus-relative token probability. */
+  val textUnigramLp: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                       x -> x <> '')) AS token
+       |  FROM documents),
+       |c AS (SELECT token, count(*)::BIGINT AS tf FROM tok GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM tok)
+       |SELECT t.doc_id,
+       |       ${q("avg(ln(c.tf / n.n))", 6)} AS unigram_lp_q6,
+       |       count(*)::BIGINT AS n_tokens
+       |FROM tok t JOIN c USING (token) CROSS JOIN n
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** Mirrors Q.mixSplit / Mixing.assignSplit: salted md5-uniform
+    * train/val/test assignment, same replay as [[mixSample]]. */
+  val mixSplit: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN u < 0.1 THEN 'val'
+      |       WHEN u < 0.2 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+      |      / 4294967296.0 AS u
+      |  FROM documents)""".stripMargin
+
   /** Mirrors Q.packShards + Packing.packByBudget: the two-level
     * distributed prefix sum equals a plain global window cumsum. */
   val packShards: String =
@@ -1554,6 +1583,8 @@ object Oracles {
     "q_text_tfidf" -> tfidfTopTerms,
     "q_dedup_semantic" -> semanticDedup,
     "q_text_stats" -> textStats,
+    "q_text_unigram_lp" -> textUnigramLp,
+    "q_mix_split" -> mixSplit,
     "q_text_fingerprint_summary" -> fingerprintSummary,
     "q_pack_shards" -> packShards,
     "q_ann_topk" -> annTopK,

@@ -404,6 +404,19 @@ object Q {
         .as("n_stopwords"))
   }
 
+  /** Corpus-relative unigram log-prob quality score per document,
+    * q6-quantised for the oracle. */
+  def textUnigramLp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProbScores(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), q(col("unigramLogProb"), 6).as("unigram_lp_q6"),
+        col("nTokens").cast("long").as("n_tokens"))
+
+  /** Deterministic md5-salted train/val/test assignment. */
+  def mixSplit(s: SparkSession, dir: String): DataFrame =
+    Mixing.assignSplit(t(s, dir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id",
+      valFrac = 0.1, testFrac = 0.1)
+
   /** Sequence packing: documents into ~2000-token shards via the
     * distributed two-level prefix sum (no global single-partition
     * window). Oracle mirrors with a plain window cumsum. */

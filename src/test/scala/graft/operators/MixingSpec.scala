@@ -50,4 +50,34 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(rep.map(_._2).sum - 1.0) < 1e-9)
     assert(rep.forall(r => math.abs(r._2 - r._3) < 0.25))
   }
+
+  test("assignSplit: fractions roughly honoured, exhaustive, stable") {
+    val split = Mixing.assignSplit(docs, "doc_id", valFrac = 0.2,
+      testFrac = 0.1)
+    val byKind = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKind.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byKind.values.sum == 400L)
+    assert(byKind("val") > 40 && byKind("val") < 120)   // ~80 expected
+    assert(byKind("test") > 15 && byKind("test") < 80)  // ~40 expected
+    // per-id determinism across partitioning
+    val a = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Mixing.assignSplit(docs.repartition(7), "doc_id",
+        valFrac = 0.2, testFrac = 0.1)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // independent of sampleToMix's unsalted draw: both val and train
+    // ids appear among sampleToMix survivors (no correlated stripe)
+    val survivors = Mixing.sampleToMix(docs, "doc_id", "source", "tokens",
+      Map("src0" -> 0.5, "src1" -> 0.5), 1000L)
+    val kinds = Mixing.assignSplit(survivors, "doc_id", valFrac = 0.2,
+      testFrac = 0.1).select("split").distinct().as[String].collect().toSet
+    assert(kinds.contains("train") && kinds.contains("val"))
+  }
+
+  test("assignSplit: zero fractions produce pure train") {
+    val kinds = Mixing.assignSplit(docs, "doc_id", valFrac = 0.0,
+      testFrac = 0.0).select("split").distinct().as[String].collect().toSet
+    assert(kinds == Set("train"))
+  }
 }

@@ -92,4 +92,18 @@ class TextMultimodalSpec extends SparkSpec {
       .select("checksum").as[Long].collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("unigram log-prob scores match the hand-computed corpus LM") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScores(docs, "text", "doc_id")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // counts: a=2 b=2 c=1, N=5
+    val d1 = (math.log(2 / 5.0) * 3) / 3
+    val d2 = (math.log(2 / 5.0) + math.log(1 / 5.0)) / 2
+    assert(math.abs(got(1L)._1 - d1) < 1e-12 && got(1L)._2 == 3L)
+    assert(math.abs(got(2L)._1 - d2) < 1e-12 && got(2L)._2 == 2L)
+    // gibberish (all-rare tokens) scores below repeated common prose
+    assert(got(2L)._1 < got(1L)._1)
+  }
 }
