@@ -63,6 +63,28 @@ object Bench {
     val spark = session()
     val minReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "4").toInt
+    // SPARK_GRAFT_PROFILE=1: dump each query's costliest stages to
+    // stderr (executor-CPU-ranked) — profiling in the REAL bench JVM
+    // (24g, local[16]); a small-heap test JVM GC-distorts attribution
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, String)]
+    if (profile)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield c - s).getOrElse(-1L)
+            stages.synchronized {
+              stages += ((si.stageId, wall, si.taskMetrics.executorRunTime,
+                si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+                si.details.linesIterator.find(_.contains("graft"))
+                  .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(120)))
+            }
+          }
+        })
     csv.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       var best = Double.MaxValue
       var n = -1L
@@ -90,6 +112,15 @@ object Bench {
         best = -1.0
       }
       println(f"BENCHQ $name $best%.6f rows=$n")
+      if (profile) {
+        stages.synchronized {
+          stages.sortBy(-_._3).take(12).foreach { case (id, w, cpu, shuf, d) =>
+            System.err.println(
+              f"[profile] $name stage=$id wall=${w / 1e3}%.2f cpu=${cpu / 1e3}%.2f shufMB=${shuf / 1e6}%.1f $d")
+          }
+          stages.clear()
+        }
+      }
       System.gc()
       Thread.sleep(300)
     }
@@ -114,6 +145,12 @@ object Bench {
       s"-Xmx$childMem",
       // cap JVM service threads so they don't convoy the executor pool
       "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2", "-XX:CICompilerCount=4",
+      // every rep regenerates wholestage-codegen classes (fresh expr
+      // ids → new class text), and a wide plan's reps overflow the
+      // 240m default code cache → JIT deopt → interpreted stages ran
+      // 8x the CPU (measured on q_ml_l2g_features rep 3: 25 → 205
+      // CPU-s for the same stage). Room + flushing keeps reps honest.
+      "-XX:ReservedCodeCacheSize=512m", "-XX:+UseCodeCacheFlushing",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", classpath, "graft.Bench", "--single")
 
