@@ -333,7 +333,6 @@ object Similarity {
     val corpusN = unitVectors(corpus)
     val sample = sampleVectors(corpusN, 4096, seed)
     val coarse = lloydLocal(sample, nLists, trainIters, seed)
-    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
     // residual books train on the SAME driver-side sample (residuals
     // derived locally against `coarse`) — zero extra cluster jobs
     val d = sample(0).length
@@ -360,16 +359,28 @@ object Similarity {
         java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim)),
         kCodes, trainIters, seed + s)
     }
-    // corpus rows reduce to (cell, codes): the full embedding never
-    // crosses the candidate join
-    val codes = corpusN
+    // corpus rows reduce to (cell, codes) via the shared encode path:
+    // the full embedding never crosses the candidate join
+    val idx = PqIndex(coarse, books)
+    (idx, pqEncode(idx, corpus))
+  }
+
+  /** Encode rows against an EXISTING model — the incremental-append
+    * path: a corpus delta joins a built index without retraining
+    * (write the result under the same cell-partitioned layout and the
+    * index grows in place; FAISS's add-without-train). Centroids
+    * drift as the corpus does, so periodic rebuilds still apply —
+    * but per-delta cost drops from train+encode to encode-only. */
+  def pqEncode(index: PqIndex, rows: DataFrame): DataFrame = {
+    val centLit = array(index.coarse.map(c => array(c.map(lit): _*)): _*)
+    unitVectors(rows)
       .withColumn("cell", explode(graft.plans.SketchFunctions
-        .nearestCells(col("embedding"), coarse, 1)))
+        .nearestCells(col("embedding"), index.coarse, 1)))
       .withColumn("residual", zip_with(col("embedding"),
         element_at(centLit, col("cell") + 1), (a, b) => a - b))
       .select(col("id").as("neighbourId"), col("cell"),
-        graft.plans.SketchFunctions.pqCodes(col("residual"), books).as("codes"))
-    (PqIndex(coarse, books), codes)
+        graft.plans.SketchFunctions.pqCodes(col("residual"), index.books)
+          .as("codes"))
   }
 
   /** Persist an IVF-PQ index: the model as a tiny (subspace, centre,

@@ -139,6 +139,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqEncode appends a delta that searches like a full rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = emb.filter(col("id") < 400)
+    val delta = emb.filter(col("id") >= 400)
+    val (index, baseCodes) = Similarity.pqIndexBuild(base, m = 16,
+      kCodes = 16, nLists = 8)
+    // encoding the delta with the EXISTING model = same rows the full
+    // encode of the union produces under that model
+    val appended = baseCodes.unionByName(Similarity.pqEncode(index, delta))
+    val fullEncode = Similarity.pqEncode(index, emb)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]]("codes").toSeq)).toSet
+    assert(key(appended) == key(fullEncode))
+    // and the appended index actually finds delta members
+    val q = emb.filter(col("id") < 3)
+    val hits = Similarity.pqSearch(index, appended, q, 10, nProbe = 8,
+        refineCorpus = Some(emb))
+      .select("neighbourId").as[Long].collect()
+    assert(hits.exists(_ >= 400L))
+  }
+
   test("IVF-PQ top-k recalls most true neighbours on the real table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
