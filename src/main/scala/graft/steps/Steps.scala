@@ -418,7 +418,86 @@ object Steps {
       (s, a) => write(
         Similarity.semanticDupPairs(read(s, a("in")),
           read(s, a("centroids")),
-          threshold = a.double("threshold", 0.9)), a("out")))
+          threshold = a.double("threshold", 0.9)), a("out"))),
+
+    Step("dedup_cluster_canonical",
+      "Transitive near-dup clusters from a pair table; keep one survivor per cluster",
+      (s, a) => write(
+        Dedup.keepClusterCanonical(read(s, a("in")),
+          a.get("id_col").getOrElse("doc_id"), read(s, a("pairs")),
+          a.get("a_col").getOrElse("idA"), a.get("b_col").getOrElse("idB")),
+        a("out"))),
+
+    Step("mix_sample",
+      "Downsample each source to a target token mix (weights: src=w,src=w)",
+      (s, a) => write(
+        graft.operators.Mixing.sampleToMix(read(s, a("in")),
+          a.get("id_col").getOrElse("doc_id"),
+          a.get("source_col").getOrElse("source"),
+          a.get("token_col").getOrElse("tokens"),
+          a("weights").split(",").map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toDouble
+          }.toMap,
+          a.long("budget", 1000000L)), a("out"))),
+
+    Step("assign_split",
+      "Deterministic md5-salted train/val/test assignment",
+      (s, a) => write(
+        graft.operators.Mixing.assignSplit(read(s, a("in")),
+          a.get("id_col").getOrElse("doc_id"),
+          valFrac = a.double("val_frac", 0.05),
+          testFrac = a.double("test_frac", 0.05)), a("out"))),
+
+    Step("text_signals",
+      "Per-document quality signals: tokens, quality, language, unigram log-prob",
+      (s, a) => {
+        val idCol = a.get("id_col").getOrElse("doc_id")
+        val textCol = a.get("text_col").getOrElse("text")
+        val docs = read(s, a("in"))
+        val base = docs.select(col(idCol),
+          TextAnalysis.tokenCount(col(textCol)).as("nTokens"),
+          TextAnalysis.bpeishTokenCount(col(textCol)).as("nBpeishTokens"),
+          TextAnalysis.qualityScore(col(textCol)).as("qualityScore"),
+          TextAnalysis.languageId(col(textCol)).as("language"),
+          TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+        write(base.join(
+          TextAnalysis.unigramLogProbScores(docs, textCol, idCol)
+            .select(col(idCol), col("unigramLogProb")), Seq(idCol)),
+          a("out"))
+      }),
+
+    Step("sample_frames",
+      "Sample frames off video blobs (stride/cap), one row per frame",
+      (s, a) => write(
+        graft.operators.Multimodal.sampleFrames(s, read(s, a("in")),
+          stride = a.int("stride", 10),
+          maxFrames = a.int("max_frames", 8)).toDF(), a("out"))),
+
+    Step("pq_index_build",
+      "Train + encode an IVF-PQ ANN index (model + cell-partitioned codes)",
+      (s, a) => {
+        val (idx, codes) = Similarity.pqIndexBuild(read(s, a("in")),
+          m = a.int("m", 8), kCodes = a.int("k_codes", 16),
+          nLists = a.int("n_lists", 16))
+        Similarity.pqIndexWrite(idx, codes, a("out"))
+      }),
+
+    Step("pq_index_append",
+      "Encode a corpus delta against an existing PQ index model",
+      (s, a) => {
+        val (idx, _) = Similarity.pqIndexRead(s, a("index"))
+        write(Similarity.pqEncode(idx, read(s, a("in"))), a("out"))
+      }),
+
+    Step("pq_search",
+      "Top-k ANN search against a persisted IVF-PQ index",
+      (s, a) => {
+        val (idx, codes) = Similarity.pqIndexRead(s, a("index"))
+        write(Similarity.pqSearch(idx, codes, read(s, a("queries")),
+          k = a.int("k", 10), nProbe = a.int("n_probe", 3),
+          refineCorpus = a.get("refine_corpus").map(read(s, _)),
+          refineFactor = a.int("refine_factor", 4)), a("out"))
+      })
   ).map(s => s.name -> s).toMap
 
   /** Parse `step key=value...` and run. */

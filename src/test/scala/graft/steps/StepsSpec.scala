@@ -57,6 +57,54 @@ class StepsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("training-data steps chain: signals -> split -> canonical dedup") {
+    val in = tmp("corpus_in")
+    Seq((1L, "src0", "the quick brown fox jumps"),
+      (2L, "src0", "the quick brown fox jumps"),
+      (3L, "src1", "entirely different text here"),
+      (4L, "src1", "zz qq xx yy ww vv"))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val signals = tmp("signals_out")
+    Steps.runFromArgs(spark, Seq("text_signals", s"in=$in", s"out=$signals"))
+    val sig = spark.read.parquet(signals)
+    assert(sig.count() == 4 && sig.columns.contains("unigramLogProb") &&
+      sig.columns.contains("qualityScore"))
+    val split = tmp("split_out")
+    Steps.runFromArgs(spark, Seq("assign_split", s"in=$in", s"out=$split",
+      "val_frac=0.25", "test_frac=0.25"))
+    assert(spark.read.parquet(split).select("split").distinct().count() >= 1)
+    val pairs = tmp("pairs_in")
+    Seq((1L, 2L)).toDF("idA", "idB").write.parquet(pairs)
+    val deduped = tmp("dedup_out")
+    Steps.runFromArgs(spark, Seq("dedup_cluster_canonical",
+      s"in=$in", s"pairs=$pairs", s"out=$deduped"))
+    assert(spark.read.parquet(deduped).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("pq index steps: build, append, search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val base = tmp("pq_corpus"); val delta = tmp("pq_delta")
+    emb.filter(col("id") < 400).write.parquet(base)
+    emb.filter(col("id") >= 400).write.parquet(delta)
+    val idx = tmp("pq_index")
+    Steps.runFromArgs(spark, Seq("pq_index_build", s"in=$base", s"out=$idx",
+      "m=16", "n_lists=8"))
+    val appended = tmp("pq_appended")
+    Steps.runFromArgs(spark, Seq("pq_index_append", s"in=$delta",
+      s"index=$idx", s"out=$appended"))
+    assert(spark.read.parquet(appended).count() == 100)
+    val queries = tmp("pq_queries")
+    emb.filter(col("id") < 3).write.parquet(queries)
+    val hits = tmp("pq_hits")
+    Steps.runFromArgs(spark, Seq("pq_search", s"index=$idx",
+      s"queries=$queries", s"out=$hits", "k=5", "n_probe=4",
+      s"refine_corpus=$base"))
+    val got = spark.read.parquet(hits)
+    assert(got.count() == 15 && got.columns.contains("score"))
+  }
+
   test("study_validation step chains optional validators") {
     val in = tmp("studies_in")
     val targets = tmp("targets_in")
