@@ -457,6 +457,24 @@ object Similarity {
     }
   }
 
+  /** Recall@k of an approximate top-k result against the exact one:
+    * per query, |approx ∩ exact| / |exact|, plus a corpus-level mean
+    * row (queryId NULL) — the evaluation loop for tuning (tables,
+    * planesPerTable) / (m, kCodes, nLists, nProbe). Run it on a
+    * SAMPLED query set: the exact side is the brute-force scan, so
+    * the evaluation cost is nQueries × corpus, not corpus². */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val perQuery = exact.select(col("queryId"), col("neighbourId"))
+      .join(approx.select(col("queryId"), col("neighbourId"))
+        .withColumn("_hit", lit(1)), Seq("queryId", "neighbourId"), "left")
+      .groupBy("queryId")
+      .agg((sum(coalesce(col("_hit"), lit(0))) /
+        count(lit(1))).as("recall"))
+    perQuery.unionByName(perQuery.agg(
+      lit(null).cast(perQuery.schema("queryId").dataType).as("queryId"),
+      avg(col("recall")).as("recall")))
+  }
+
   /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
     * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
     * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */

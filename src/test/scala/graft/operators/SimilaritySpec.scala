@@ -139,6 +139,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recallReport scores approx vs exact per query and overall") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("queryId", "neighbourId")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("queryId", "neighbourId")
+    val rep = Similarity.recallReport(approx, exact).collect()
+      .map(r => (Option(r.get(0)), r.getDouble(1))).toMap
+    assert(rep(Some(1L)) == 1.0)
+    assert(rep(Some(2L)) == 0.5)
+    assert(math.abs(rep(None) - 0.75) < 1e-12)
+  }
+
   test("pqEncode appends a delta that searches like a full rebuild") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
