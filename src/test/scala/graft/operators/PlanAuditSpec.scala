@@ -106,6 +106,39 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi index join:\n$p")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (0L until 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+      val right = (0L until 200L).map(i => (i, i * 2.0)).toDF("k", "rv")
+      graft.core.Bucketing.writeBucketed(left, "bkt_left", Seq("k"), 4)
+      graft.core.Bucketing.writeBucketed(right, "bkt_right", Seq("k"), 4)
+      val joined = graft.core.Bucketing.readBucketed(spark, "bkt_left")
+        .join(graft.core.Bucketing.readBucketed(spark, "bkt_right"), Seq("k"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() == 200)
+      // the same join on plain (unbucketed) parquet DOES exchange —
+      // the audit is meaningful, not vacuously true
+      val plainL = tmpParquet(left, "bkt_plain_l")
+      val plainR = tmpParquet(right, "bkt_plain_r")
+      assert(plan(plainL.join(plainR, Seq("k")))
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  private def tmpParquet(df: DataFrame, name: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   test("IVF-PQ candidate join is equi on the cell, never cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
