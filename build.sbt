@@ -35,7 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 117s -> 1472s on identical work. Capping service threads restores
   // flat 4-5s runs. (A production cluster sizes executor cores below
   // host vCPUs for the same reason.)
-  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2", "-XX:CICompilerCount=4",
+  // NOTE: do not cap CICompilerCount — a 4-thread C2 queue lags the
+  // class flood from wide wholestage-codegen plans and leaves their hot
+  // loops interpreted (measured 2x on the widest bench query).
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
   // 50+ codegen-heavy queries in one JVM overflow the default 240m
   // code cache; once full the JIT disables and late queries run
   // interpreted (3-4x slower than the same query in a fresh JVM)

@@ -143,8 +143,15 @@ object Bench {
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_BATCH", "7").toInt
     val base = Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$childMem",
-      // cap JVM service threads so they don't convoy the executor pool
-      "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2", "-XX:CICompilerCount=4",
+      // cap GC service threads so they don't convoy the executor pool —
+      // but do NOT cap the JIT compiler pool: with CICompilerCount=4 the
+      // C2 queue lags the flood of wholestage-codegen classes a wide
+      // plan emits, and its hot loops run interpreted for tens of
+      // seconds (q_ml_l2g_features measured 22.7 s capped vs 10.4 s
+      // with the default pool on a 32-vCPU host; light queries are
+      // unaffected). The local[16] children leave headroom for the
+      // default compiler pool.
+      "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
       // every rep regenerates wholestage-codegen classes (fresh expr
       // ids → new class text), and a wide plan's reps overflow the
       // 240m default code cache → JIT deopt → interpreted stages ran

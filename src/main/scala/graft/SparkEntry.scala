@@ -59,6 +59,9 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
     "q_text_stats" -> (Q.textStats _),
     "q_text_unigram_lp" -> (Q.textUnigramLp _),
+    "q_text_repetition" -> (Q.textRepetition _),
+    "q_text_oov" -> (Q.textOov _),
+    "q_text_pii" -> (Q.textPii _),
     "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
     "q_pack_shards" -> (Q.packShards _),
     "q_ann_topk" -> (Q.annTopK _),

@@ -114,6 +114,76 @@ object TextAnalysis {
       .select("docId", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Word n-grams (space-joined) of the tokenised text; empty array
+    * when the document has fewer than `n` tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher/MassiveText-style intra-document repetition signals:
+    *  - `topBigramFrac`: occurrences of the most frequent word 2-gram
+    *    over all 2-gram occurrences (boilerplate/chant detector);
+    *  - `dupTrigramFrac`: fraction of 3-gram occurrences whose 3-gram
+    *    appears more than once in the document.
+    * Both null when the document is too short to form the n-gram.
+    * Documents with fewer than two tokens are absent from the output.
+    *
+    * Shape at 100 TB: explode both gram families once (tagged with n so
+    * colliding strings cannot cross-count), ONE combiner-friendly
+    * shuffle to per-(doc, n, gram) counts, ONE shuffle to the per-doc
+    * signals — no per-doc quadratic array scan, bounded state per key.
+    */
+  def ngramRepetitionSignals(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(concat(
+          transform(wordNgrams(col(textCol), 2),
+            g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(wordNgrams(col(textCol), 3),
+            g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+    grams
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("n") === 2, col("cnt"))).as("nBigrams"),
+        max(when(col("n") === 2, col("cnt"))).as("_topBigram"),
+        sum(when(col("n") === 3, col("cnt"))).as("_nTrigrams"),
+        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("_dupTri"))
+      .select(col(idCol), col("nBigrams"),
+        (col("_topBigram").cast("double") / col("nBigrams")).as("topBigramFrac"),
+        (coalesce(col("_dupTri"), lit(0L)).cast("double") / col("_nTrigrams"))
+          .as("dupTrigramFrac"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus' own
+    * top-`vocabSize` token vocabulary (tokenizer-coverage analysis).
+    * Vocabulary ties break deterministically by (count desc, token).
+    *
+    * Shape at 100 TB: token counts are ONE combiner-friendly shuffle
+    * over the exploded corpus; the top-K is a TakeOrdered over the
+    * (much smaller) distinct-token frame, not a global sort of the
+    * corpus; the tiny vocabulary broadcasts back onto the token stream
+    * for a per-doc conditional count. */
+  def oovRates(docs: DataFrame, textCol: String, idCol: String,
+               vocabSize: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+      .orderBy(col("_tf").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("_inVocab"))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nTokens"), count(col("_inVocab")).as("_inV"))
+      .select(col(idCol), col("nTokens"),
+        (lit(1.0) - col("_inV").cast("double") / col("nTokens")).as("oovFrac"))
+  }
+
   /** Corpus-relative unigram log-probability per document (the mean
     * ln p(token) under the corpus' own unigram LM) — the classic
     * cheap fluency/quality signal: gibberish and boilerplate-heavy

@@ -479,6 +479,81 @@ object Oracles {
        |FROM tok t JOIN c USING (token) CROSS JOIN n
        |GROUP BY t.doc_id""".stripMargin
 
+  /** Mirrors Q.textRepetition / TextAnalysis.ngramRepetitionSignals:
+    * top-bigram occurrence fraction + duplicate-trigram fraction per
+    * doc; docs with <2 tokens absent, <3-token trigram stats null. */
+  val textRepetition: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                     x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n,
+       |         unnest(list_transform(range(1, len(t)),
+       |                i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM toks WHERE len(t) >= 2
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS n,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM toks WHERE len(t) >= 3),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) FILTER (WHERE n = 2) AS BIGINT) AS n_bigrams,
+       |  ${q("(max(cnt) FILTER (WHERE n = 2))::DOUBLE / sum(cnt) FILTER (WHERE n = 2)", 6)}
+       |    AS top_bigram_frac_q6,
+       |  ${q("coalesce(sum(cnt) FILTER (WHERE n = 3 AND cnt > 1), 0)::DOUBLE / sum(cnt) FILTER (WHERE n = 3)", 6)}
+       |    AS dup_trigram_frac_q6
+       |FROM c GROUP BY doc_id""".stripMargin
+
+  /** Mirrors Q.textOov / TextAnalysis.oovRates: per-doc OOV fraction
+    * against the corpus top-100 vocabulary, ties by (tf desc, token). */
+  val textOov: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                       x -> x <> '')) AS token
+       |  FROM documents),
+       |v AS (
+       |  SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY 1)
+       |  QUALIFY row_number() OVER (ORDER BY tf DESC, token) <= 100)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |       ${q("1.0 - count(v.token)::DOUBLE / count(*)", 6)} AS oov_frac_q6
+       |FROM tok t LEFT JOIN v ON t.token = v.token
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** Mirrors Q.textPii / PiiRedaction.report: inject id-derived PII
+    * into every third doc, then count + redact with the same RE2
+    * patterns (email → IPv4 → phone order). */
+  val textPii: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |      lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+      |      ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS red
+      |  FROM d)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+      |  len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+      |  len(red)::BIGINT AS redacted_len,
+      |  md5(red) AS redacted_md5
+      |FROM r""".stripMargin
+
   /** Mirrors Q.mixSplit / Mixing.assignSplit: salted md5-uniform
     * train/val/test assignment, same replay as [[mixSample]]. */
   val mixSplit: String =
@@ -1584,6 +1659,9 @@ object Oracles {
     "q_dedup_semantic" -> semanticDedup,
     "q_text_stats" -> textStats,
     "q_text_unigram_lp" -> textUnigramLp,
+    "q_text_repetition" -> textRepetition,
+    "q_text_oov" -> textOov,
+    "q_text_pii" -> textPii,
     "q_mix_split" -> mixSplit,
     "q_text_fingerprint_summary" -> fingerprintSummary,
     "q_pack_shards" -> packShards,

@@ -411,6 +411,39 @@ object Q {
       .select(col("doc_id"), q(col("unigramLogProb"), 6).as("unigram_lp_q6"),
         col("nTokens").cast("long").as("n_tokens"))
 
+  /** Gopher-style intra-document n-gram repetition signals. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetitionSignals(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("nBigrams").cast("long").as("n_bigrams"),
+        q(col("topBigramFrac"), 6).as("top_bigram_frac_q6"),
+        q(col("dupTrigramFrac"), 6).as("dup_trigram_frac_q6"))
+
+  /** Per-document OOV rate against the corpus top-100 vocabulary. */
+  def textOov(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRates(t(s, dir, "documents"), "text", "doc_id", vocabSize = 100)
+      .select(col("doc_id"), col("nTokens").cast("long").as("n_tokens"),
+        q(col("oovFrac"), 6).as("oov_frac_q6"))
+
+  /** PII redaction report over documents with deterministically
+    * injected PII (every third doc gains an email + phone + IPv4
+    * derived from its id — the corpus itself contains none, so the
+    * injection exercises the match/replace paths on both engines). */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      .otherwise(col("text"))
+    PiiRedaction.report(
+      t(s, dir, "documents").select(col("doc_id"), injected.as("text")),
+      "text", "doc_id")
+      .select(col("doc_id"), col("nEmails").as("n_emails"),
+        col("nIps").as("n_ips"), col("nPhones").as("n_phones"),
+        col("redactedLen").as("redacted_len"),
+        col("redactedMd5").as("redacted_md5"))
+  }
+
   /** Deterministic md5-salted train/val/test assignment. */
   def mixSplit(s: SparkSession, dir: String): DataFrame =
     Mixing.assignSplit(t(s, dir, "documents")
