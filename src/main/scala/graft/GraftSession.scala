@@ -18,6 +18,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // band-join optimizer rule (plans/BandJoin.scala): rewrites
+      // equi-free range joins into band-bucketed equi-joins
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

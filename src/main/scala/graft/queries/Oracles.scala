@@ -37,6 +37,24 @@ object Oracles {
       |WHERE l_partkey BETWEEN 50 AND 150
       |  AND l_partkey NOT BETWEEN 90 AND 99 AND l_returnflag <> 'A'""".stripMargin
 
+  /** Mirrors Q.intervalBandJoin / plans.BandJoin: the band bucketing is
+    * a pure execution-strategy change, so the oracle is the naive range
+    * join DuckDB plans as an IEJoin. */
+  val intervalBandJoin: String =
+    s"""WITH p AS (
+      |  SELECT l_suppkey % 3 AS chrom, (l_orderkey * 61) % 100000 AS pos,
+      |         l_quantity
+      |  FROM lineitem),
+      |i AS (
+      |  SELECT o_orderkey AS iv_id, o_custkey % 3 AS ichrom,
+      |         (o_orderkey * 97) % 100000 AS lo
+      |  FROM orders)
+      |SELECT i.iv_id, count(*) AS n,
+      |       ${q("sum(p.l_quantity)", 0)} AS qty_q0
+      |FROM i JOIN p
+      |  ON p.chrom = i.ichrom AND p.pos BETWEEN i.lo AND i.lo + 20
+      |GROUP BY i.iv_id""".stripMargin
+
   val selfJoinPairs: String =
     """SELECT a.user_id AS user_id, count(*) AS n_pairs
       |FROM events a JOIN events b
@@ -1630,6 +1648,7 @@ object Oracles {
     "q_j1_self_join_pairs" -> selfJoinPairs,
     "q_j2_outer_align" -> outerAlign,
     "q_j3_range_join" -> rangeJoin,
+    "q_j4_interval_band_join" -> intervalBandJoin,
     "q_j5_semi_join" -> semiJoin,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,

@@ -103,6 +103,28 @@ object Q {
       .agg(count(lit(1)).as("n"), q(sum("l_extendedprice"), 0).as("revenue_q0"))
   }
 
+  /** J4 scale path: interval-containment join where NEITHER side is
+    * broadcastable — the band-bucketed equi-join (plans/BandJoin) that
+    * replaces BroadcastNestedLoop when the interval table outgrows the
+    * broadcast threshold. 600k points × 150k intervals resolved as a
+    * plain shuffled equi-join on (chrom, band). */
+  def intervalBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.BandJoin
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_suppkey") % 3).as("chrom"),
+      ((col("l_orderkey") * 61) % 100000).as("pos"),
+      col("l_quantity"))
+    val iv = t(s, dir, "orders").select(
+      col("o_orderkey").as("iv_id"),
+      (col("o_custkey") % 3).as("ichrom"),
+      ((col("o_orderkey") * 97) % 100000).as("lo"))
+      .withColumn("hi", col("lo") + 20)
+    BandJoin.bandJoin(pts, iv, "pos", "lo", "hi", width = 256,
+        pointKeys = Seq("chrom"), intervalKeys = Seq("ichrom"))
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n"), q(sum(col("l_quantity")), 0).as("qty_q0"))
+  }
+
   /** J5: left-semi join (orders with any max-quantity line). */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").alias("o")

@@ -148,4 +148,33 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"PQ candidate join decayed to non-equi:\n$p")
   }
+
+  test("band join is a shuffled equi join, never a nested loop") {
+    val pts = spark.range(1000).select((col("id") % 5).as("chrom"),
+      (col("id") * 7 % 10000).as("pos"))
+    val iv = spark.range(1000).select((col("id") % 5).as("ichrom"),
+      (col("id") * 11 % 10000).as("lo"))
+      .withColumn("hi", col("lo") + 50)
+    // disable auto-broadcast so the plan must stand on the band keys,
+    // as it would when the interval side is 100 TB-scale
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(graft.plans.BandJoin.bandJoin(pts, iv,
+        "pos", "lo", "hi", width = 64,
+        pointKeys = Seq("chrom"), intervalKeys = Seq("ichrom")))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"band join decayed to non-equi:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"band join is not a shuffled equi join:\n$p")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
