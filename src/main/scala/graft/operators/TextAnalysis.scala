@@ -133,22 +133,39 @@ object TextAnalysis {
     * Documents with fewer than two tokens are absent from the output.
     *
     * Shape at 100 TB: explode both gram families once (tagged with n so
-    * colliding strings cannot cross-count), ONE combiner-friendly
-    * shuffle to per-(doc, n, gram) counts, ONE shuffle to the per-doc
-    * signals — no per-doc quadratic array scan, bounded state per key.
+    * a bigram can never cross-count against a trigram), ONE
+    * combiner-friendly shuffle to per-(doc, gram) counts, ONE shuffle
+    * to the per-doc signals — no per-doc quadratic array scan, bounded
+    * state per key. Two details carry the constant factor: the token
+    * array is materialised through its OWN projection so the gram
+    * builders index an attribute — higher-order lambdas are
+    * interpreted with no subexpression elimination, so inlining
+    * `tokens(text)` would re-run the tokenizer for EVERY element
+    * access (measured 17 s → 1.6 s at sf0.1); and the corpus is
+    * repartitioned first so a few-file source does not serialise the
+    * CPU-bound gram pass onto one core. Grams stay (n, w1, w2, w3)
+    * structs — no per-gram string concat; the struct IS the group key.
     */
   def ngramRepetitionSignals(docs: DataFrame, textCol: String,
                              idCol: String): DataFrame = {
-    val grams = docs.select(col(idCol),
-        explode(concat(
-          transform(wordNgrams(col(textCol), 2),
-            g => struct(lit(2).as("n"), g.as("gram"))),
-          transform(wordNgrams(col(textCol), 3),
-            g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
-      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
-    grams
-      .groupBy(col(idCol), col("n"), col("gram"))
+    val toked = docs.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+    val t = col("_t")
+    def gramStructs(n: Int) =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => struct(
+            lit(n).as("n"),
+            element_at(t, i).as("w1"),
+            element_at(t, i + lit(1)).as("w2"),
+            (if (n >= 3) element_at(t, i + lit(2))
+             else lit(null).cast("string")).as("w3"))))
+        .otherwise(array().cast("array<struct<n:int,w1:string,w2:string,w3:string>>"))
+    toked.select(col(idCol),
+        explode(concat(gramStructs(2), gramStructs(3))).as("g"))
+      .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", col("g.n"))
       .groupBy(col(idCol))
       .agg(
         sum(when(col("n") === 2, col("cnt"))).as("nBigrams"),

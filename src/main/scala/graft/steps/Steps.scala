@@ -466,6 +466,33 @@ object Steps {
           a("out"))
       }),
 
+    Step("text_repetition",
+      "Gopher-style intra-document n-gram repetition signals",
+      (s, a) => write(
+        TextAnalysis.ngramRepetitionSignals(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id")), a("out"))),
+
+    Step("text_oov",
+      "Per-document OOV rate against the corpus top-K vocabulary",
+      (s, a) => write(
+        TextAnalysis.oovRates(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          vocabSize = a.int("vocab_size", 100)), a("out"))),
+
+    Step("pii_redact",
+      "Redact emails/IPv4/phones; emit redacted corpus + audit counts",
+      (s, a) => {
+        val idCol = a.get("id_col").getOrElse("doc_id")
+        val textCol = a.get("text_col").getOrElse("text")
+        val docs = read(s, a("in"))
+        write(docs.withColumn(textCol,
+          graft.operators.PiiRedaction.redact(col(textCol))), a("out"))
+        a.get("report").foreach(p => write(
+          graft.operators.PiiRedaction.report(docs, textCol, idCol), p))
+      }),
+
     Step("sample_frames",
       "Sample frames off video blobs (stride/cap), one row per frame",
       (s, a) => write(
