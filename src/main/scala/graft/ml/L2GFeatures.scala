@@ -376,22 +376,45 @@ object L2GFeatures {
     * frame, and frames are unique per key (families guarantee both),
     * so first(ignoreNulls) is deterministic. */
   def featureMatrix(features: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val keys = Seq("studyLocusId", "geneId")
-    val featCols = features.flatMap(_.columns).distinct.filterNot(keys.contains)
-    // pad absent columns with nulls of the owning frame's type so the
-    // union never widens (gene counts stay long)
-    val colType = features.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
-      .toMap
-    val padded = features.map { f =>
-      f.select(col("studyLocusId") +: col("geneId") +: featCols.map(c =>
-        (if (f.columns.contains(c)) col(c) else lit(null).cast(colType(c)))
-          .as(c)): _*)
+    // ONE nullable struct column per source family instead of one
+    // scalar column per feature: the union carries F struct slots, and
+    // the merging groupBy runs F first(ignoreNulls) aggregates instead
+    // of ~30 — fewer buffer slots, fewer null checks, smaller codegen
+    // (the widest generated method of the query). Values are unchanged:
+    // frames are unique per key, so at most one non-null struct per
+    // (key, family) reaches first().
+    val famCols: Seq[Seq[String]] =
+      features.map(_.columns.toSeq.filterNot(keys.contains))
+    val famType: Seq[StructType] = features.zip(famCols).map { case (f, fc) =>
+      StructType(fc.map(c => StructField(c, f.schema(c).dataType,
+        nullable = true)))
     }
-    padded
+    val padded = features.zipWithIndex.map { case (f, i) =>
+      f.select(col("studyLocusId") +: col("geneId") +:
+        features.indices.map { j =>
+          (if (j == i) struct(famCols(j).map(col): _*).cast(famType(j))
+           else lit(null).cast(famType(j))).as(s"_fam$j")
+        }: _*)
+    }
+    val merged = padded
       .reduce(_.unionByName(_))
       .groupBy("studyLocusId", "geneId")
-      .agg(first(col(featCols.head), ignoreNulls = true).as(featCols.head),
-        featCols.tail.map(c => first(col(c), ignoreNulls = true).as(c)): _*)
+      .agg(first(col("_fam0"), ignoreNulls = true).as("_fam0"),
+        features.indices.tail.map(j =>
+          first(col(s"_fam$j"), ignoreNulls = true).as(s"_fam$j")): _*)
+    // expand the family structs back to the flat feature columns; a
+    // column owned by several families (allowed by the contract, not
+    // used by the factory) resolves by first-owner coalesce
+    val featCols = famCols.flatten.distinct
+    val expanded = featCols.map { c =>
+      val owners = features.indices.filter(j => famCols(j).contains(c))
+      (if (owners.size == 1) col(s"_fam${owners.head}.$c")
+       else coalesce(owners.map(j => col(s"_fam$j.$c")): _*)).as(c)
+    }
+    merged
+      .select(col("studyLocusId") +: col("geneId") +: expanded: _*)
       .na.fill(0.0)
   }
 
