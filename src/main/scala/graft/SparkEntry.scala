@@ -28,6 +28,8 @@ object SparkEntry {
     "q_j2_outer_align" -> (Q.outerAlign _),
     "q_j3_range_join" -> (Q.rangeJoin _),
     "q_j4_interval_band_join" -> (Q.intervalBandJoin _),
+    "q_j_skew_salted" -> (Q.skewJoin _),
+    "q_a11_rollup" -> (Q.rollupStats _),
     "q_j5_semi_join" -> (Q.semiJoin _),
     "q_j7_star_join" -> (Q.starJoin _),
     "q_j8_validation_join" -> (Q.validationJoin _),

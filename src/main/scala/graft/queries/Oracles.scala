@@ -55,6 +55,26 @@ object Oracles {
       |  ON p.chrom = i.ichrom AND p.pos BETWEEN i.lo AND i.lo + 20
       |GROUP BY i.iv_id""".stripMargin
 
+  /** Mirrors Q.skewJoin / SkewJoin.saltedJoin: salting is a pure
+    * execution-strategy change, so the oracle is the plain join. */
+  val skewJoin: String =
+    s"""WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |              ELSE l_orderkey % 1000 END AS k, l_extendedprice
+      |  FROM lineitem),
+      |d AS (SELECT p_partkey AS dk, p_type FROM part WHERE p_partkey < 1000)
+      |SELECT d.p_type, count(*) AS n,
+      |       ${q("sum(f.l_extendedprice)", 0)} AS price_q0
+      |FROM f JOIN d ON f.k = d.dk
+      |GROUP BY d.p_type""".stripMargin
+
+  /** Mirrors Q.rollupStats: DuckDB ROLLUP produces the same null-keyed
+    * subtotal rows as Spark's. */
+  val rollupStats: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin
+
   val selfJoinPairs: String =
     """SELECT a.user_id AS user_id, count(*) AS n_pairs
       |FROM events a JOIN events b
@@ -1649,6 +1669,8 @@ object Oracles {
     "q_j2_outer_align" -> outerAlign,
     "q_j3_range_join" -> rangeJoin,
     "q_j4_interval_band_join" -> intervalBandJoin,
+    "q_j_skew_salted" -> skewJoin,
+    "q_a11_rollup" -> rollupStats,
     "q_j5_semi_join" -> semiJoin,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,

@@ -125,6 +125,30 @@ object Q {
       .agg(count(lit(1)).as("n"), q(sum(col("l_quantity")), 0).as("qty_q0"))
   }
 
+  /** Salted skew join: half of lineitem lands on ONE join key — the
+    * shape where a plain shuffle join serialises a TB through one
+    * reducer at production scale. The salt spreads the hot key over 16
+    * sub-keys; results equal the unsalted join (oracle is the plain
+    * join). */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 2 === 0, 0L)
+        .otherwise(col("l_orderkey") % 1000).as("k"),
+      col("l_extendedprice"))
+    val dim = t(s, dir, "part").filter(col("p_partkey") < 1000)
+      .select(col("p_partkey").as("dk"), col("p_type"))
+    SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 16)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), q(sum("l_extendedprice"), 0).as("price_q0"))
+  }
+
+  /** A11+: rollup corpus stats (subtotals by source, grand total) —
+    * the Expand-based grouping-sets operator class. */
+  def rollupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
   /** J5: left-semi join (orders with any max-quantity line). */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").alias("o")
