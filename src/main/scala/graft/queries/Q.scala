@@ -30,6 +30,17 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin spread of a scan before a CPU-bound derivation. The
+    * driver's test tables are single-row-group parquet files, and
+    * parquet splits only at row-group boundaries — so every
+    * scan-rooted stage otherwise runs as ONE task no matter the core
+    * count (measured: an 8.3 s single-task map stage in the rsID
+    * mapping). Production tables arrive in many partitions and skip
+    * this; the pattern itself (repartition when partitions ≪ cores
+    * before expensive per-row work) is production-valid. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------- scans
 
   /** S2/P: projection + filter, pushed to the parquet scan. */
@@ -376,9 +387,11 @@ object Q {
         q(col("clpp"), 6).as("clpp_q6"),
         q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
 
-  /** Synthetic summary statistics from lineitem. */
+  /** Synthetic summary statistics from lineitem (spread: the string
+    * building + downstream window/groupBy map sides otherwise run as
+    * one task off the single-row-group file). */
   def synthSumstats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select(
+    spread(s, t(s, dir, "lineitem")).select(
       concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
       (col("l_suppkey") % 3).cast("string").as("chromosome"),
       ((col("l_partkey") * 97) % 1000000).cast("int").as("position"),
@@ -554,7 +567,7 @@ object Q {
     // the invariant Coloc.colocaliseFused relies on (the raw synth has
     // ~0.01% duplicate (locus, variant) pairs); min() keeps the
     // synthesis deterministic and oracle-mirrorable
-    val cred = t(s, dir, "lineitem")
+    val cred = spread(s, t(s, dir, "lineitem"))
       .groupBy("l_orderkey", "l_partkey")
       .agg(min(col("l_extendedprice")).as("_price"),
         min(col("l_discount")).as("_disc"),
@@ -606,7 +619,7 @@ object Q {
     // join side is cheaper than materialising a 60 MB columnar cache.
     // The stats columns matchedTagPairs projects are unused by peaks —
     // Catalyst prunes the literals away.
-    val tags = t(s, dir, "lineitem")
+    val tags = spread(s, t(s, dir, "lineitem"))
       .select(
         concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
         concat(lit("s"), col("l_orderkey") % 40).as("studyId"),
@@ -865,7 +878,7 @@ object Q {
 
   /** Shared synthetic credible sets for the L2G queries. */
   private def l2gCredSets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    spread(s, t(s, dir, "lineitem"))
       // min/deterministic aggregates so the lead variant (sentinel) is
       // reproducible across engines. Aggregate NUMERIC keys and build
       // the strings afterwards: min(string) has no mutable agg buffer,
@@ -918,7 +931,7 @@ object Q {
     // those duplicated source aggregations and their serial
     // materialisation jobs cost more than the feature math itself.
     val srcCache = graft.core.CacheHandle()
-    val flatCred = srcCache.persist(t(s, dir, "lineitem")
+    val flatCred = srcCache.persist(spread(s, t(s, dir, "lineitem"))
       .groupBy(col("l_orderkey"))
       .agg(min(col("l_partkey")).as("_leadPart"),
         min(col("l_suppkey") % 3).as("_chrom"),
@@ -994,7 +1007,7 @@ object Q {
     // re-explode (the costliest input materialisation at sf0.1); the
     // sentinel is a numeric window-min, one shuffle on the order key
     val tagW = Window.partitionBy(col("l_orderkey"))
-    val tags = t(s, dir, "lineitem")
+    val tags = spread(s, t(s, dir, "lineitem"))
       .select(col("l_orderkey"), col("l_partkey"),
         (col("l_discount") * 10).as("posteriorProbability"),
         min(col("l_partkey")).over(tagW).as("_leadPart"))
@@ -1124,7 +1137,7 @@ object Q {
   def rsidGnomadMapping(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GwasCatalogAssociations
     val alleles = array(lit("A"), lit("C"), lit("G"), lit("T"))
-    val assoc = t(s, dir, "orders").select(
+    val assoc = spread(s, t(s, dir, "orders")).select(
       concat(lit("a"), col("o_orderkey")).as("rowId"),
       (col("o_custkey") % 3).cast("string").as("CHR_ID"),
       ((col("o_orderkey") * 61) % 100000).cast("string").as("CHR_POS"),
@@ -1133,7 +1146,7 @@ object Q {
       concat(lit("rs"), col("o_orderkey") % 5000, lit("-"),
         element_at(alleles, (col("o_orderkey") % 4 + 1).cast("int")))
         .as("STRONGEST SNP-RISK ALLELE"))
-    val vi = t(s, dir, "lineitem").select(
+    val vi = spread(s, t(s, dir, "lineitem")).select(
       concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
         .as("variantId"),
       (col("l_suppkey") % 3).cast("string").as("chromosome"),
