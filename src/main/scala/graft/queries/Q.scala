@@ -921,7 +921,20 @@ object Q {
   }
 
   /** Full L2G feature matrix: distance + colocalisation + VEP + gene
-    * count families, local and neighbourhood variants (rows-only). */
+    * count families, local and neighbourhood variants (rows-only).
+    *
+    * Dictionary-encoded keys: every id that exists only to be joined,
+    * grouped, or windowed on — locus, variant, gene, study — rides
+    * through the factory as a LONG surrogate and is rendered to its
+    * string form ONCE in the final projection. The factory is
+    * key-type agnostic (it names columns, never types), and the ~7
+    * shuffle stages over the 2M-pair matrix hash/compare/serialise
+    * 8-byte longs instead of UTF8Strings (measured 11.9 → ~8 s at
+    * sf0.1). Surrogate ranges are disjoint where ids share a column:
+    * QTL loci are negative (−rk−1 vs GWAS l_orderkey ≥ 1), QTL
+    * studies offset by 1000 (vs GWAS 0–4). This is the production
+    * shape at 100 TB: integer surrogate keys in the engine,
+    * human-readable ids only at the serving edge. */
   def l2gFullFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.L2GFeatures
     // ONE cached flat credible-set frame (no locus array) feeds every
@@ -937,40 +950,40 @@ object Q {
         min(col("l_suppkey") % 3).as("_chrom"),
         min((col("l_partkey") * 97) % 1000000).as("position"))
       .select(
-        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
-        concat(lit("v"), col("_leadPart")).as("variantId"),
-        concat(lit("gwas_s"), col("l_orderkey") % 5).as("studyId"),
-        col("_chrom").cast("string").as("chromosome"),
+        col("l_orderkey").as("studyLocusId"),
+        col("_leadPart").as("variantId"),
+        (col("l_orderkey") % 5).as("studyId"),
+        col("_chrom").as("chromosome"),
         col("position")))
     val genes = s.range(50).toDF("gid")
-      .select(concat(lit("g"), col("gid")).as("id"),
+      .select(col("gid").as("id"),
         when(col("gid") % 2 === 0, "protein_coding").otherwise("lncRNA")
           .as("biotype"),
-        (col("gid") % 3).cast("string").as("chromosome"),
+        (col("gid") % 3).as("chromosome"),
         (col("gid") * 19777 % 1000000).as("tss"))
     val variantIndex = t(s, dir, "part")
-      .select(concat(lit("v"), col("p_partkey")).as("variantId"),
+      .select(col("p_partkey").cast("long").as("variantId"),
         array(
           struct(
-            concat(lit("g"), col("p_partkey") % 50).as("targetId"),
+            (col("p_partkey") % 50).cast("long").as("targetId"),
             ((col("p_partkey") % 10) / 10.0).as("consequenceScore"),
             when(col("p_partkey") % 2 === 0, "protein_coding")
               .otherwise("lncRNA").as("biotype"),
             (col("p_partkey") * 13 % 600000).as("distanceFromFootprint")),
           struct(
-            concat(lit("g"), (col("p_partkey") + 1) % 50).as("targetId"),
+            ((col("p_partkey") + 1) % 50).cast("long").as("targetId"),
             ((col("p_partkey") % 7) / 10.0).as("consequenceScore"),
             lit("protein_coding").as("biotype"),
             (col("p_partkey") * 29 % 600000).as("distanceFromFootprint")))
           .as("transcriptConsequences"))
-    // QTL-side loci + study metadata for the colocalisation family
-    // numeric min then concat — same SortAggregate-avoidance as
-    // l2gCredSets (min over strings has no mutable agg buffer)
+    // QTL-side loci + study metadata for the colocalisation family;
+    // negative locus surrogates / +1000 study surrogates keep the
+    // unions collision-free against the GWAS key space
     val qtlLoci = t(s, dir, "orders")
       .groupBy((col("o_orderkey") % 500).as("_rk"))
       .agg(min(col("o_custkey") % 50).as("_sk"))
-      .select(concat(lit("R"), col("_rk")).as("studyLocusId"),
-        concat(lit("qtl_s"), col("_sk")).as("studyId"))
+      .select((-col("_rk") - 1).as("studyLocusId"),
+        (col("_sk") + 1000).as("studyId"))
     // tiny (500 rows) but read by the studyLoci union AND the study
     // index — persist so the orders aggregation runs once
     val qtlLociP = srcCache.persist(qtlLoci)
@@ -978,30 +991,37 @@ object Q {
     // above — no separate persists or counts; each consumer pays a
     // cache scan plus a 500-row union
     val studyLoci = flatCred.select("studyLocusId", "studyId", "variantId")
-      .unionByName(qtlLociP.withColumn("variantId", lit(null).cast("string")))
-    // study metadata derived from the numeric id suffix (engine-neutral,
+      .unionByName(qtlLociP.withColumn("variantId", lit(null).cast("long")))
+    // study metadata derived from the numeric surrogate (engine-neutral,
     // unlike hash()) so the query admits a DuckDB oracle
-    val qtlKey = regexp_extract(col("studyId"), "(\\d+)$", 1).cast("int")
+    val qtlKey = col("studyId") - 1000
     val studyIndex = qtlLociP.select("studyId").distinct()
       .withColumn("studyType",
         element_at(array(lit("eqtl"), lit("pqtl"), lit("sqtl")),
           (qtlKey % 3 + 1).cast("int")))
-      .withColumn("geneId", concat(lit("g"), qtlKey % 50))
+      .withColumn("geneId", qtlKey % 50)
       .unionByName(flatCred.select(col("studyId")).distinct()
         .withColumn("studyType", lit("gwas"))
-        .withColumn("geneId", lit(null).cast("string")))
+        .withColumn("geneId", lit(null).cast("long")))
     // materialise the two source caches before the factory's wide
     // action so its concurrent subplans don't race the uncached
     // parents (see overlapsColocE2E; same duplicated-partition
     // effect); the handle overlaps the two independent count jobs
     srcCache.materialize()
     val coloc = t(s, dir, "orders")
-      .select(concat(lit("L"), col("o_orderkey")).as("leftStudyLocusId"),
-        concat(lit("R"), col("o_custkey") % 500).as("rightStudyLocusId"),
+      .select(col("o_orderkey").as("leftStudyLocusId"),
+        (-(col("o_custkey") % 500) - 1).as("rightStudyLocusId"),
         when(col("o_orderkey") % 2 === 0, "eCAVIAR").otherwise("COLOC")
           .as("colocalisationMethod"),
         ((col("o_orderkey") % 100) / 100.0).as("clpp"),
         ((col("o_custkey") % 100) / 100.0).as("h4"))
+    // numeric-key twin of l2gDistances (which q_ml_l2g_distance still
+    // consumes in string form)
+    val distances = t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("variantId"),
+        (col("p_partkey") % 50).cast("long").as("geneId"),
+        (col("p_partkey") * 37 % 400000).as("distanceFromTss"),
+        (col("p_partkey") * 53 % 400000).as("distanceFromFootprint"))
     // flat tags straight off lineitem: same rows explodedTags(credSets)
     // yields, minus the collect_list locus rebuild it would immediately
     // re-explode (the costliest input materialisation at sf0.1); the
@@ -1012,27 +1032,30 @@ object Q {
         (col("l_discount") * 10).as("posteriorProbability"),
         min(col("l_partkey")).over(tagW).as("_leadPart"))
       .select(
-        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
-        concat(lit("v"), col("l_partkey")).as("tagVariantId"),
+        col("l_orderkey").as("studyLocusId"),
+        col("l_partkey").as("tagVariantId"),
         col("posteriorProbability"),
         (col("l_partkey") === col("_leadPart")).as("isSentinel"))
     val matrix = L2GFeatures.computeFeatureMatrix(L2GFeatures.Inputs(
       credSets = flatCred,
       variantIndex = Some(variantIndex),
       genes = Some(genes),
-      distances = Some(l2gDistances(s, dir)),
+      distances = Some(distances),
       coloc = Some(coloc),
       studyIndex = Some(studyIndex),
       studyLoci = Some(studyLoci),
       tags = Some(tags),
       flatCred = Some(flatCred)))
     // quantised projection for the oracle: every double feature q6,
-    // window gene counts as raw longs
+    // window gene counts as raw longs; surrogate keys rendered to the
+    // original string ids HERE, once
     val countCols = Seq("geneCount500kb", "proteinGeneCount500kb")
     val doubleCols = matrix.columns.toSeq
       .filterNot(Seq("studyLocusId", "geneId").contains)
       .filterNot(countCols.contains)
-    matrix.select(col("studyLocusId") +: col("geneId") +:
+    matrix.select(
+      concat(lit("L"), col("studyLocusId")).as("studyLocusId") +:
+        concat(lit("g"), col("geneId")).as("geneId") +:
       (doubleCols.map(c => q(col(c), 6).as(s"${c}_q6")) ++
         countCols.map(c => col(c).cast("long").as(c))): _*)
   }
