@@ -130,7 +130,7 @@ object Q {
       (col("o_custkey") % 3).as("ichrom"),
       ((col("o_orderkey") * 97) % 100000).as("lo"))
       .withColumn("hi", col("lo") + 20)
-    BandJoin.bandJoin(pts, iv, "pos", "lo", "hi", width = 256,
+    BandJoin.bandJoin(pts, iv, "pos", "lo", "hi", width = 32,
         pointKeys = Seq("chrom"), intervalKeys = Seq("ichrom"))
       .groupBy("iv_id")
       .agg(count(lit(1)).as("n"), q(sum(col("l_quantity")), 0).as("qty_q0"))
