@@ -27,6 +27,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // still write a marker result so the driver's dir enumeration
+        // records a VISIBLE failure row (schema/row mismatch) — a query
+        // that throws must never silently vanish from the artifact
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker failed: ${e2.getMessage}")
+        }
       }
       // operators leave unpersist to the caller — drop per-query caches
       spark.sharedState.cacheManager.clearCache()

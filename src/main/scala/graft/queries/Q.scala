@@ -249,10 +249,17 @@ object Q {
   /** W3: gap-based sessionisation of the event stream. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    t(s, dir, "events")
-      // ts is read as raw ns (nanosAsLong); integer-div to µs matches
-      // DuckDB's epoch_us
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = t(s, dir, "events")
+    // µs since epoch, matching DuckDB's epoch_us regardless of how the
+    // parquet writer encoded ts: raw ns longs (nanosAsLong reads) get an
+    // integer div; timestamp[us] (TIMESTAMP or TIMESTAMP_NTZ under the
+    // UTC session) goes through unix_micros
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    events
+      .withColumn("ts_us", tsUs)
       .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
       .withColumn("is_new",
         (col("gap").isNull || col("gap") > 600L * 1000000L).cast("long"))
