@@ -255,68 +255,163 @@ object Dedup {
   // ------------------------------------------- components / survivors
 
   /** Connected components over a near-dup pair list: (id, componentId)
-    * for every id appearing in `pairs`, componentId = the minimum id
+    * for every id appearing in `pairs` (self-pairs excluded — a pair
+    * (x, x) conveys no grouping), componentId = the minimum id
     * reachable through the pair graph.
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * vertex takes the min of its own label and its neighbours' labels
-    * (one equi-join + one hash groupBy per round), stopping when no
-    * label changes. Rounds needed = graph diameter; LSH dup clusters
-    * are locally dense (every member shares a band bucket with most
-    * others), so real corpora converge in 2–4 rounds. A pathological
-    * path graph costs O(diameter) rounds — the alternating star
-    * contractions of Kiveris et al. (CC-MR) would cut that to
-    * O(log d), at double the per-round shuffle count; min-label wins
-    * for the dup-cluster workload this serves.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * The state is a directed forest of (node → smaller node) edges;
+    * large-star hangs every larger neighbour of a node under the
+    * minimum of its closed neighbourhood, small-star does the same for
+    * the smaller neighbours. Each operation preserves connectivity,
+    * and the alternation converges to per-component stars centred on
+    * the component minimum in O(log d) rounds (d = diameter) — vs the
+    * O(d) rounds of min-label propagation, whose wall-clock on an
+    * iterative Spark job is dominated by rounds × scheduling latency,
+    * not data volume. Throws IllegalStateException if `maxIter` rounds
+    * pass without a fixpoint: partially contracted labels are WRONG
+    * answers, never returned silently.
     *
-    * Scale notes: labels re-persist per round with the previous round
-    * released, and every few rounds the lineage is truncated with a
-    * localCheckpoint so the plan does not deepen with the iteration
-    * count. Hot vertices (a doc paired with millions) skew the join;
-    * AQE skew-join splits those partitions. */
+    * Scale notes: the edge state re-persists per round with the
+    * previous round released, and every few rounds the lineage is
+    * truncated with a localCheckpoint so the plan does not deepen with
+    * the iteration count. Per round: 2 hash groupBys + 2 equi-joins +
+    * a set-equality probe (count + left-anti limit 1) on the persisted
+    * state. Hot vertices (a doc paired with millions) skew the
+    * neighbourhood groupBy; AQE skew-join splits those partitions.
+    * Once the live edge set drops under [[UnionFindThreshold]] the
+    * loop hands off to a single-task path-compressed union-find finish
+    * (an executor task, not a driver collect): distributed rounds pay
+    * rounds × scheduling latency, which dominates exactly when the
+    * data no longer needs the cluster. */
   def connectedComponents(pairs: DataFrame, aCol: String = "idA",
                           bCol: String = "idB",
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** Live-edge threshold below which the contraction loop hands off to
+    * a single-task union-find finish: 4M (u, v) longs ≈ 64 MB in one
+    * task — far under executor memory, far over any per-round
+    * scheduling cost it replaces. */
+  val UnionFindThreshold: Long = 4L << 20
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took to reach the star fixpoint (exposed so tests can pin the
+    * O(log d) convergence bound). `unionFindThreshold` (in live edges)
+    * gates the single-task finish; 0 forces pure star contraction. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "idA", bCol: String = "idB",
+      maxIter: Int = 30,
+      unionFindThreshold: Long = UnionFindThreshold): (DataFrame, Int) = {
+    // canonical orientation: every edge points large → small
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .persist()
-    labels.count()
-    // the persisted frame backing `labels` (labels itself may be a
-    // projection over it once the loop starts)
-    var cached = labels
+    var cnt = edges.count()
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // the id's OWN previous label rides through the same groupBy
-      // (exactly one _own row per id), so convergence detection is a
-      // filter-count over the freshly persisted result — not a second
-      // shuffle join per round against the previous labels
-      val step = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-        .withColumn("_own", lit(false))
-        .unionByName(labels.withColumn("_own", lit(true)))
-        .groupBy("id")
-        .agg(min("comp").as("comp"),
-          max(when(col("_own"), col("comp"))).as("_old"))
+    var converged = cnt == 0L
+    // the single-task finish sorts component minima out of integral ids;
+    // exotic id types (strings...) stay on the pure contraction path
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      pairs.schema(aCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    def handoff: Boolean = integralIds && cnt <= unionFindThreshold
+    while (!converged && !handoff && iter < maxIter) {
+      // large-star over the symmetric neighbourhood: for each node u
+      // with m = min(Γ(u) ∪ {u}), re-hang every neighbour v > u as
+      // (v, m); m ≤ u < v keeps the large→small orientation
+      val nbrs = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the oriented edges: m = min(Γ⁻(u)); re-hang the
+      // other smaller neighbours and u itself under m
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .distinct()
       // truncate lineage every 3 rounds: persist alone still grows the
       // logical plan linearly with iterations
-      val next = (if (iter % 3 == 2) step.localCheckpoint(false)
-                  else step).persist()
-      val changed = next.filter(col("comp") =!= col("_old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "comp")
-      converged = changed == 0
+      val next = (if (iter % 3 == 2) small.localCheckpoint(false)
+                  else small).persist()
+      val nextCnt = next.count()
+      // fixpoint ⟺ identical distinct edge sets: equal cardinality and
+      // no edge in next missing from the previous round
+      converged = nextCnt == cnt &&
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      edges.unpersist()
+      edges = next
+      cnt = nextCnt
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged && handoff && cnt > 0L) {
+      // single-task finish: the live edge set fits one task's memory
+      // budget, where path-compressed union-find closes the remaining
+      // components in one pass — an executor task, not a driver
+      // collect, so the contraction loop never pays O(rounds) job
+      // scheduling for a graph that no longer needs the cluster
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val idType = pairs.schema(aCol).dataType
+      val found = edges
+        .select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+            var c = x // compress the walked path
+            while (parent.getOrDefault(c, c) != c) {
+              val n = parent.get(c); parent.put(c, r); c = n
+            }
+            r
+          }
+          val buf = it.toArray
+          buf.foreach { case (u, v) =>
+            val ru = find(u); val rv = find(v)
+            // union-by-min keeps the invariant parent(x) < x, so every
+            // root is its component's minimum id
+            if (ru < rv) parent.put(rv, ru)
+            else if (rv < ru) parent.put(ru, rv)
+          }
+          val seen = new java.util.HashSet[Long]()
+          buf.iterator
+            .flatMap { case (u, v) => Iterator(u, v) }
+            .filter(seen.add)
+            .map(id => (id, find(id)))
+        }
+      val labels = found.toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"),
+          col("comp").cast(idType).as("comp"))
+      return (labels, iter)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($cnt live edges) — raise maxIter; returning partial labels " +
+          "would silently mislabel components")
+    // fixpoint edges are (member → component-min) stars: members label
+    // by their centre, centres (the only dsts) label by themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(
+        edges.select(col("v").as("id"), col("v").as("comp")).distinct())
+    (labels, iter)
   }
 
   /** Drop every non-canonical member of each near-dup cluster: rows

@@ -177,12 +177,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("component labelling converges on a worst-case path graph") {
-    // path 0-1-2-...-19: diameter 19, the slowest shape for min-label
+  test("component labelling converges on a worst-case path graph in O(log n) rounds") {
+    // path 0-1-2-...-19: diameter 19, the shape where min-label
+    // propagation needs O(d) rounds; star contraction must stay
+    // logarithmic (+1 round to confirm the fixpoint)
+    val n = 20
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("idA", "idB")
+    // threshold 0 forces pure star contraction (no union-find handoff)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      edges, unionFindThreshold = 0L)
+    val comps = labels.as[(Long, Long)].collect().toMap
+    assert(comps.size == n && comps.values.forall(_ == 0L))
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("union-find handoff labels exactly like pure star contraction") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("idA", "idB")
+    val viaStars = Dedup.connectedComponentsWithRounds(
+      edges, unionFindThreshold = 0L)._1.as[(Long, Long)].collect().toMap
+    val viaFinish = Dedup.connectedComponentsWithRounds(
+      edges)._1.as[(Long, Long)].collect().toMap
+    assert(viaFinish == viaStars)
+  }
+
+  test("non-convergence raises instead of returning partial labels") {
     val edges = (0L until 19L).map(i => (i, i + 1)).toDF("idA", "idB")
-    val comps = Dedup.connectedComponents(edges).as[(Long, Long)]
-      .collect().toMap
-    assert(comps.size == 20 && comps.values.forall(_ == 0L))
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponentsWithRounds(
+        edges, maxIter = 1, unionFindThreshold = 0L)._1.count()
+    }
   }
 
   test("keepClusterCanonical deletes transitive duplicates, keeps minima") {
