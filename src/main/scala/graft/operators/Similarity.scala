@@ -515,23 +515,44 @@ object Similarity {
     * k-means path). Ties (equal similarity) resolve to the smallest
     * centroid id. Returns (cell, idA, idB, similarity) with idA<idB
     * and cosine ≥ threshold. Dropping every idB leaves exactly the
-    * SemDeDup survivor set (keep-lowest-id policy). */
+    * SemDeDup survivor set (keep-lowest-id policy).
+    *
+    * Hot-cell cap: a cell of size m yields m²/2 candidate pairs, and
+    * real embedding corpora routinely have one dominant cluster (or a
+    * degenerate centroid set), which turns the within-cell self-join
+    * quadratic at corpus scale. Cells above `maxCellSize` rows are
+    * excluded from the pair search (a coverage knob, same contract as
+    * [[Dedup.minhashDupPairs]]'s band-bucket cap: re-centroid or raise
+    * the cap to recover them). The hot-cell set is derived with a
+    * groupBy (map-side partial counts) and removed with a broadcast
+    * anti-join — tiny by construction, so the cap adds no shuffle to
+    * the candidate join itself. The assignment frame is persisted via
+    * `cache` (it feeds the cell counts and both self-join sides); call
+    * `cache.release()` after consuming. */
   def semanticDupPairs(embeddings: DataFrame, centroids: DataFrame,
-                       threshold: Double = 0.9): DataFrame = {
+                       threshold: Double = 0.9,
+                       maxCellSize: Long = 100000L,
+                       cache: graft.core.CacheHandle =
+                         graft.core.CacheHandle()): DataFrame = {
     val cents = centroids.select(col("id").as("centId"),
       col("embedding").as("cv"), norm(col("embedding")).as("_ncv"))
     val w = Window.partitionBy("id")
       .orderBy(col("csim").desc_nulls_last, col("centId"))
-    val assigned = embeddings
+    val assigned = cache.persist(embeddings
       .select(col("id"), col("embedding"), norm(col("embedding")).as("_n"))
       .crossJoin(broadcast(cents))
       .withColumn("csim",
         cosineWithNorms(dot(col("embedding"), col("cv")), col("_n"), col("_ncv")))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .select(col("id"), col("embedding"), col("_n"), col("centId").as("cell"))
-    assigned.alias("a")
-      .join(assigned.alias("b"),
+      .select(col("id"), col("embedding"), col("_n"), col("centId").as("cell")))
+    val hotCells = assigned
+      .groupBy("cell").agg(count(lit(1)).as("_m"))
+      .filter(col("_m") > maxCellSize)
+      .select("cell")
+    val capped = assigned.join(broadcast(hotCells), Seq("cell"), "left_anti")
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("similarity",
         cosineWithNorms(dot(col("a.embedding"), col("b.embedding")),

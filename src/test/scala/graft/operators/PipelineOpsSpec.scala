@@ -96,4 +96,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs((1L, 2L)).getAs[Long]("cell") == 0L)
     assert(pairs((3L, 100L)).getAs[Long]("cell") == 100L)
   }
+
+  test("semanticDupPairs caps degenerate hot cells") {
+    // one centroid: every embedding lands in the same cell, the
+    // worst-case shape where the within-cell self-join goes quadratic
+    val n = 12
+    val emb = (0 until n).map(i => (i.toLong, Array(1.0, i * 1e-4)))
+      .toDF("id", "embedding")
+    val seed = emb.filter(col("id") === 0L)
+    val unCapped = Similarity.semanticDupPairs(emb, seed, threshold = 0.0)
+    assert(unCapped.count() == n.toLong * (n - 1) / 2)
+    val capped = Similarity.semanticDupPairs(emb, seed, threshold = 0.0,
+      maxCellSize = n - 1L)
+    assert(capped.count() == 0L)
+  }
 }

@@ -45,6 +45,15 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
   }
 
+  test("semantic dedup self-join is cell-equi and guarded by the hot-cell anti-join") {
+    val emb = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)))
+      .toDF("id", "embedding")
+    val p = plan(Similarity.semanticDupPairs(emb, emb.limit(1),
+      cache = graft.core.CacheHandle.disabled))
+    assert(!p.contains("CartesianProduct"), s"cartesian in semantic plan:\n$p")
+    assert(p.contains("LeftAnti"), s"hot-cell cap anti-join missing:\n$p")
+  }
+
   test("overlap tag self-join stays an equi join on (chromosome, tag)") {
     val tags = Seq(
       ("L1", "s1", "gwas", "1", "r", "v1", 1.0, 0.5, 0.1, 1.0f, -8),
