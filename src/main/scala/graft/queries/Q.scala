@@ -1010,11 +1010,11 @@ object Q {
       .unionByName(flatCred.select(col("studyId")).distinct()
         .withColumn("studyType", lit("gwas"))
         .withColumn("geneId", lit(null).cast("long")))
-    // materialise the two source caches before the factory's wide
-    // action so its concurrent subplans don't race the uncached
-    // parents (see overlapsColocE2E; same duplicated-partition
-    // effect); the handle overlaps the two independent count jobs
-    srcCache.materialize()
+    // the source frames materialise together with the factory's own
+    // shared caches in ONE concurrent batch (srcCache is passed through
+    // as the factory cache below): parents were registered first, so
+    // they get the pool head start, and the second serial wave of
+    // materialisation jobs the old two-handle shape paid disappears
     val coloc = t(s, dir, "orders")
       .select(col("o_orderkey").as("leftStudyLocusId"),
         (-(col("o_custkey") % 500) - 1).as("rightStudyLocusId"),
@@ -1052,7 +1052,7 @@ object Q {
       studyIndex = Some(studyIndex),
       studyLoci = Some(studyLoci),
       tags = Some(tags),
-      flatCred = Some(flatCred)))
+      flatCred = Some(flatCred)), cache = srcCache)
     // quantised projection for the oracle: every double feature q6,
     // window gene counts as raw longs; surrogate keys rendered to the
     // original string ids HERE, once
