@@ -79,7 +79,13 @@ object Overlaps {
           .select("chromosome", "tagVariantId")
         tags.join(broadcast(hot), Seq("chromosome", "tagVariantId"), "left_anti")
     }
-    val left = bounded.alias("left")
+    // pin a shuffled hash join: both sides of the self-join are the
+    // SAME corpus-sized tag frame, so a planner broadcast (which
+    // optimistic post-pruning parquet size estimates do trigger here)
+    // would collect a corpus-scale side to the driver — the death
+    // shape at 100 TB, and measurably slower than the 2-sided shuffle
+    // even at bench scale (600k-row BroadcastExchange ≈ 1 s)
+    val left = bounded.alias("left").hint("shuffle_hash")
     val right = bounded.alias("right")
     left
       .join(right, pairCondition(intraStudy), "inner")
