@@ -91,17 +91,61 @@ object BandJoin {
   * (Catalyst plans those fine, and a hint is an explicit user choice).
   *
   * Config: `spark.graft.bandJoin.enabled` (default true),
-  * `spark.graft.bandJoin.width` (default 500000 — the genomic window).
+  * `spark.graft.bandJoin.width` (default `auto`: derived per join from
+  * interval-length statistics; any positive long pins it). A mis-set
+  * fixed width fails in one of two directions — too narrow explodes
+  * every interval into thousands of bands, too wide degenerates to a
+  * handful of giant buckets — so auto mode samples up to 10k interval
+  * rows at rewrite time (a bounded LIMIT subquery, executed once per
+  * optimization) and picks the next power of two above
+  * `max(p95 length, maxLen / 4096)`: p95 sizes bands to the typical
+  * interval (≲3 bands each), while the maxLen floor bounds the band
+  * fan-out of the longest sampled interval.
   * Idempotent under the fixed-point optimizer batch: the rewritten join
   * has an equi conjunct, so the guard never matches it again.
   */
 case class BandJoinRewrite(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
+  import BandJoinRewrite._
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.bandJoin.enabled", "true").toBoolean
-  private def width: Long =
-    conf.getConfString("spark.graft.bandJoin.width", "500000").toLong
+  private def widthConf: Option[Long] = {
+    val v = conf.getConfString("spark.graft.bandJoin.width", "auto")
+    if (v.equalsIgnoreCase("auto")) None else Some(v.toLong)
+  }
+
+  /** Derive a band width from the bound side's interval lengths: next
+    * power of two ≥ max(p95 length, max length / [[MaxBandsPerInterval]])
+    * over a ≤[[WidthSampleRows]]-row sample. None when the sample is
+    * empty, degenerate (all non-positive lengths), or fails to
+    * execute — callers fall back to [[DefaultWidth]]. */
+  def deriveWidth(boundPlan: LogicalPlan, lo: Expression,
+                  hi: Expression): Option[Long] =
+    try {
+      val len = Alias(Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)),
+        "_graft_len")()
+      val limited = Limit(Literal(WidthSampleRows),
+        Project(Seq(len), boundPlan))
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Max}
+      val p95 = Alias(new ApproximatePercentile(len.toAttribute,
+        Literal(0.95d),
+        Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
+        .toAggregateExpression(), "_graft_p95")()
+      val mx = Alias(Max(len.toAttribute).toAggregateExpression(),
+        "_graft_max")()
+      val rows = session.sessionState
+        .executePlan(Aggregate(Nil, Seq(p95, mx), limited))
+        .executedPlan.executeCollect()
+      if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).isNullAt(1)) None
+      else {
+        val p = rows(0).getDouble(0)
+        val m = rows(0).getDouble(1)
+        if (m <= 0) None
+        else Some(nextPow2(math.max(MinWidth.toDouble,
+          math.max(p, m / MaxBandsPerInterval))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def isNumeric(e: Expression): Boolean = e.dataType match {
     case _: org.apache.spark.sql.types.NumericType => true
@@ -170,6 +214,9 @@ case class BandJoinRewrite(session: SparkSession)
     }
     band.map { case (pos, lo, hi) =>
       val (pointPlan, boundPlan) = if (pointsOnLeft) (left, right) else (right, left)
+      val width = widthConf
+        .orElse(deriveWidth(boundPlan, lo, hi))
+        .getOrElse(DefaultWidth)
       def bandOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
       val pointBand = Alias(bandOf(pos), "_graft_band_p")()
@@ -200,6 +247,26 @@ case class BandJoinRewrite(session: SparkSession)
         else (boundRep: LogicalPlan, pointRep: LogicalPlan)
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE))
     }
+  }
+}
+
+object BandJoinRewrite {
+  /** Fallback width when no fixed width is configured and stats are
+    * unusable (empty/degenerate interval side) — the genomic window. */
+  val DefaultWidth: Long = 500000L
+  /** Rows sampled (via LIMIT) for the width derivation. */
+  val WidthSampleRows: Int = 10000
+  /** Band fan-out bound for the longest sampled interval: width never
+    * drops below maxLen / this, so one interval explodes to at most
+    * ~this many band rows. */
+  val MaxBandsPerInterval: Int = 4096
+  /** Floor on the derived width (degenerate tiny intervals). */
+  val MinWidth: Long = 16L
+
+  private[plans] def nextPow2(x: Double): Long = {
+    var w = 1L
+    while (w < x && w < (1L << 62)) w <<= 1
+    w
   }
 }
 

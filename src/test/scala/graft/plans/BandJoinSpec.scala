@@ -74,6 +74,35 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("auto width follows the typical interval length under skew") {
+    val rule = BandJoinRewrite(spark)
+    // 950 short intervals (~1k) + 50 long outliers (100k): p95 ≈ 1k,
+    // so the derived width must track the typical length, not the
+    // outliers (which stay fan-out-bounded by the maxLen/4096 floor)
+    val skewed = (1 to 1000).map { i =>
+      val len = if (i % 20 == 0) 100000L else 1000L
+      (i.toLong * 1000000L, i.toLong * 1000000L + len)
+    }.toDF("lo", "hi")
+    val plan = skewed.queryExecution.analyzed
+    val lo = plan.output.find(_.name == "lo").get
+    val hi = plan.output.find(_.name == "hi").get
+    val w = rule.deriveWidth(plan, lo, hi)
+    assert(w.exists(v => v >= 512 && v <= 4096), s"derived $w")
+    // all-long intervals: width scales up with them
+    val long = (1 to 100).map(i => (0L, 10000000L)).toDF("lo", "hi")
+    val planL = long.queryExecution.analyzed
+    val wL = rule.deriveWidth(planL,
+      planL.output.find(_.name == "lo").get,
+      planL.output.find(_.name == "hi").get)
+    assert(wL.exists(_ >= (1L << 23)), s"derived $wL")
+    // degenerate (all zero-length) falls back
+    val degen = Seq((5L, 5L), (7L, 7L)).toDF("lo", "hi")
+    val planD = degen.queryExecution.analyzed
+    assert(rule.deriveWidth(planD,
+      planD.output.find(_.name == "lo").get,
+      planD.output.find(_.name == "hi").get).isEmpty)
+  }
+
   test("rewrite rule: disabled by conf") {
     val rule = BandJoinRewrite(spark)
     spark.conf.set("spark.graft.bandJoin.enabled", "false")
