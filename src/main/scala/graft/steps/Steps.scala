@@ -129,6 +129,13 @@ object Steps {
             read(s, a("entries")), read(s, a("index")))),
           minR2 = a.double("min_r2", 0.5)), a("out"))),
 
+    Step("ld_annotation",
+      "Annotate study loci with the major-population ldSet from the LD index",
+      (s, a) => write(
+        LDAnnotator.ldAnnotate(read(s, a("in")), read(s, a("studies")),
+          read(s, a("ld_index")),
+          r2Threshold = a.double("r2_threshold", 0.5)), a("out"))),
+
     Step("study_validation",
       "Study index validator battery (unique id, type, target, biosample)",
       (s, a) => {

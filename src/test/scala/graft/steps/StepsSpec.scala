@@ -119,4 +119,128 @@ class StepsSpec extends SparkSpec {
       .select("studyId").as[String].collect().toSeq
     assert(flagged == Seq("s2"))
   }
+
+  test("genetics lifecycle chain: sumstats -> clump -> LD -> PICS -> coloc -> L2G score") {
+    import StepsSpecFixtures._
+    // 40 independent GWAS loci (s1) + one eQTL locus (s2) overlapping
+    // locus 1 through shared LD tags; every step reads the previous
+    // step's parquet, exactly as the CLI would chain them
+    val sumstatsIn = tmp("chain_sumstats")
+    val s1Rows = (1 to 40).map(i =>
+      ("s1", "1", i * 100000, s"1_${i * 100000}_A_T", 1.0f, -10 - (i % 5)))
+    val satellite = ("s1", "1", 100140, "1_100140_A_T", 2.0f, -6)
+    val s2Row = ("s2", "1", 100150, "1_100150_A_T", 3.0f, -11)
+    (s1Rows :+ satellite :+ s2Row)
+      .toDF("studyId", "chromosome", "position", "variantId",
+        "pValueMantissa", "pValueExponent").write.parquet(sumstatsIn)
+
+    val clumped = tmp("chain_clumped")
+    Steps.runFromArgs(spark, Seq("window_based_clumping",
+      s"in=$sumstatsIn", s"out=$clumped", "distance=1000"))
+    val leads = tmp("chain_leads")
+    spark.read.parquet(clumped)
+      .filter(!array_contains(col("qualityControls"), "WINDOW_CLUMPED"))
+      .write.parquet(leads)
+    assert(spark.read.parquet(leads).count() == 41) // satellite clumped away
+
+    // LD annotation: the overlap pair shares tags through the index;
+    // every other lead is rescued to a self-tag ldSet
+    val studiesIn = tmp("chain_studies")
+    spark.createDataFrame(Seq(
+      StudyRow("s1", Seq(Pop("nfe", 1.0))),
+      StudyRow("s2", Seq(Pop("nfe", 1.0))))).write.parquet(studiesIn)
+    val ldIndexIn = tmp("chain_ldindex")
+    spark.createDataFrame(Seq(
+      LdRow("1_100000_A_T", "1", Seq(
+        LdTag("1_100000_A_T", Seq(RVal("nfe", 1.0))),
+        LdTag("1_100150_A_T", Seq(RVal("nfe", 0.95))))),
+      LdRow("1_100150_A_T", "1", Seq(
+        LdTag("1_100150_A_T", Seq(RVal("nfe", 1.0))),
+        LdTag("1_100000_A_T", Seq(RVal("nfe", 0.95)))))))
+      .write.parquet(ldIndexIn)
+    val annotated = tmp("chain_annotated")
+    Steps.runFromArgs(spark, Seq("ld_annotation", s"in=$leads",
+      s"studies=$studiesIn", s"ld_index=$ldIndexIn", s"out=$annotated"))
+    assert(spark.read.parquet(annotated)
+      .filter(col("ldSet").isNull).count() == 0)
+
+    val picsOut = tmp("chain_pics")
+    Steps.runFromArgs(spark, Seq("pics", s"in=$annotated", s"out=$picsOut"))
+    val pics = spark.read.parquet(picsOut)
+    assert(pics.filter(col("locus").isNull).count() == 0)
+
+    // credible-set projection: the reference schema carries optional
+    // per-tag stats the PICS fixtures lack — nulls are the honest value
+    val credOut = tmp("chain_cred")
+    pics.select(
+      col("studyLocusId"), col("studyId"),
+      when(col("studyId") === "s1", "gwas").otherwise("eqtl").as("studyType"),
+      col("chromosome"), lit("r1").as("region"),
+      col("variantId"), col("position"),
+      transform(col("locus"), t => struct(
+        t.getField("variantId").as("variantId"),
+        lit(null).cast("double").as("logBF"),
+        t.getField("posteriorProbability").as("posteriorProbability"),
+        lit(null).cast("double").as("beta"),
+        lit(null).cast("float").as("pValueMantissa"),
+        lit(null).cast("int").as("pValueExponent"))).as("locus"))
+      .write.parquet(credOut)
+
+    val colocOut = tmp("chain_coloc")
+    Steps.runFromArgs(spark, Seq("colocalisation", s"in=$credOut",
+      s"out=$colocOut", "method=ecaviar"))
+    val coloc = spark.read.parquet(colocOut)
+    assert(coloc.count() >= 1 && coloc.columns.contains("clpp"))
+    assert(coloc.filter(col("clpp") > 0).count() >= 1) // the shared-tag pair
+
+    // per-locus gene pairs (not two global genes): the trainer's
+    // grouped split buckets whole genes, so distinct gene ids per locus
+    // keep both labels on both sides of the hold-out
+    val distancesIn = tmp("chain_distances")
+    (s1Rows :+ s2Row).zipWithIndex.flatMap { case (r, i) =>
+      Seq((r._4, s"g${i}_near", 5000L), (r._4, s"g${i}_far", 250000L))
+    }.toDF("variantId", "geneId", "distanceFromTss").write.parquet(distancesIn)
+    val matrixOut = tmp("chain_matrix")
+    Steps.runFromArgs(spark, Seq("l2g_feature_matrix",
+      s"credible_sets=$credOut", s"distances=$distancesIn",
+      s"out=$matrixOut"))
+    val matrix = spark.read.parquet(matrixOut)
+    // 41 loci x their own 2 genes + 2x2 cross rows: each overlapping
+    // locus reaches the other lead's genes through the shared LD tag
+    assert(matrix.count() == 86)
+    assert(matrix.columns.contains("distanceTssMean"))
+
+    // labelled training matrix -> train step -> score step
+    val labelledIn = tmp("chain_labelled")
+    matrix.withColumn("goldStandardSet",
+      when(col("geneId").endsWith("_near"), "positive").otherwise("negative"))
+      .write.parquet(labelledIn)
+    val modelOut = tmp("chain_model")
+    Steps.runFromArgs(spark, Seq("l2g_train", s"in=$labelledIn",
+      s"out=$modelOut", "cross_validate=false", "max_iter=3", "max_depth=2"))
+    val scoresOut = tmp("chain_scores")
+    Steps.runFromArgs(spark, Seq("l2g_score", s"model=$modelOut",
+      s"in=$matrixOut", s"out=$scoresOut"))
+    val scores = spark.read.parquet(scoresOut)
+    assert(scores.count() == 86)
+    assert(scores.filter(col("score").isNull ||
+      col("score") < 0 || col("score") > 1).count() == 0)
+    // near genes must outscore far genes for the model to have learned
+    // the distance signal at all
+    val byKind = scores
+      .groupBy(col("geneId").endsWith("_near").as("near"))
+      .agg(avg("score").as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byKind(true) > byKind(false), s"scores $byKind")
+  }
+}
+
+/** Nested-schema fixtures for the lifecycle chain (top-level so the
+  * case-class encoders carry no outer reference). */
+object StepsSpecFixtures {
+  case class RVal(population: String, r: Double)
+  case class LdTag(tagVariantId: String, rValues: Seq[RVal])
+  case class LdRow(variantId: String, chromosome: String, ldSet: Seq[LdTag])
+  case class Pop(ldPopulation: String, relativeSampleSize: Double)
+  case class StudyRow(studyId: String, ldPopulationStructure: Seq[Pop])
 }
