@@ -65,6 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"tag self-join decayed to non-equi:\n$p")
+    // both sides are the same corpus-sized frame: the join must stay a
+    // two-sided shuffle — a planner broadcast here is a corpus-scale
+    // driver collect at 100 TB (the shuffle_hash hint pins this)
+    assert(p.contains("ShuffledHashJoin"),
+      s"tag self-join not a shuffled hash join:\n$p")
   }
 
   test("fused COLOC never materialises a cartesian pair space") {
