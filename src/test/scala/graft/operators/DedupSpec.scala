@@ -201,6 +201,19 @@ class DedupSpec extends SparkSpec {
     val viaFinish = Dedup.connectedComponentsWithRounds(
       edges)._1.as[(Long, Long)].collect().toMap
     assert(viaFinish == viaStars)
+    // larger sparse graph (long chains + isolated pairs + duplicate and
+    // reversed edges): the two independent implementations must agree
+    // on every label
+    val big = (0L until 1500L).flatMap { i =>
+      val a = rnd.nextInt(2000).toLong; val b = rnd.nextInt(2000).toLong
+      if (a == b) Nil else Seq((a, b), (b, a)) // reversed duplicates
+    }.toDF("idA", "idB")
+    val bigStars = Dedup.connectedComponentsWithRounds(
+      big, unionFindThreshold = 0L)._1.as[(Long, Long)].collect().toMap
+    val bigFinish = Dedup.connectedComponentsWithRounds(
+      big)._1.as[(Long, Long)].collect().toMap
+    assert(bigStars == bigFinish)
+    assert(bigStars.forall { case (id, comp) => comp <= id })
   }
 
   test("non-convergence raises instead of returning partial labels") {
