@@ -81,6 +81,7 @@ object SparkEntry {
     "q_mix_split" -> (Q.mixSplit _),
     "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
     "q_dedup_decontaminate" -> (Q.decontamination _),
+    "q_dedup_decontaminate_bloom" -> (Q.decontaminationBloom _),
     "q_text_tfidf" -> (Q.tfidfTopTerms _),
     "q_dedup_semantic" -> (Q.semanticDedup _),
     "q_gx_study_parse" -> (Q.gwasCatalogStudyParse _),

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  private def shingled(df: DataFrame, textCol: String, idCol: String,
+                       idAs: String, shingleSize: Int) =
+    df.select(col(idCol).as(idAs),
+      explode(graft.plans.SketchFunctions
+        .distinctShingles(col(textCol), shingleSize)).as("shingle"))
+
   /** (corpusId, benchId, overlap, benchShingles, coverage) for every
     * corpus document sharing ≥ `minOverlap` distinct `shingleSize`-gram
     * shingles with a benchmark document. `coverage` = overlap /
@@ -29,13 +35,59 @@ object Decontamination {
                          textCol: String, idCol: String,
                          shingleSize: Int = 3,
                          minOverlap: Int = 1): DataFrame = {
-    def shingled(df: DataFrame, idAs: String) =
-      df.select(col(idCol).as(idAs),
-        explode(graft.plans.SketchFunctions
-          .distinctShingles(col(textCol), shingleSize)).as("shingle"))
-    val bench = shingled(benchmark, "benchId")
+    val bench = shingled(benchmark, textCol, idCol, "benchId", shingleSize)
     val benchSizes = bench.groupBy("benchId").agg(count(lit(1)).as("benchShingles"))
-    shingled(corpus, "corpusId")
+    shingled(corpus, textCol, idCol, "corpusId", shingleSize)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy("corpusId", "benchId")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .join(broadcast(benchSizes), Seq("benchId"))
+      .withColumn("coverage",
+        col("overlap").cast("double") / col("benchShingles"))
+      .select("corpusId", "benchId", "overlap", "benchShingles", "coverage")
+  }
+
+  /** [[contaminationPairs]] with a Bloom prefilter on the corpus
+    * shingle stream: the benchmark's shingles are folded into a Bloom
+    * filter (built once, eagerly — the benchmark side is MBs), inlined
+    * as a BINARY literal, and every corpus shingle that cannot be in
+    * the benchmark is dropped BEFORE the equi-join. Results are
+    * IDENTICAL to [[contaminationPairs]] — a Bloom filter has no false
+    * negatives, and false positives are removed by the exact join that
+    * follows — but the join now sees only the (tiny) plausibly-matching
+    * slice of the corpus. This is the 100 TB shape when even the
+    * broadcast row index is a stretch: the filter ships `numBits/8`
+    * bytes of sketch (1 MB default) to every task instead of the
+    * benchmark's shingle ROWS, and the prefilter runs inside the
+    * corpus-side scan stage at a few ns per shingle.
+    *
+    * `expectedShingles`/`numBits` size the filter (defaults: 1M items
+    * in 8M bits ≈ 1 MB ≈ 0.3% false-positive rate); stay under
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`. */
+  def contaminationPairsBloom(corpus: DataFrame, benchmark: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleSize: Int = 3,
+                              minOverlap: Int = 1,
+                              expectedShingles: Long = 1000000L,
+                              numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val bench = shingled(benchmark, textCol, idCol, "benchId", shingleSize)
+    val benchSizes = bench.groupBy("benchId").agg(count(lit(1)).as("benchShingles"))
+    def xxh = new XxHash64(Seq(Bridge.expression(col("shingle"))))
+    val bloomBytes = bench
+      .select(Bridge.column(new BloomFilterAggregate(xxh,
+        Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+        .as("_bloom"))
+      .head.getAs[Array[Byte]](0)
+    val mightMatch =
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType), xxh))
+    shingled(corpus, textCol, idCol, "corpusId", shingleSize)
+      .filter(mightMatch)
       .join(broadcast(bench), Seq("shingle"))
       .groupBy("corpusId", "benchId")
       .agg(count(lit(1)).as("overlap"))

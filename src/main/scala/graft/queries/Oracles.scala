@@ -1696,6 +1696,9 @@ object Oracles {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_decontaminate" -> decontamination,
+    // the Bloom prefilter is exact-equivalent (no false negatives +
+    // exact confirm join), so the bloom variant shares the oracle
+    "q_dedup_decontaminate_bloom" -> decontamination,
     "q_text_tfidf" -> tfidfTopTerms,
     "q_dedup_semantic" -> semanticDedup,
     "q_text_stats" -> textStats,

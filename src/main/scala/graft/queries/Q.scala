@@ -788,6 +788,19 @@ object Q {
         col("benchShingles"), q(col("coverage"), 6).as("coverage_q6"))
   }
 
+  /** Bloom-prefiltered decontamination: same oracle as
+    * [[decontamination]] — the Bloom prefilter has no false negatives
+    * and the exact join removes its false positives, so the result set
+    * is identical; the query pins that equivalence end-to-end. */
+  def decontaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontamination.contaminationPairsBloom(docs,
+      docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
+      .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
+      .select(col("corpusId"), col("benchId"), col("overlap"),
+        col("benchShingles"), q(col("coverage"), 6).as("coverage_q6"))
+  }
+
   /** Top-3 TF-IDF terms per document (smoothed sklearn idf,
     * deterministic (tfidf desc, term asc) ranking). */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =

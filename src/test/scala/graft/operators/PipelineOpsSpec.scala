@@ -30,6 +30,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains((2L, 100L)))
   }
 
+  test("bloom-prefiltered decontamination is exact and prefilters in-plan") {
+    val rnd = new scala.util.Random(5)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (1L to 200L).map(i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") % 29 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val exact = Decontamination
+      .contaminationPairs(corpus, bench, "text", "doc_id")
+      .collect().map(key).toSet
+    val bloomed = Decontamination
+      .contaminationPairsBloom(corpus, bench, "text", "doc_id")
+    assert(bloomed.collect().map(key).toSet == exact)
+    // the prefilter must sit in the corpus scan stage, before the join
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom prefilter in plan:\n$p")
+  }
+
   test("flagContaminated keeps the worst benchmark coverage per doc") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
