@@ -30,23 +30,52 @@ object StreamingDecontamination {
     * `minCoverage` pre-filters verdicts (0.0 emits every overlapping
     * pair). The benchmark index is computed once per (re)start and
     * broadcast — recompute is trivial because eval suites are small by
-    * definition; re-deploy to pick up benchmark changes. */
+    * definition; re-deploy to pick up benchmark changes.
+    *
+    * `bloomPrefilter` additionally folds the benchmark shingles into a
+    * Bloom filter at stream build time (static side, one eager job)
+    * and drops non-matching corpus shingles inside the micro-batch's
+    * scan stage before the join — same exact-equivalence argument as
+    * [[graft.operators.Decontamination.contaminationPairsBloom]] (no
+    * false negatives; the join removes false positives), and the same
+    * payoff: the per-batch join sees only the plausibly-contaminated
+    * slice of the stream. */
   def coverageStream(corpusStream: DataFrame, benchmark: DataFrame,
                      textCol: String, idCol: String,
                      shingleSize: Int = 3,
                      minCoverage: Double = 0.0,
-                     watermark: String = "10 minutes"): DataFrame = {
+                     watermark: String = "10 minutes",
+                     bloomPrefilter: Boolean = false,
+                     expectedShingles: Long = 1000000L,
+                     numBits: Long = 8388608L): DataFrame = {
     val bench = benchmark.select(
       col(idCol).as("benchId"),
       explode(graft.plans.SketchFunctions
         .distinctShingles(col(textCol), shingleSize)).as("shingle"))
     val benchSizes = bench.groupBy("benchId")
       .agg(count(lit(1)).as("benchShingles"))
-    corpusStream
+    val shingledStream = corpusStream
       .withWatermark("ts", watermark)
       .select(col("ts"), col(idCol).as("corpusId"),
         explode(graft.plans.SketchFunctions
           .distinctShingles(col(textCol), shingleSize)).as("shingle"))
+    val prefiltered =
+      if (!bloomPrefilter) shingledStream
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.Bridge
+        import org.apache.spark.sql.types.BinaryType
+        def xxh = new XxHash64(Seq(Bridge.expression(col("shingle"))))
+        val bloomBytes = bench
+          .select(Bridge.column(new BloomFilterAggregate(xxh,
+            Literal(expectedShingles), Literal(numBits))
+            .toAggregateExpression()).as("_bloom"))
+          .head.getAs[Array[Byte]](0)
+        shingledStream.filter(Bridge.column(BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType), xxh)))
+      }
+    prefiltered
       .join(broadcast(bench), Seq("shingle"))
       // corpusId is unique per arriving document, so this aggregation
       // never needs rows from another document: grouping on the

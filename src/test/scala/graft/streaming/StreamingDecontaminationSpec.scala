@@ -68,4 +68,31 @@ class StreamingDecontaminationSpec extends SparkSpec {
       assert(ids == Set("c1"), s"got $ids")
     } finally q.stop()
   }
+
+  test("bloom prefilter leaves streaming verdicts unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(
+      ("b1", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val corpus = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDecontamination.coverageStream(
+      corpus, benchmark, "text", "doc_id", bloomPrefilter = true)
+      .writeStream.format("memory").queryName("contam_bloom")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        ("c1", "alpha beta gamma delta epsilon", ts(0)), // full copy
+        ("c2", "completely unrelated text entirely", ts(1))) // clean
+      input.addData(("late", "zzz yyy xxx", ts(59)))
+      q.processAllAvailable()
+      input.addData(("later", "qqq www eee", ts(59)))
+      q.processAllAvailable()
+      val rows = spark.table("contam_bloom")
+        .select(col("corpusId"), col("overlap"))
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("c1", 3L)), s"got $rows")
+    } finally q.stop()
+  }
 }
