@@ -100,13 +100,19 @@ object Decontamination {
 
   /** Per-corpus-document contamination verdict: the worst (highest)
     * benchmark coverage and its benchmark id, flagged at `minCoverage`.
-    * Ties resolve to the smallest benchId (deterministic). */
+    * Ties resolve to the smallest benchId (deterministic).
+    * `bloomPrefilter` routes through [[contaminationPairsBloom]]
+    * (identical results, corpus-side prefilter). */
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
                        textCol: String, idCol: String,
                        shingleSize: Int = 3,
-                       minCoverage: Double = 0.8): DataFrame = {
-    val worst = contaminationPairs(corpus, benchmark, textCol, idCol,
-      shingleSize)
+                       minCoverage: Double = 0.8,
+                       bloomPrefilter: Boolean = false): DataFrame = {
+    val pairs =
+      if (bloomPrefilter)
+        contaminationPairsBloom(corpus, benchmark, textCol, idCol, shingleSize)
+      else contaminationPairs(corpus, benchmark, textCol, idCol, shingleSize)
+    val worst = pairs
       .groupBy("corpusId")
       // min over (−coverage, benchId): highest coverage, ties to the
       // smallest benchId — deterministic without a sort-window

@@ -410,7 +410,8 @@ object Steps {
           read(s, a("in")), read(s, a("benchmark")),
           a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id"),
-          minCoverage = a.double("min_coverage", 0.8)), a("out"))),
+          minCoverage = a.double("min_coverage", 0.8),
+          bloomPrefilter = a.bool("bloom", false)), a("out"))),
 
     Step("tfidf_top_terms",
       "Top-k TF-IDF terms per document (smoothed sklearn idf)",
