@@ -26,6 +26,30 @@ object Decontamination {
       explode(graft.plans.SketchFunctions
         .distinctShingles(col(textCol), shingleSize)).as("shingle"))
 
+  /** Fold `bench`'s `shingle` column into a Bloom filter — ONE eager
+    * job over the (MB-scale) benchmark side — and return a
+    * `might_contain` predicate over any frame's `shingle` column. The
+    * single implementation shared by the batch and streaming
+    * decontamination paths, so the exact-equivalence argument (no
+    * false negatives; the downstream exact join removes false
+    * positives) cannot silently diverge between them. */
+  private[graft] def bloomShinglePredicate(
+      bench: DataFrame, expectedShingles: Long,
+      numBits: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    def xxh = new XxHash64(Seq(Bridge.expression(col("shingle"))))
+    val bloomBytes = bench
+      .select(Bridge.column(new BloomFilterAggregate(xxh,
+        Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+        .as("_bloom"))
+      .head.getAs[Array[Byte]](0)
+    Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType), xxh))
+  }
+
   /** (corpusId, benchId, overlap, benchShingles, coverage) for every
     * corpus document sharing ≥ `minOverlap` distinct `shingleSize`-gram
     * shingles with a benchmark document. `coverage` = overlap /
@@ -70,24 +94,17 @@ object Decontamination {
                               shingleSize: Int = 3,
                               minOverlap: Int = 1,
                               expectedShingles: Long = 1000000L,
-                              numBits: Long = 8388608L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
-    val bench = shingled(benchmark, textCol, idCol, "benchId", shingleSize)
+                              numBits: Long = 8388608L,
+                              cache: graft.core.CacheHandle =
+                                graft.core.CacheHandle()): DataFrame = {
+    // persisted: the bloom build (eager), the size aggregate, and the
+    // broadcast join all read the benchmark shingles — without the
+    // persist the MB-scale benchmark is shingled three times
+    val bench = cache.persist(
+      shingled(benchmark, textCol, idCol, "benchId", shingleSize))
     val benchSizes = bench.groupBy("benchId").agg(count(lit(1)).as("benchShingles"))
-    def xxh = new XxHash64(Seq(Bridge.expression(col("shingle"))))
-    val bloomBytes = bench
-      .select(Bridge.column(new BloomFilterAggregate(xxh,
-        Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
-        .as("_bloom"))
-      .head.getAs[Array[Byte]](0)
-    val mightMatch =
-      Bridge.column(BloomFilterMightContain(
-        Literal.create(bloomBytes, BinaryType), xxh))
     shingled(corpus, textCol, idCol, "corpusId", shingleSize)
-      .filter(mightMatch)
+      .filter(bloomShinglePredicate(bench, expectedShingles, numBits))
       .join(broadcast(bench), Seq("shingle"))
       .groupBy("corpusId", "benchId")
       .agg(count(lit(1)).as("overlap"))

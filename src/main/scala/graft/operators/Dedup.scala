@@ -287,8 +287,11 @@ object Dedup {
     * data no longer needs the cluster. */
   def connectedComponents(pairs: DataFrame, aCol: String = "idA",
                           bCol: String = "idB",
-                          maxIter: Int = 30): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+                          maxIter: Int = 30,
+                          cache: graft.core.CacheHandle =
+                            graft.core.CacheHandle()): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
+      cache = cache)._1
 
   /** Live-edge threshold below which the contraction loop hands off to
     * a single-task union-find finish: 4M (u, v) longs ≈ 64 MB in one
@@ -299,11 +302,16 @@ object Dedup {
   /** [[connectedComponents]] plus the number of contraction rounds it
     * took to reach the star fixpoint (exposed so tests can pin the
     * O(log d) convergence bound). `unionFindThreshold` (in live edges)
-    * gates the single-task finish; 0 forces pure star contraction. */
+    * gates the single-task finish; 0 forces pure star contraction.
+    * The returned labels are lazy over the final (persisted) edge
+    * state, which is registered on `cache` — call `cache.release()`
+    * after the terminal action to drop it. */
   def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String = "idA", bCol: String = "idB",
       maxIter: Int = 30,
-      unionFindThreshold: Long = UnionFindThreshold): (DataFrame, Int) = {
+      unionFindThreshold: Long = UnionFindThreshold,
+      cache: graft.core.CacheHandle =
+        graft.core.CacheHandle()): (DataFrame, Int) = {
     // canonical orientation: every edge points large → small
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
@@ -358,6 +366,9 @@ object Dedup {
       cnt = nextCnt
       iter += 1
     }
+    // the surviving edge state backs the (lazy) labels — register it
+    // so the caller's release() can drop it after the terminal action
+    cache.persist(edges)
     if (!converged && handoff && cnt > 0L) {
       // single-task finish: the live edge set fits one task's memory
       // budget, where path-compressed union-find closes the remaining
@@ -422,8 +433,10 @@ object Dedup {
     * B~C keeps A and C without the closure). */
   def keepClusterCanonical(df: DataFrame, idCol: String,
                            pairs: DataFrame, aCol: String = "idA",
-                           bCol: String = "idB"): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
+                           bCol: String = "idB",
+                           cache: graft.core.CacheHandle =
+                             graft.core.CacheHandle()): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, cache = cache)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     // no broadcast hint: the loser set scales with the corpus' true

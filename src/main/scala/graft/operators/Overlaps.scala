@@ -84,7 +84,14 @@ object Overlaps {
     // optimistic post-pruning parquet size estimates do trigger here)
     // would collect a corpus-scale side to the driver — the death
     // shape at 100 TB, and measurably slower than the 2-sided shuffle
-    // even at bench scale (600k-row BroadcastExchange ≈ 1 s)
+    // even at bench scale (600k-row BroadcastExchange ≈ 1 s).
+    // shuffle_hash over merge: SMJ's two 600k-row sorts measured +75%
+    // on the fused-COLOC e2e for identical results. The SHJ build side
+    // is per-partition and in-memory — bounded by sizing
+    // spark.sql.shuffle.partitions to the corpus (the same contract as
+    // every aggregation here), with AQE skew-join splitting oversized
+    // partitions; a deployment that cannot guarantee that should
+    // switch this hint to "merge" (spilling sorts) at the cost above.
     val left = bounded.alias("left").hint("shuffle_hash")
     val right = bounded.alias("right")
     left

@@ -115,6 +115,23 @@ case class BandJoinRewrite(session: SparkSession)
     if (v.equalsIgnoreCase("auto")) None else Some(v.toLong)
   }
 
+  // one stats job per distinct (bound plan, lo, hi) per session: each
+  // action on a DataFrame re-optimizes its plan, and without the memo
+  // every re-optimization would re-pay the sampling job AND could
+  // re-derive a different width (LIMIT samples are not stable), making
+  // the physical plan nondeterministic across actions. Canonicalized
+  // keys survive expression-id renumbering; bounded so a long-lived
+  // session cannot leak plans.
+  private val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), Option[Long]]()
+
+  private def derivedWidth(boundPlan: LogicalPlan, lo: Expression,
+                           hi: Expression): Option[Long] = {
+    val key = (boundPlan.canonicalized, lo.canonicalized, hi.canonicalized)
+    if (widthMemo.size() > 256) widthMemo.clear()
+    widthMemo.computeIfAbsent(key, _ => deriveWidth(boundPlan, lo, hi))
+  }
+
   /** Derive a band width from the bound side's interval lengths: next
     * power of two ≥ max(p95 length, max length / [[MaxBandsPerInterval]])
     * over a ≤[[WidthSampleRows]]-row sample. None when the sample is
@@ -141,7 +158,11 @@ case class BandJoinRewrite(session: SparkSession)
       else {
         val p = rows(0).getDouble(0)
         val m = rows(0).getDouble(1)
-        if (m <= 0) None
+        // the finite guards matter: Max orders NaN above every double,
+        // and a NaN target would fall through nextPow2's `w < x` loop
+        // as width 1 — the band-explosion worst case, not a fallback
+        if (!java.lang.Double.isFinite(m) || !java.lang.Double.isFinite(p)
+          || m <= 0) None
         else Some(nextPow2(math.max(MinWidth.toDouble,
           math.max(p, m / MaxBandsPerInterval))))
       }
@@ -215,7 +236,7 @@ case class BandJoinRewrite(session: SparkSession)
     band.map { case (pos, lo, hi) =>
       val (pointPlan, boundPlan) = if (pointsOnLeft) (left, right) else (right, left)
       val width = widthConf
-        .orElse(deriveWidth(boundPlan, lo, hi))
+        .orElse(derivedWidth(boundPlan, lo, hi))
         .getOrElse(DefaultWidth)
       def bandOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))

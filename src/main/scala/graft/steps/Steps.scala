@@ -426,7 +426,10 @@ object Steps {
       (s, a) => write(
         Similarity.semanticDupPairs(read(s, a("in")),
           read(s, a("centroids")),
-          threshold = a.double("threshold", 0.9)), a("out"))),
+          threshold = a.double("threshold", 0.9),
+          // hot-cell cap (quadratic guard); raise — or Long.MaxValue to
+          // disable — when a dominant cluster's pairs must be kept
+          maxCellSize = a.long("max_cell_size", 100000L)), a("out"))),
 
     Step("dedup_cluster_canonical",
       "Transitive near-dup clusters from a pair table; keep one survivor per cluster",

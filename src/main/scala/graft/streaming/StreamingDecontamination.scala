@@ -61,20 +61,9 @@ object StreamingDecontamination {
           .distinctShingles(col(textCol), shingleSize)).as("shingle"))
     val prefiltered =
       if (!bloomPrefilter) shingledStream
-      else {
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        import org.apache.spark.sql.graft.Bridge
-        import org.apache.spark.sql.types.BinaryType
-        def xxh = new XxHash64(Seq(Bridge.expression(col("shingle"))))
-        val bloomBytes = bench
-          .select(Bridge.column(new BloomFilterAggregate(xxh,
-            Literal(expectedShingles), Literal(numBits))
-            .toAggregateExpression()).as("_bloom"))
-          .head.getAs[Array[Byte]](0)
-        shingledStream.filter(Bridge.column(BloomFilterMightContain(
-          Literal.create(bloomBytes, BinaryType), xxh)))
-      }
+      else shingledStream.filter(
+        graft.operators.Decontamination.bloomShinglePredicate(
+          bench, expectedShingles, numBits))
     prefiltered
       .join(broadcast(bench), Seq("shingle"))
       // corpusId is unique per arriving document, so this aggregation
