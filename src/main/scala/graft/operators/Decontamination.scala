@@ -124,10 +124,13 @@ object Decontamination {
                        textCol: String, idCol: String,
                        shingleSize: Int = 3,
                        minCoverage: Double = 0.8,
-                       bloomPrefilter: Boolean = false): DataFrame = {
+                       bloomPrefilter: Boolean = false,
+                       cache: graft.core.CacheHandle =
+                         graft.core.CacheHandle()): DataFrame = {
     val pairs =
       if (bloomPrefilter)
-        contaminationPairsBloom(corpus, benchmark, textCol, idCol, shingleSize)
+        contaminationPairsBloom(corpus, benchmark, textCol, idCol, shingleSize,
+          cache = cache)
       else contaminationPairs(corpus, benchmark, textCol, idCol, shingleSize)
     val worst = pairs
       .groupBy("corpusId")

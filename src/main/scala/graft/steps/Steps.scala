@@ -44,6 +44,16 @@ object Steps {
   private def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Run a cache-bearing operator, write its result, and release the
+    * operator's persisted frames. Per-step spark-submit never needs
+    * the release (JVM exit drops caches), but a long-lived session
+    * chaining many steps would otherwise accumulate them. */
+  private def writeReleasing(path: String)(
+      body: graft.core.CacheHandle => DataFrame): Unit = {
+    val handle = graft.core.CacheHandle()
+    try write(body(handle), path) finally handle.release()
+  }
+
   val registry: Map[String, Step] = Seq(
     Step("window_based_clumping",
       "Distance-window clumping of significant sumstats rows into leads",
@@ -397,21 +407,21 @@ object Steps {
 
     Step("dedup_minhash",
       "MinHash+LSH near-duplicate pairs on a document table",
-      (s, a) => write(
+      (s, a) => writeReleasing(a("out")) { h =>
         Dedup.minhashDupPairs(read(s, a("in")),
           a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id"),
-          threshold = a.double("threshold", 0.7)), a("out"))),
+          threshold = a.double("threshold", 0.7), cache = h) }),
 
     Step("decontaminate",
       "Flag corpus documents whose n-grams cover a benchmark document",
-      (s, a) => write(
+      (s, a) => writeReleasing(a("out")) { h =>
         Decontamination.flagContaminated(
           read(s, a("in")), read(s, a("benchmark")),
           a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id"),
           minCoverage = a.double("min_coverage", 0.8),
-          bloomPrefilter = a.bool("bloom", false)), a("out"))),
+          bloomPrefilter = a.bool("bloom", false), cache = h) }),
 
     Step("tfidf_top_terms",
       "Top-k TF-IDF terms per document (smoothed sklearn idf)",
@@ -423,21 +433,21 @@ object Steps {
 
     Step("dedup_semantic",
       "SemDeDup-style within-cluster embedding near-dup pairs",
-      (s, a) => write(
+      (s, a) => writeReleasing(a("out")) { h =>
         Similarity.semanticDupPairs(read(s, a("in")),
           read(s, a("centroids")),
           threshold = a.double("threshold", 0.9),
           // hot-cell cap (quadratic guard); raise — or Long.MaxValue to
           // disable — when a dominant cluster's pairs must be kept
-          maxCellSize = a.long("max_cell_size", 100000L)), a("out"))),
+          maxCellSize = a.long("max_cell_size", 100000L), cache = h) }),
 
     Step("dedup_cluster_canonical",
       "Transitive near-dup clusters from a pair table; keep one survivor per cluster",
-      (s, a) => write(
+      (s, a) => writeReleasing(a("out")) { h =>
         Dedup.keepClusterCanonical(read(s, a("in")),
           a.get("id_col").getOrElse("doc_id"), read(s, a("pairs")),
-          a.get("a_col").getOrElse("idA"), a.get("b_col").getOrElse("idB")),
-        a("out"))),
+          a.get("a_col").getOrElse("idA"), a.get("b_col").getOrElse("idB"),
+          cache = h) }),
 
     Step("mix_sample",
       "Downsample each source to a target token mix (weights: src=w,src=w)",
