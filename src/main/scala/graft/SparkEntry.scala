@@ -76,6 +76,10 @@ object SparkEntry {
     "q_ml_l2g_gold_standard" -> (Q.l2gGoldStandard _),
     "q_dedup_embedding" -> (Q.embeddingDup _),
     "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),
+    "q_dedup_incr_exact" -> (Q.dedupIncrementalExact _),
+    "q_profile_documents" -> (Q.profileDocuments _),
+    "q_zorder_cells" -> (Q.zorderCells _),
+    "q_dedup_incr_minhash_md5" -> (Q.dedupIncrementalMinhashMd5 _),
     "q_dedup_components" -> (Q.dedupComponents _),
     "q_mix_sample" -> (Q.mixSample _),
     "q_mix_split" -> (Q.mixSplit _),

@@ -760,6 +760,65 @@ object Oracles {
       |SELECT ia AS "idA", ib AS "idB", ${q("s", 6)} AS sim_q6
       |FROM simil WHERE s >= 0.5""".stripMargin
 
+  /** Mirrors Q.dedupIncrementalExact: arrivals (doc_id % 5 = 0) that
+    * are digest-new to the corpus (% 5 <> 0) and min-id within the
+    * batch. */
+  val dedupIncrExact: String =
+    """WITH arr AS (
+      |  SELECT doc_id, lang, n_chars, md5(text) AS digest
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |winners AS (
+      |  SELECT digest, min(doc_id) AS doc_id FROM arr GROUP BY 1)
+      |SELECT a.doc_id, a.lang, a.n_chars
+      |FROM arr a
+      |JOIN winners w ON w.digest = a.digest AND w.doc_id = a.doc_id
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = a.digest)""".stripMargin
+
+  /** Mirrors Q.dedupIncrementalMinhashMd5: the full-corpus
+    * [[minhashMd5]] pair set restricted to pairs with at least one
+    * arrival (doc_id % 5 = 0) side — the incremental operator's
+    * semantics contract. */
+  val dedupIncrMinhashMd5: String =
+    s"""SELECT * FROM ($minhashMd5)
+      |WHERE ("idA" % 5 = 0 OR "idB" % 5 = 0)""".stripMargin
+
+  /** Mirrors Q.profileDocuments / Profiler.profile (exact-distinct
+    * mode): per-column null/distinct/range/mean stats in long format.
+    * Numeric columns measure the value, string columns its length —
+    * the SQL is generated per (column, kind) to mirror the Scala
+    * metric builder one-for-one. */
+  val profileDocuments: String = {
+    val cols = Seq("doc_id" -> true, "lang" -> false,
+      "source" -> false, "n_chars" -> true)
+    val blocks = cols.flatMap { case (c, numeric) =>
+      val m = if (numeric) s"CAST($c AS DOUBLE)" else s"CAST(length($c) AS DOUBLE)"
+      Seq(
+        s"SELECT '$c' AS col_name, 'n_nonnull' AS metric, CAST(count($c) AS DOUBLE) AS v FROM documents",
+        s"SELECT '$c', 'n_null', CAST(count(*) FILTER ($c IS NULL) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE) FROM documents",
+        s"SELECT '$c', 'min', min($m) FROM documents",
+        s"SELECT '$c', 'max', max($m) FROM documents",
+        s"SELECT '$c', 'mean', avg($m) FROM documents")
+    }
+    s"""SELECT col_name, metric, ${q("v", 6)} AS value_q6
+      |FROM (${blocks.mkString("\n UNION ALL ")})""".stripMargin
+  }
+
+  /** Mirrors Q.zorderCells / core.ZOrder.zvalue: 16-bit two-dimension
+    * Morton interleave (l_partkey bits at even positions, l_suppkey at
+    * odd), coarse cells via >> 12. Generated per bit to mirror the
+    * Scala unrolled expression one-for-one. */
+  val zorderCells: String = {
+    def dim(c: String, j: Int): String = (0 until 16).map(i =>
+      s"(((CAST($c AS BIGINT) >> $i) & 1) << ${2 * i + j})").mkString(" | ")
+    s"""WITH z AS (
+      |  SELECT (${dim("l_partkey", 0)}) | (${dim("l_suppkey", 1)}) AS z
+      |  FROM lineitem)
+      |SELECT z >> 12 AS cell, count(*) AS n FROM z GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors Q.mixSample / Mixing.sampleToMix: whitespace token
     * counts, per-source availability, capped acceptance fraction
     * target·budget/avail, md5-uniform acceptance on the decimal id. */
@@ -1714,6 +1773,10 @@ object Oracles {
     "q_mm_decode" -> mmDecode,
     "q_mm_frames" -> mmFrames,
     "q_dedup_minhash_md5" -> minhashMd5,
+    "q_dedup_incr_exact" -> dedupIncrExact,
+    "q_profile_documents" -> profileDocuments,
+    "q_zorder_cells" -> zorderCells,
+    "q_dedup_incr_minhash_md5" -> dedupIncrMinhashMd5,
     "q_dedup_components" -> dedupComponents,
     "q_mix_sample" -> mixSample,
     "q_dedup_simhash_md5" -> simhashMd5)

@@ -761,6 +761,59 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Incremental exact dedup: the corpus is `doc_id % 5 != 0`, the
+    * arrival batch is `doc_id % 5 == 0`; survivors are arrivals whose
+    * text digest is new to the corpus index and min-id within the
+    * batch. The corpus is only read to build the (digest, canonicalId)
+    * index — the production shape persists that index and never
+    * re-reads corpus bytes. */
+  def dedupIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = IncrementalDedup.exactIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    IncrementalDedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 5 === 0), index, "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** Incremental MinHash near-dup pairs (md5-anchored variant): the
+    * arrival batch (`doc_id % 5 == 0`) is sketched and banded against
+    * the persisted signature index of the rest; result = the full
+    * corpus LSH pair set restricted to pairs touching an arrival,
+    * which is exactly what the oracle computes. Cap disabled for
+    * unconditional oracle parity (testdata has no hot buckets). */
+  def dedupIncrementalMinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = IncrementalDedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", md5Base = true)
+    val arrivals = IncrementalDedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", md5Base = true)
+    IncrementalDedup.incrementalMinhashPairs(arrivals, index,
+        numHashes = 64, bands = 16, threshold = 0.5,
+        maxBandBucket = Int.MaxValue)
+      .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
+  }
+
+  /** One-pass column profile of the documents table (exact distinct so
+    * the DuckDB oracle can replay it; the production default is the
+    * HLL single pass). Long format (col_name, metric, value_q6). */
+  def profileDocuments(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"), approxDistinct = false)
+      .select(col("col_name"), col("metric"), q(col("value"), 6).as("value_q6"))
+
+  /** Z-order cell census over lineitem (l_partkey, l_suppkey): the
+    * interleaved-bit z-value collapsed to coarse cells, counted. Pins
+    * the bit-interleave expression exactly against the SQL replay —
+    * the layout operator [[graft.core.ZOrder.clusterByZ]] orders by
+    * this value. */
+  def zorderCells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(graft.core.ZOrder.zvalue(
+        Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("cell"))
+      .agg(count(lit(1)).as("n"))
+
   /** Domain-mix sampling: four weighted sources against a 2000-token
     * budget (src3's target exceeds its supply, exercising the
     * keep-everything cap; unweighted sources drop). Acceptance is the

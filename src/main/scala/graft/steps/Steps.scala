@@ -413,6 +413,73 @@ object Steps {
           a.get("id_col").getOrElse("doc_id"),
           threshold = a.double("threshold", 0.7), cache = h) }),
 
+    Step("dedup_index_build",
+      "Build a persistable dedup index: kind=exact (digest,canonicalId) or kind=minhash (id,sig)",
+      (s, a) => {
+        val in = read(s, a("in"))
+        val text = a.get("text_col").getOrElse("text")
+        val id = a.get("id_col").getOrElse("doc_id")
+        val idx = a.get("kind").getOrElse("exact") match {
+          case "exact" => IncrementalDedup.exactIndex(in, text, id)
+          case "minhash" => IncrementalDedup.minhashIndex(in, text, id,
+            shingleSize = a.int("shingle_size", 3),
+            numHashes = a.int("num_hashes", 64))
+          case other =>
+            throw new IllegalArgumentException(s"Unknown index kind '$other'")
+        }
+        write(idx, a("out"))
+      }),
+
+    Step("dedup_incremental_exact",
+      "Exact-dedup an arrival batch against a digest index; writes survivors and the merged index",
+      (s, a) => {
+        val arrivals = read(s, a("in"))
+        val index = read(s, a("index"))
+        val text = a.get("text_col").getOrElse("text")
+        val id = a.get("id_col").getOrElse("doc_id")
+        write(IncrementalDedup.incrementalExactDedup(arrivals, index, text, id),
+          a("out"))
+        a.get("out_index").foreach(p =>
+          write(IncrementalDedup.mergedExactIndex(index, arrivals, text, id), p))
+      }),
+
+    Step("dedup_incremental_minhash",
+      "Near-dup pairs of an arrival batch vs a (id,sig) signature index; optional merged index",
+      (s, a) => {
+        val index = read(s, a("index"))
+        val text = a.get("text_col").getOrElse("text")
+        val id = a.get("id_col").getOrElse("doc_id")
+        val handle = graft.core.CacheHandle()
+        try {
+          val arrSigs = IncrementalDedup.minhashIndex(read(s, a("in")), text, id,
+            shingleSize = a.int("shingle_size", 3),
+            numHashes = a.int("num_hashes", 64))
+          write(IncrementalDedup.incrementalMinhashPairs(arrSigs, index,
+            numHashes = a.int("num_hashes", 64),
+            bands = a.int("bands", 16),
+            threshold = a.double("threshold", 0.5),
+            maxBandBucket = a.int("max_band_bucket", 100000),
+            cache = handle), a("out"))
+          a.get("out_index").foreach(p =>
+            write(IncrementalDedup.mergedMinhashIndex(index, arrSigs), p))
+        } finally handle.release()
+      }),
+
+    Step("profile",
+      "One-pass column profile (col_name, metric, value); cols=a,b,c",
+      (s, a) => write(
+        Profiler.profile(read(s, a("in")), a("cols").split(",").map(_.trim).toSeq,
+          approxDistinct = a.bool("approx_distinct", true),
+          rsd = a.double("rsd", 0.05)), a("out"))),
+
+    Step("zorder_write",
+      "Z-order-cluster a table on dims=a,b and write (locality for data skipping)",
+      (s, a) => write(
+        graft.core.ZOrder.clusterByZ(read(s, a("in")),
+          a("dims").split(",").map(_.trim).toSeq,
+          bitsPer = a.int("bits_per", 21),
+          numPartitions = a.int("num_partitions", 200)), a("out"))),
+
     Step("decontaminate",
       "Flag corpus documents whose n-grams cover a benchmark document",
       (s, a) => writeReleasing(a("out")) { h =>
