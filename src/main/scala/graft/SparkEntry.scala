@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_incr_exact" -> (Q.dedupIncrementalExact _),
     "q_profile_documents" -> (Q.profileDocuments _),
     "q_zorder_cells" -> (Q.zorderCells _),
+    "q_profile_hist" -> (Q.profileHistogram _),
     "q_dedup_incr_minhash_md5" -> (Q.dedupIncrementalMinhashMd5 _),
     "q_dedup_components" -> (Q.dedupComponents _),
     "q_mix_sample" -> (Q.mixSample _),

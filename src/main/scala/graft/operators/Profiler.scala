@@ -64,4 +64,26 @@ object Profiler {
       stack((lit(metrics.size) +: stackArgs): _*)
         .as(Seq("col_name", "metric", "value")))
   }
+
+  /** Equi-width histogram of a numeric column over an explicit
+    * `[lo, hi)` range in one pass: `(bin, lo, hi, n)` with values
+    * below/above the range clamped into the edge bins. Explicit
+    * bounds keep it a single scan (a data-derived range would need a
+    * min/max pre-pass); one tiny groupBy on the bin id — cost at
+    * 100 TB = one scan + `bins` rows of shuffle. Nulls are dropped. */
+  def histogram(df: DataFrame, colName: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo, got $bins [$lo,$hi)")
+    val width = (hi - lo) / bins
+    val raw = floor((col(colName).cast("double") - lit(lo)) / lit(width))
+    val bin = least(greatest(raw, lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    df.filter(col(colName).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi"),
+        col("n"))
+  }
 }

@@ -806,6 +806,18 @@ object Oracles {
       |FROM (${blocks.mkString("\n UNION ALL ")})""".stripMargin
   }
 
+  /** Mirrors Q.profileHistogram / Profiler.histogram: 20 equi-width
+    * bins of l_extendedprice over [0, 100000), outliers clamped to the
+    * edge bins, nulls dropped. */
+  val profileHistogram: String =
+    s"""WITH b AS (
+      |  SELECT CAST(least(greatest(floor(CAST(l_extendedprice AS DOUBLE)
+      |           / 5000.0), 0), 19) AS BIGINT) AS bin
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |SELECT bin, ${q("bin * 5000.0", 2)} AS lo_q2,
+      |       ${q("(bin + 1) * 5000.0", 2)} AS hi_q2, count(*) AS n
+      |FROM b GROUP BY 1""".stripMargin
+
   /** Mirrors Q.zorderCells / core.ZOrder.zvalue: 16-bit two-dimension
     * Morton interleave (l_partkey bits at even positions, l_suppkey at
     * odd), coarse cells via >> 12. Generated per bit to mirror the
@@ -1776,6 +1788,7 @@ object Oracles {
     "q_dedup_incr_exact" -> dedupIncrExact,
     "q_profile_documents" -> profileDocuments,
     "q_zorder_cells" -> zorderCells,
+    "q_profile_hist" -> profileHistogram,
     "q_dedup_incr_minhash_md5" -> dedupIncrMinhashMd5,
     "q_dedup_components" -> dedupComponents,
     "q_mix_sample" -> mixSample,

@@ -802,6 +802,15 @@ object Q {
         Seq("doc_id", "lang", "source", "n_chars"), approxDistinct = false)
       .select(col("col_name"), col("metric"), q(col("value"), 6).as("value_q6"))
 
+  /** One-pass equi-width histogram of lineitem extended price: 20 bins
+    * over [0, 100000) with edge clamping — the profiling companion of
+    * [[profileDocuments]]. */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        bins = 20, lo = 0.0, hi = 100000.0)
+      .select(col("bin"), q(col("lo"), 2).as("lo_q2"),
+        q(col("hi"), 2).as("hi_q2"), col("n"))
+
   /** Z-order cell census over lineitem (l_partkey, l_suppkey): the
     * interleaved-bit z-value collapsed to coarse cells, counted. Pins
     * the bit-interleave expression exactly against the SQL replay —

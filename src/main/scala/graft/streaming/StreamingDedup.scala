@@ -32,6 +32,24 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Streaming incremental exact dedup against a static digest index
+    * ([[graft.operators.IncrementalDedup.exactIndex]] output): a
+    * micro-batch arrival whose digest already stands in the corpus is
+    * dropped by a stream-static anti-join (the static side is planned
+    * per micro-batch, never held as stream state), and in-stream
+    * duplicates by watermark-bounded digest state — the streaming
+    * face of the batch `incrementalExactDedup`. */
+  def incrementalExactDedup(docs: DataFrame, index: DataFrame,
+                            textCol: String,
+                            watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_digest", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .join(index.select(col("digest").as("_digest")), Seq("_digest"),
+        "left_anti")
+      .drop("_digest")
+
   case class BandedDoc(band: Int, bandHash: Long, docId: String,
                        sig: Seq[Long])
   case class BucketState(sigs: List[(String, Seq[Long])])

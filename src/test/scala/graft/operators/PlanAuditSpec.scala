@@ -183,6 +183,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash stays equi-join with an unbroadcast corpus index") {
+    // the signature index scales with the corpus: the candidate join must
+    // stand on the (band, key) equi keys, not on broadcasting the index
+    val sigs = IncrementalDedup.minhashIndex(docs, "text", "doc_id",
+      md5Base = true)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(IncrementalDedup.incrementalMinhashPairs(
+        sigs.filter(col("id") >= 3), sigs.filter(col("id") < 3),
+        cache = graft.core.CacheHandle.disabled))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"incremental minhash decayed to non-equi:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"candidate join not a shuffled equi join:\n$p")
+    }
+  }
+
+  test("incremental exact dedup is hash-aggregate + anti-join, no window") {
+    val idx = IncrementalDedup.exactIndex(docs.filter(col("doc_id") < 3),
+      "text", "doc_id")
+    val p = plan(IncrementalDedup.incrementalExactDedup(
+      docs.filter(col("doc_id") >= 3), idx, "text", "doc_id"))
+    assert(p.contains("HashAggregate") && !p.contains("Window") &&
+      !p.contains("SortAggregate"), s"exact incremental plan decayed:\n$p")
+    assert(p.contains("LeftAnti"), s"index probe is not an anti-join:\n$p")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -44,6 +44,17 @@ class ProfilerSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Union"))
   }
 
+  test("histogram bins values, clamps outliers, and drops nulls") {
+    val vals = Seq[java.lang.Double](0.5, 1.5, 1.9, 2.5, 9.9, -3.0, 12.0, null)
+      .toDF("v")
+    val h = Profiler.histogram(vals, "v", bins = 5, lo = 0.0, hi = 10.0)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // width 2: bin0=[0,2): 0.5,1.5,1.9 and clamped -3.0; bin1=[2,4): 2.5;
+    // bin4=[8,10): 9.9 and clamped 12.0; null dropped
+    assert(h == Map(0L -> 4L, 1L -> 1L, 4L -> 2L))
+  }
+
   test("unsupported column types fail loudly") {
     val arr = Seq((1L, Seq(1, 2))).toDF("k", "a")
     intercept[IllegalArgumentException] {

@@ -57,6 +57,55 @@ class StepsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("incremental dedup lifecycle: build index -> dedup batch -> merged index") {
+    val corpus = tmp("incr_corpus")
+    val batch = tmp("incr_batch")
+    val exIdx = tmp("incr_exidx")
+    val mhIdx = tmp("incr_mhidx")
+    val survivors = tmp("incr_survivors")
+    val pairs = tmp("incr_pairs")
+    val exIdx2 = tmp("incr_exidx2")
+    val mhIdx2 = tmp("incr_mhidx2")
+    Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "totally distinct corpus text"))
+      .toDF("doc_id", "text").write.parquet(corpus)
+    Seq((11L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+        (12L, "a brand new arrival"), (13L, "a brand new arrival"))
+      .toDF("doc_id", "text").write.parquet(batch)
+
+    Steps.runFromArgs(spark, Seq("dedup_index_build", s"in=$corpus",
+      "kind=exact", s"out=$exIdx"))
+    Steps.runFromArgs(spark, Seq("dedup_incremental_exact", s"in=$batch",
+      s"index=$exIdx", s"out=$survivors", s"out_index=$exIdx2"))
+    assert(spark.read.parquet(survivors).select("doc_id")
+      .as[Long].collect().toSet == Set(12L))
+    assert(spark.read.parquet(exIdx2).count() == 3) // 3 distinct texts
+
+    Steps.runFromArgs(spark, Seq("dedup_index_build", s"in=$corpus",
+      "kind=minhash", s"out=$mhIdx"))
+    Steps.runFromArgs(spark, Seq("dedup_incremental_minhash", s"in=$batch",
+      s"index=$mhIdx", s"out=$pairs", s"out_index=$mhIdx2", "threshold=0.9"))
+    val got = spark.read.parquet(pairs).select("idA", "idB")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 11L)) && got.contains((12L, 13L)))
+    assert(spark.read.parquet(mhIdx2).count() == 5) // 2 corpus + 3 batch sigs
+  }
+
+  test("profile and zorder_write steps run end-to-end on parquet") {
+    val in = tmp("prof_in")
+    val prof = tmp("prof_out")
+    val zed = tmp("z_out")
+    Seq((1L, 10L, "aa"), (2L, 20L, "bb"), (3L, 30L, "cc"))
+      .toDF("x", "y", "s").write.parquet(in)
+    Steps.runFromArgs(spark, Seq("profile", s"in=$in", "cols=x,s", s"out=$prof"))
+    val m = spark.read.parquet(prof)
+      .as[(String, String, Double)].collect()
+      .map { case (c, k, v) => (c, k) -> v }.toMap
+    assert(m(("x", "n_nonnull")) == 3.0 && m(("s", "max")) == 2.0)
+    Steps.runFromArgs(spark, Seq("zorder_write", s"in=$in", "dims=x,y",
+      "bits_per=8", "num_partitions=2", s"out=$zed"))
+    assert(spark.read.parquet(zed).count() == 3)
+  }
+
   test("training-data steps chain: signals -> split -> canonical dedup") {
     val in = tmp("corpus_in")
     Seq((1L, "src0", "the quick brown fox jumps"),

@@ -29,6 +29,30 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental exact dedup drops arrivals already in the static index") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.operators.IncrementalDedup.exactIndex(
+      Seq((1L, "standing corpus document")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = incrementalExactDedup(docs, index, "text")
+      .writeStream.format("memory").queryName("incrdedup")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        ("d1", "standing corpus document", ts(0)), // already in corpus
+        ("d2", "a fresh arrival", ts(1)),
+        ("d3", "a fresh arrival", ts(2))) // in-stream dup of d2
+      q.processAllAvailable()
+      val kept = spark.table("incrdedup").select("doc_id").as[String]
+        .collect().toSet
+      assert(!kept.contains("d1"))
+      assert(kept.size == 1 && (kept == Set("d2") || kept == Set("d3")))
+    } finally q.stop()
+  }
+
   test("near-dup flags fire for bucket-mates above the signature threshold") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 5
