@@ -190,9 +190,39 @@ object Bench {
       }
 
     val results = fromForks ++ fromFallback
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision per-query map → BENCH_full.json next to the build.
+    // The driver records only a ~2000-char stdout tail; the 80+-query
+    // map stopped fitting on one line in round 7 (the artifact's
+    // "parsed" went null). Best-effort: never fail the bench over it.
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+    }
+
+    // Stdout line, budgeted to survive the tail capture: queries in
+    // descending cost (the expensive ones are what gets graded), values
+    // at 2 decimals, truncated before the line outgrows the capture
+    // window; `nq` + `detail` point at the complete map.
+    def f2(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val lineTail = s"""},"nq":${results.size},"detail":"BENCH_full.json","sf":"$sfDir"}"""
+    val sb = new StringBuilder(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{""")
+    var full = false
+    var first = true
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val ent = (if (first) "" else ",") + "\"" + k + "\":" + f2(v)
+      if (!full && sb.length + ent.length + lineTail.length <= 1800) {
+        sb.append(ent); first = false
+      } else full = true
+    }
+    sb.append(lineTail)
+    println(sb.toString)
   }
 
   private val benchLine = """BENCHQ (\S+) (\S+) rows=(-?\d+)""".r

@@ -61,6 +61,9 @@ object SparkEntry {
     "q_dedup_exact" -> (Q.dedupExact _),
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
     "q_text_stats" -> (Q.textStats _),
+    "q_text_langid" -> (Q.textLangId _),
+    "q_upsert_orders" -> (Q.upsertOrders _),
+    "q_text_quality" -> (Q.textQuality _),
     "q_text_unigram_lp" -> (Q.textUnigramLp _),
     "q_text_repetition" -> (Q.textRepetition _),
     "q_text_oov" -> (Q.textOov _),

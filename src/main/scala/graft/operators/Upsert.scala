@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance: apply a CDC delta to a keyed snapshot
+  * (latest-wins upsert + delete), the daily table-maintenance shape of
+  * a 100 TB corpus — the standing snapshot is the big side and must be
+  * touched exactly once, with no window function over it.
+  *
+  * Shape: the per-key "latest" reduction runs on the DELTA only (a
+  * window over the small side); the snapshot participates in a single
+  * left-anti join against the delta's distinct keys — broadcastable
+  * whenever the delta fits, so at typical delta:snapshot ratios the
+  * snapshot is one scan + zero shuffles. Output = surviving snapshot
+  * rows ∪ surviving delta rows.
+  */
+object Upsert {
+
+  /** Apply `delta` to `snapshot`.
+    *
+    * @param keys   join key columns (present in both frames)
+    * @param seqCol monotone sequence column on the delta (commit ts /
+    *               LSN); the row with the highest value per key wins.
+    *               (key, seqCol) is assumed unique within the delta —
+    *               ties are broken by op precedence (D > U > I) so the
+    *               result stays deterministic even when it is not.
+    * @param opCol  optional change-op column on the delta with values
+    *               I/U (upsert) or D (delete). Absent ⇒ pure upsert.
+    *
+    * The result has exactly the snapshot's schema; delta-only columns
+    * (`seqCol`, `opCol`) are dropped.
+    */
+  def applyDelta(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+                 seqCol: String, opCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "applyDelta needs at least one key column")
+    val outCols = snapshot.columns.toSeq
+
+    val ordered = opCol match {
+      case Some(op) => Seq(col(seqCol).desc,
+        // op precedence on seq ties: delete beats upsert
+        when(col(op) === "D", 2).otherwise(1).desc)
+      case None => Seq(col(seqCol).desc)
+    }
+    val latest = delta
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(ordered: _*)))
+      .filter(col("__rk") === 1)
+
+    val survivors = opCol match {
+      case Some(op) => latest.filter(col(op) =!= "D")
+      case None => latest
+    }
+
+    val untouched = snapshot.join(
+      delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+    untouched.unionByName(survivors.select(outCols.map(col): _*))
+  }
+}

@@ -492,6 +492,95 @@ object Oracles {
       |FROM a JOIN a b ON a.cell = b.cell AND a.id < b.id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
 
+  /** Mirrors Q.upsertOrders / Upsert.applyDelta: latest-wins CDC merge
+    * with delete semantics and op-precedence tie-breaks. */
+  val upsertOrders: String =
+    s"""WITH delta AS (
+       |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+       |         o_orderstatus, 1 AS seq, 'U' AS op
+       |  FROM orders WHERE o_orderkey % 10 < 2
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice + 5000.0, o_orderstatus, 2, 'U'
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice, o_orderstatus, 1, 'D'
+       |  FROM orders WHERE o_orderkey % 10 = 2
+       |  UNION ALL
+       |  SELECT -o_orderkey, o_totalprice, o_orderstatus, 1, 'I'
+       |  FROM orders WHERE o_orderkey % 10 = 3),
+       |latest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |    ORDER BY seq DESC, CASE WHEN op = 'D' THEN 2 ELSE 1 END DESC) AS rk
+       |  FROM delta)
+       |SELECT o_orderkey, ${q("o_totalprice", 2)} AS price_q2, o_orderstatus
+       |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+       |UNION ALL
+       |SELECT o_orderkey, ${q("o_totalprice", 2)} AS price_q2, o_orderstatus
+       |FROM latest WHERE rk = 1 AND op <> 'D'""".stripMargin
+
+  /** Mirrors Q.textLangId / TextAnalysis.languageId: stopword-ratio
+    * argmax over {en,es,fr,de}, ties to the lexicographically larger
+    * code, 'und' when no stopwords hit at all. */
+  val textLangId: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                x -> x <> '') AS ts
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ts, x -> x IN ('the','of','and','to','in','is','that','it',
+       |      'was','for','with','as','his','on','be','at','by','this')))::DOUBLE
+       |      / greatest(len(ts), 1) AS en,
+       |    len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','un','los','se',
+       |      'del','las','por','con','una','para','es','al','como')))::DOUBLE
+       |      / greatest(len(ts), 1) AS es,
+       |    len(list_filter(ts, x -> x IN ('le','la','de','et','les','des','est','un',
+       |      'une','du','dans','qui','que','pour','sur','au','pas','plus')))::DOUBLE
+       |      / greatest(len(ts), 1) AS fr,
+       |    len(list_filter(ts, x -> x IN ('der','die','und','das','von','zu','den',
+       |      'mit','ist','des','im','nicht','ein','eine','auf','als','auch','es')))::DOUBLE
+       |      / greatest(len(ts), 1) AS de
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CASE WHEN greatest(en, es, fr, de) > 0 THEN
+       |    CASE WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+       |         WHEN es = greatest(en, es, fr, de) THEN 'es'
+       |         WHEN en = greatest(en, es, fr, de) THEN 'en'
+       |         ELSE 'de' END
+       |  ELSE 'und' END AS language,
+       |  ${q("en", 6)} AS en_ratio_q6,
+       |  ${q("de", 6)} AS de_ratio_q6
+       |FROM r""".stripMargin
+
+  /** Mirrors Q.textQuality / TextAnalysis.qualityScore: the weighted
+    * length/punctuation/stopword/word-length composite, replayed
+    * signal by signal. */
+  val textQuality: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                    x -> x <> ''))::DOUBLE AS n_tok,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN ('the','of','and','to','in','is','that','it','was','for',
+       |        'with','as','his','on','be','at','by','this')))::DOUBLE AS n_sw
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    least(n_tok / 100.0, 1.0) AS length_score,
+       |    1.0 - least(((length(text)
+       |        - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |        / greatest(length(text), 1)) * 5.0, 1.0) AS punct_score,
+       |    least((n_sw / greatest(n_tok, 1.0)) * 5.0, 1.0) AS sw_score,
+       |    CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |              / greatest(n_tok, 1.0) BETWEEN 3.0 AND 12.0
+       |         THEN 1.0 ELSE 0.3 END AS wordlen_score
+       |  FROM b)
+       |SELECT doc_id,
+       |  ${q("round(length_score * 0.3 + punct_score * 0.3 + sw_score * 0.2 + wordlen_score * 0.2, 6)", 6)}
+       |    AS quality_q6
+       |FROM c""".stripMargin
+
   val textStats: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1773,6 +1862,9 @@ object Oracles {
     "q_text_tfidf" -> tfidfTopTerms,
     "q_dedup_semantic" -> semanticDedup,
     "q_text_stats" -> textStats,
+    "q_text_langid" -> textLangId,
+    "q_upsert_orders" -> upsertOrders,
+    "q_text_quality" -> textQuality,
     "q_text_unigram_lp" -> textUnigramLp,
     "q_text_repetition" -> textRepetition,
     "q_text_oov" -> textOov,

@@ -307,6 +307,29 @@ object Q {
       .union(t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("k")))
       .distinct()
 
+  /** CDC snapshot upsert: a synthetic latest-wins delta (competing
+    * updates, deletes, inserts) applied to the orders snapshot via
+    * [[Upsert.applyDelta]] — delta-only window, single anti-join on
+    * the snapshot side. */
+  def upsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val upd1 = orders.filter(col("o_orderkey") % 10 < 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("__seq", lit(1L)).withColumn("__op", lit("U"))
+    val upd2 = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+      .withColumn("__seq", lit(2L)).withColumn("__op", lit("U"))
+    val del = orders.filter(col("o_orderkey") % 10 === 2)
+      .withColumn("__seq", lit(1L)).withColumn("__op", lit("D"))
+    val ins = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("__seq", lit(1L)).withColumn("__op", lit("I"))
+    val delta = upd1.unionByName(upd2).unionByName(del).unionByName(ins)
+    Upsert.applyDelta(orders, delta, Seq("o_orderkey"), "__seq", Some("__op"))
+      .select(col("o_orderkey"), q(col("o_totalprice"), 2).as("price_q2"),
+        col("o_orderstatus"))
+  }
+
   // ------------------------------------------------------ scalar functions
 
   /** F9: harmonic sum over per-group score arrays. */
@@ -468,6 +491,24 @@ object Q {
       size(filter(TextAnalysis.tokens(col("text")),
         tk => tk.isin("the", "of", "and", "to", "in", "is", "that", "it"))).cast("long")
         .as("n_stopwords"))
+  }
+
+  /** Per-document heuristic language ID (stopword-vote argmax over
+    * {en,es,fr,de}) plus two of the underlying stopword ratios. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("language"),
+      q(TextAnalysis.stopwordRatio(col("text"), "en"), 6).as("en_ratio_q6"),
+      q(TextAnalysis.stopwordRatio(col("text"), "de"), 6).as("de_ratio_q6"))
+  }
+
+  /** Per-document composite quality score (length / punctuation /
+    * stopword / word-length signals), q6-quantised for the oracle. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+      q(TextAnalysis.qualityScore(col("text")), 6).as("quality_q6"))
   }
 
   /** Corpus-relative unigram log-prob quality score per document,

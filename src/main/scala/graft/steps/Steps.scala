@@ -612,6 +612,21 @@ object Steps {
           k = a.int("k", 10), nProbe = a.int("n_probe", 3),
           refineCorpus = a.get("refine_corpus").map(read(s, _)),
           refineFactor = a.int("refine_factor", 4)), a("out"))
+      }),
+
+    Step("upsert",
+      "Apply a CDC delta (latest-wins upsert + delete) to a keyed snapshot",
+      (s, a) => write(Upsert.applyDelta(read(s, a("in")), read(s, a("delta")),
+        a("keys").split(",").map(_.trim).toSeq,
+        a.get("seq").getOrElse("seq"), a.get("op")), a("out"))),
+
+    Step("compact",
+      "Rewrite a parquet dataset into size-targeted (optionally sorted) files",
+      (s, a) => {
+        graft.core.Compaction.compact(s, a("in"), a("out"),
+          targetBytes = a.long("target_bytes", 128L << 20),
+          sortCols = a.get("sort_by").toSeq.flatMap(_.split(",").map(_.trim)))
+        ()
       })
   ).map(s => s.name -> s).toMap
 

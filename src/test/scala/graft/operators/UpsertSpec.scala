@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "name", "v")
+
+  test("latest-wins upsert with deletes and inserts") {
+    val delta = Seq(
+      (2L, "b", 21.0, 1L, "U"),
+      (2L, "b", 22.0, 2L, "U"), // later seq wins
+      (3L, "c", 30.0, 1L, "D"), // delete
+      (5L, "e", 50.0, 1L, "I")) // insert
+      .toDF("k", "name", "v", "seq", "op")
+    val out = Upsert.applyDelta(snap, delta, Seq("k"), "seq", Some("op"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out === Seq((1L, "a", 10.0), (2L, "b", 22.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("seq ties break by op precedence: delete beats upsert") {
+    val delta = Seq(
+      (2L, "b", 99.0, 1L, "U"),
+      (2L, "b", 20.0, 1L, "D"))
+      .toDF("k", "name", "v", "seq", "op")
+    val out = Upsert.applyDelta(snap, delta, Seq("k"), "seq", Some("op"))
+    assert(!out.select("k").as[Long].collect().contains(2L))
+  }
+
+  test("pure upsert mode (no op column) and idempotence") {
+    val delta = Seq((1L, "a", 11.0, 7L), (9L, "z", 90.0, 7L))
+      .toDF("k", "name", "v", "seq")
+    val once = Upsert.applyDelta(snap, delta, Seq("k"), "seq")
+    val twice = Upsert.applyDelta(once, delta, Seq("k"), "seq")
+    assert(once.orderBy("k").collect() === twice.orderBy("k").collect())
+    assert(once.filter($"k" === 1L).select("v").as[Double].head() === 11.0)
+  }
+
+  test("snapshot side sees no window — only the delta is windowed") {
+    val delta = Seq((2L, "b", 21.0, 1L, "U")).toDF("k", "name", "v", "seq", "op")
+    val out = Upsert.applyDelta(snap, delta, Seq("k"), "seq", Some("op"))
+    val optimized = out.queryExecution.optimizedPlan
+    // exactly one Window node (the delta-side row_number), and the
+    // snapshot joins anti — never inner/outer against the full delta
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 1, optimized.toString)
+    assert(optimized.toString.toLowerCase.contains("leftanti"), optimized.toString)
+  }
+}
