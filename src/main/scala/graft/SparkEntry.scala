@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_incr_minhash_md5" -> (Q.dedupIncrementalMinhashMd5 _),
     "q_dedup_components" -> (Q.dedupComponents _),
     "q_mix_sample" -> (Q.mixSample _),
+    "q_mix_stratified" -> (Q.mixStratified _),
     "q_mix_split" -> (Q.mixSplit _),
     "q_dedup_simhash_md5" -> (Q.simhashPairsMd5 _),
     "q_dedup_decontaminate" -> (Q.decontamination _),

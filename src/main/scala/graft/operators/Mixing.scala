@@ -50,6 +50,23 @@ object Mixing {
       .drop("_frac")
   }
 
+  /** Exact-count stratified sample: keep exactly `min(n, |stratum|)`
+    * rows per stratum, chosen by the deterministic md5 draw (so the
+    * selection is stable across reruns and replayable in SQL — the
+    * eval-set-construction shape, where "5k docs per domain" must
+    * mean exactly 5k). One shuffle: a per-stratum rank over the md5
+    * order; ties on the draw break by id so the cut is total. */
+  def stratifiedTake(docs: DataFrame, strataCol: String, idCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, "stratifiedTake needs n > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(uniform01(col(idCol)), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic train/val/test assignment: each row's split is a
     * pure function of its id (salted md5-uniform, so the assignment is
     * independent of [[sampleToMix]]'s acceptance draw on the same

@@ -940,6 +940,18 @@ object Oracles {
       |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < f.frac""".stripMargin
 
+  /** Mirrors Q.mixStratified / Mixing.stratifiedTake: per-stratum
+    * exact-N cut over the md5-uniform order, ties broken by id. */
+  val mixStratified: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                 / 4294967296.0,
+      |               doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin
+
   /** Mirrors Q.dedupComponents: the [[minhashMd5]] pair derivation,
     * then connected components as a recursive reachability closure —
     * componentId = min id reachable through the (symmetric) pair
@@ -1884,5 +1896,6 @@ object Oracles {
     "q_dedup_incr_minhash_md5" -> dedupIncrMinhashMd5,
     "q_dedup_components" -> dedupComponents,
     "q_mix_sample" -> mixSample,
+    "q_mix_stratified" -> mixStratified,
     "q_dedup_simhash_md5" -> simhashMd5)
 }

@@ -879,6 +879,12 @@ object Q {
       .select(col("doc_id"), col("source"), col("tokens"))
   }
 
+  /** Exact-count stratified sample: 10 documents per source, chosen
+    * by the deterministic md5 draw. */
+  def mixStratified(s: SparkSession, dir: String): DataFrame =
+    Mixing.stratifiedTake(t(s, dir, "documents"), "source", "doc_id", n = 10)
+      .select(col("doc_id"), col("source"))
+
   /** Benchmark decontamination: corpus documents covering ≥ 60% of a
     * benchmark document's distinct 3-gram shingles (benchmark = the
     * deterministic doc_id % 37 subset; self-matches excluded). */

@@ -80,4 +80,20 @@ class MixingSpec extends SparkSpec {
       testFrac = 0.0).select("split").distinct().as[String].collect().toSet
     assert(kinds == Set("train"))
   }
+
+  test("stratifiedTake keeps exactly n per stratum, deterministically") {
+    val out = Mixing.stratifiedTake(docs, "source", "doc_id", n = 30)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.toSet === Set(30L))
+    // deterministic: a rerun selects the identical ids
+    val again = Mixing.stratifiedTake(docs, "source", "doc_id", n = 30)
+    assert(out.select("doc_id").as[Long].collect().sorted ===
+      again.select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("stratifiedTake caps at stratum size when n exceeds it") {
+    val out = Mixing.stratifiedTake(docs, "source", "doc_id", n = 500)
+    assert(out.count() === 400L)
+  }
 }
