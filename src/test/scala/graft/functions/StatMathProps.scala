@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks over the scalar statistical kernels that
+  * replace the reference's scipy UDFs: inverse/forward consistency,
+  * symmetry, and shift invariance across the whole numeric domain the
+  * engine feeds them — not just the fixtures in the unit specs.
+  */
+object StatMathProps extends Properties("StatMath") {
+  import StatMath._
+
+  private val z = Gen.choose(-6.0, 6.0)
+  private val probOpen = Gen.choose(1e-12, 1.0 - 1e-12)
+  private val dfGen = Gen.choose(0.5, 50.0)
+
+  property("normCdf + normSf = 1") = forAll(z) { x =>
+    math.abs(normCdf(x) + normSf(x) - 1.0) < 1e-12
+  }
+
+  property("normSf symmetry: sf(-x) = cdf(x)") = forAll(z) { x =>
+    math.abs(normSf(-x) - normCdf(x)) < 1e-12
+  }
+
+  property("normPpf inverts normCdf") = forAll(z) { x =>
+    math.abs(normPpf(normCdf(x)) - x) < 1e-7 * math.max(1.0, math.abs(x))
+  }
+
+  property("normPpf is monotone") = forAll(probOpen, probOpen) { (p, q) =>
+    p == q || (p < q) == (normPpf(p) < normPpf(q))
+  }
+
+  property("chi2Sf decreases in x") = forAll(Gen.choose(0.01, 100.0),
+    Gen.choose(0.01, 100.0), dfGen) { (a, b, df) =>
+    a == b || (a < b) == (chi2Sf(a, df) > chi2Sf(b, df))
+  }
+
+  property("chi2Ppf inverts 1 - chi2Sf") =
+    forAll(Gen.choose(1e-6, 1.0 - 1e-6), dfGen) { (p, df) =>
+      val x = chi2Ppf(p, df)
+      math.abs((1.0 - chi2Sf(x, df)) - p) < 1e-6
+    }
+
+  property("logSumExp bounds: max <= lse <= max + ln n") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-700.0, 700.0))) { xs =>
+      val a = xs.toArray
+      val lse = logSumExp(a)
+      val mx = a.max
+      lse >= mx - 1e-9 && lse <= mx + math.log(a.length) + 1e-9
+    }
+
+  property("logSumExp shift invariance") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)),
+      Gen.choose(-500.0, 500.0)) { (xs, c) =>
+      val a = xs.toArray
+      val shifted = a.map(_ + c)
+      math.abs(logSumExp(shifted) - (logSumExp(a) + c)) <
+        1e-9 * math.max(1.0, math.abs(logSumExp(a) + c))
+    }
+
+  property("logSumExp of all -inf is -inf") = Prop {
+    logSumExp(Array(Double.NegativeInfinity,
+      Double.NegativeInfinity)) == Double.NegativeInfinity
+  }
+}
