@@ -102,6 +102,64 @@ object IncrementalDedup {
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))
   }
 
+  /** Merge a batch of new near-dup pairs into standing component
+    * labels WITHOUT revisiting the historical pair graph — the
+    * label-maintenance face of the daily-ingest shape: arrivals link
+    * to each other and to corpus documents, and those links may fuse
+    * existing clusters.
+    *
+    * The insight making this cheap: standing labels are already the
+    * component-contraction of the old graph, so the merge only needs
+    * connected components over the REPRESENTATIVE graph induced by
+    * the batch (one node per touched component or fresh arrival —
+    * batch-sized, not corpus-sized). The corpus-scale `labels` frame
+    * is touched by exactly one broadcast-remap join; batch pairs whose
+    * endpoints already share a component vanish before the tiny CC
+    * runs. Labels stay canonical (comp = min reachable id) because
+    * reps are their components' minima and the rep-graph CC takes
+    * minima of minima.
+    *
+    * @param labels   standing `(id, comp)` frame
+    *                 ([[graft.operators.Dedup.connectedComponents]]
+    *                 output, comp = min id of the component)
+    * @param newPairs batch edges `(aCol, bCol)`: arrival↔arrival or
+    *                 arrival↔corpus
+    * @return updated `(id, comp)` covering every standing id plus
+    *         every batch endpoint — identical to a full recompute
+    *         over (old ∪ new) pairs
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+                      aCol: String = "idA", bCol: String = "idB",
+                      cache: graft.core.CacheHandle =
+                        graft.core.CacheHandle()): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    val ends = newPairs.select(col(aCol).as("id"))
+      .unionByName(newPairs.select(col(bCol).as("id")))
+      .distinct()
+    // endpoint → current representative: its standing component, or
+    // itself when the id is new to the graph
+    val endReps = cache.persist(
+      ends.join(l, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("rep")))
+    val repEdges = newPairs
+      .join(endReps.select(col("id").as(aCol), col("rep").as("repA")), aCol)
+      .join(endReps.select(col("id").as(bCol), col("rep").as("repB")), bCol)
+      .select(col("repA").as("idA"), col("repB").as("idB"))
+    // tiny CC over touched reps only; persist — it feeds two joins and
+    // its lineage contains the iterative contraction
+    val remap = cache.persist(
+      Dedup.connectedComponents(repEdges, cache = cache)
+        .select(col("id").as("rep"), col("comp").as("newComp")))
+    val updated = l
+      .join(broadcast(remap), col("comp") === col("rep"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
+    val fresh = endReps
+      .join(l.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(remap), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("rep")).as("comp"))
+    updated.unionByName(fresh)
+  }
+
   /** Merge a batch's signatures into the index (arrival ids must be
     * new — enforced by the caller's id scheme). */
   def mergedMinhashIndex(index: DataFrame, arrivalSigs: DataFrame): DataFrame =

@@ -465,6 +465,17 @@ object Steps {
         } finally handle.release()
       }),
 
+    Step("dedup_merge_components",
+      "Fold a batch of new near-dup pairs into standing component labels",
+      (s, a) => {
+        val handle = graft.core.CacheHandle()
+        try write(IncrementalDedup.mergeComponents(
+          read(s, a("labels")), read(s, a("pairs")),
+          a.get("a_col").getOrElse("idA"), a.get("b_col").getOrElse("idB"),
+          cache = handle), a("out"))
+        finally handle.release()
+      }),
+
     Step("profile",
       "One-pass column profile (col_name, metric, value); cols=a,b,c",
       (s, a) => write(

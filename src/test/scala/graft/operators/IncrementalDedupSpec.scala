@@ -93,6 +93,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(uncapped == 780L)
   }
 
+  test("mergeComponents equals full recompute on a random two-batch graph") {
+    val rnd = new scala.util.Random(42)
+    val all = (0 until 300).map { _ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)
+    }.filter { case (a, b) => a != b }
+    val (batch1, batch2) = all.splitAt(all.size / 2)
+    val p1 = batch1.toDF("idA", "idB")
+    val p2 = batch2.toDF("idA", "idB")
+    val standing = Dedup.connectedComponents(p1)
+    val incremental = IncrementalDedup.mergeComponents(standing, p2)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(all.toDF("idA", "idB"))
+      .as[(Long, Long)].collect().toSet
+    assert(incremental === full)
+  }
+
+  test("mergeComponents fuses two standing components through one arrival") {
+    val standing = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val batch = Seq((100L, 2L), (100L, 11L)).toDF("idA", "idB")
+    val out = IncrementalDedup.mergeComponents(standing, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 100L -> 1L))
+  }
+
+  test("mergeComponents leaves untouched components alone") {
+    val standing = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val batch = Seq((200L, 201L)).toDF("idA", "idB")
+    val out = IncrementalDedup.mergeComponents(standing, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      200L -> 200L, 201L -> 200L))
+  }
+
   test("incremental minhash never re-sketches the corpus") {
     // The index is (id, sig) — joining from it must not reference a text
     // column. Guard: the plan over a text-free index analyzes and runs.
