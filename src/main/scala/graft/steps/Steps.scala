@@ -639,6 +639,14 @@ object Steps {
         a("keys").split(",").map(_.trim).toSeq,
         a.get("seq").getOrElse("seq"), a.get("op")), a("out"))),
 
+    Step("audited_write",
+      "Rewrite a dataset collecting one-pass audit metrics to a JSON sidecar",
+      (s, a) => {
+        graft.core.WriteAudit.writeWithAuditSidecar(read(s, a("in")), a("out"),
+          a.get("audit_cols").toSeq.flatMap(_.split(",").map(_.trim)))
+        ()
+      }),
+
     Step("compact",
       "Rewrite a parquet dataset into size-targeted (optionally sorted) files",
       (s, a) => {
