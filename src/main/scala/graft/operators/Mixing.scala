@@ -67,6 +67,26 @@ object Mixing {
       .drop("__rk")
   }
 
+  /** [[stratifiedTake]]'s 100 TB shape: the same deterministic cut
+    * computed with the bounded top-k aggregate instead of a window —
+    * the corpus is NEVER shuffled. The groupBy ships at most n heap
+    * entries per (partition, stratum) (map-side combined), the picked
+    * (stratum, id) set — strata × n rows — broadcasts back, and the
+    * corpus is left-semi filtered in place. Requires a numeric id;
+    * results are row-for-row identical to [[stratifiedTake]]. */
+  def stratifiedTakeAgg(docs: DataFrame, strataCol: String, idCol: String,
+                        n: Int): DataFrame = {
+    require(n > 0, "stratifiedTakeAgg needs n > 0")
+    val picked = docs
+      .groupBy(col(strataCol))
+      .agg(graft.plans.TopK.topkIds(
+        uniform01(col(idCol)), col(idCol), n).as("__ids"))
+      .select(col(strataCol).as("__strata"), explode(col("__ids")).as("__pick"))
+    docs.join(broadcast(picked),
+      col(idCol) === col("__pick") && col(strataCol) === col("__strata"),
+      "left_semi")
+  }
+
   /** Deterministic train/val/test assignment: each row's split is a
     * pure function of its id (salted md5-uniform, so the assignment is
     * independent of [[sampleToMix]]'s acceptance draw on the same

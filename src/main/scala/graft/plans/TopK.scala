@@ -1,0 +1,123 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import java.util.{Comparator, PriorityQueue}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k id selection as a native aggregate: per group, keep
+  * the `k` ids smallest under a (double, id) total order, in a
+  * size-capped heap that partially aggregates map-side.
+  *
+  * The point is the shuffle shape: a window-rank cut must shuffle
+  * EVERY row of the corpus to its stratum before ranking, while this
+  * aggregate ships at most k entries per (partition, group) — at
+  * 100 TB with thousands of strata that is the difference between a
+  * corpus-wide shuffle and kilobytes. Ties are impossible when ids are
+  * unique (the order ends with the id), so the cut is deterministic.
+  */
+case class TopKIdsAgg(u: Expression, id: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]]
+    with BinaryLike[Expression] {
+  require(k > 0, "topk requires k > 0")
+
+  override def left: Expression = u
+  override def right: Expression = id
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_ids"
+
+  // max-at-head heap so the current worst survivor is O(1) to test
+  private def cmp: Comparator[(Double, Long)] = TopKIdsAgg.MaxFirst
+
+  override def createAggregationBuffer(): PriorityQueue[(Double, Long)] =
+    new PriorityQueue[(Double, Long)](math.min(k, 1024), cmp)
+
+  private def insert(buf: PriorityQueue[(Double, Long)], e: (Double, Long)): Unit =
+    if (buf.size < k) buf.add(e)
+    else {
+      val worst = buf.peek()
+      if (e._1 < worst._1 || (e._1 == worst._1 && e._2 < worst._2)) {
+        buf.poll(); buf.add(e)
+      }
+    }
+
+  override def update(buf: PriorityQueue[(Double, Long)],
+                      input: InternalRow): PriorityQueue[(Double, Long)] = {
+    val uv = u.eval(input)
+    val iv = id.eval(input)
+    if (uv != null && iv != null)
+      insert(buf, (uv.asInstanceOf[Double], iv.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: PriorityQueue[(Double, Long)],
+                     other: PriorityQueue[(Double, Long)]): PriorityQueue[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: PriorityQueue[(Double, Long)]): Any = {
+    val arr = new Array[(Double, Long)](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr, cmp.reversed())
+    new GenericArrayData(arr.map(_._2))
+  }
+
+  override def serialize(buf: PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (d, l) = it.next(); bb.putDouble(d); bb.putLong(l) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { insert(buf, (bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKIdsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKIdsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKIdsAgg =
+    copy(u = newLeft, id = newRight)
+}
+
+object TopKIdsAgg {
+  /** Serializable (max-first) heap order — a lambda field would drag a
+    * non-serializable class into the task closure. */
+  object MaxFirst extends Comparator[(Double, Long)] with Serializable {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+}
+
+object TopK {
+  /** `topk_ids(orderKey, id, k)`: the k ids smallest by
+    * (orderKey, id), ascending. */
+  def topkIds(orderKey: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKIdsAgg(
+      Cast(Bridge.expression(orderKey), DoubleType),
+      Cast(Bridge.expression(id), LongType), k).toAggregateExpression())
+}

@@ -540,12 +540,17 @@ object Steps {
           a.long("budget", 1000000L)), a("out"))),
 
     Step("stratified_sample",
-      "Keep exactly n rows per stratum under the deterministic md5 draw",
-      (s, a) => write(
-        graft.operators.Mixing.stratifiedTake(read(s, a("in")),
+      "Keep exactly n rows per stratum under the deterministic md5 draw (mode=window|agg)",
+      (s, a) => {
+        val take =
+          if (a.get("mode").contains("agg"))
+            graft.operators.Mixing.stratifiedTakeAgg _
+          else graft.operators.Mixing.stratifiedTake _
+        write(take(read(s, a("in")),
           a.get("strata_col").getOrElse("source"),
           a.get("id_col").getOrElse("doc_id"),
-          a.int("n", 1000)), a("out"))),
+          a.int("n", 1000)), a("out"))
+      }),
 
     Step("assign_split",
       "Deterministic md5-salted train/val/test assignment",

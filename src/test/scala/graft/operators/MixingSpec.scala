@@ -96,4 +96,19 @@ class MixingSpec extends SparkSpec {
     val out = Mixing.stratifiedTake(docs, "source", "doc_id", n = 500)
     assert(out.count() === 400L)
   }
+
+  test("stratifiedTakeAgg matches the window cut exactly, without a Window") {
+    for (n <- Seq(1, 7, 30, 500)) {
+      val win = Mixing.stratifiedTake(docs, "source", "doc_id", n)
+        .select("doc_id").as[Long].collect().sorted
+      val agg = Mixing.stratifiedTakeAgg(docs, "source", "doc_id", n)
+        .select("doc_id").as[Long].collect().sorted
+      assert(agg === win, s"n=$n")
+    }
+    val plan = Mixing.stratifiedTakeAgg(docs, "source", "doc_id", 5)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, plan.toString)
+  }
 }
