@@ -71,6 +71,7 @@ object SparkEntry {
     "q_text_fingerprint_summary" -> (Q.fingerprintSummary _),
     "q_pack_shards" -> (Q.packShards _),
     "q_ann_topk" -> (Q.annTopK _),
+    "q_ann_topk_agg" -> (Q.annTopKAgg _),
     "q_mm_blob_meta" -> (Q.blobMeta _),
     "q_f_variant_hash" -> (Q.variantHash _),
     "q_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapping _),

@@ -64,6 +64,34 @@ object Similarity {
       .select("queryId", "neighbourId", "similarity", "rank")
   }
 
+  /** [[bruteForceTopK]] with the window-rank replaced by the bounded
+    * top-k aggregate: per query only k heap entries per partition are
+    * shuffled instead of the full |queries|×|corpus| scored cross
+    * product — the exact-scoring shape that survives a large corpus.
+    * `0.0 - similarity` is the heap key (the subtraction normalises
+    * -0.0 so ties break exactly like the window's
+    * (similarity DESC, neighbourId ASC)); similarity is recovered from
+    * the key, so nothing re-joins. Zero-norm (null-similarity)
+    * candidates are excluded — the window variant would admit them
+    * only when a query has fewer than k scorable neighbours. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.select(col("id").as("queryId"), col("embedding").as("q"),
+      norm(col("embedding")).as("_nq"))
+      .crossJoin(corpus.select(col("id").as("neighbourId"),
+        col("embedding").as("c"), norm(col("embedding")).as("_nc")))
+      .filter(col("queryId") =!= col("neighbourId"))
+      .withColumn("similarity",
+        cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
+    scored
+      .groupBy("queryId")
+      .agg(graft.plans.TopK.topkIdsKeyed(
+        lit(0.0) - col("similarity"), col("neighbourId"), k).as("__top"))
+      .select(col("queryId"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("queryId"), col("__t.id").as("neighbourId"),
+        (lit(0.0) - col("__t.key")).as("similarity"),
+        (col("__pos") + 1).as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash-mixed value in [-1, 1). */
   private def planeComponent(p: Column, i: Column, seed: Long): Column = {

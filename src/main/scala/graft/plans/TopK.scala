@@ -24,6 +24,7 @@ import org.apache.spark.sql.types._
   * unique (the order ends with the id), so the cut is deterministic.
   */
 case class TopKIdsAgg(u: Expression, id: Expression, k: Int,
+                      withKeys: Boolean = false,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]]
@@ -32,7 +33,11 @@ case class TopKIdsAgg(u: Expression, id: Expression, k: Int,
 
   override def left: Expression = u
   override def right: Expression = id
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (withKeys) ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("key", DoubleType, nullable = false))), containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_ids"
 
@@ -73,7 +78,9 @@ case class TopKIdsAgg(u: Expression, id: Expression, k: Int,
     val it = buf.iterator()
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     java.util.Arrays.sort(arr, cmp.reversed())
-    new GenericArrayData(arr.map(_._2))
+    if (withKeys)
+      new GenericArrayData(arr.map { case (d, l) => InternalRow(l, d): Any })
+    else new GenericArrayData(arr.map(_._2))
   }
 
   override def serialize(buf: PriorityQueue[(Double, Long)]): Array[Byte] = {
@@ -120,4 +127,13 @@ object TopK {
     Bridge.column(TopKIdsAgg(
       Cast(Bridge.expression(orderKey), DoubleType),
       Cast(Bridge.expression(id), LongType), k).toAggregateExpression())
+
+  /** `topk_ids` keeping the order key: array<struct<id, key>> in
+    * ascending key order — callers reconstruct derived metrics (e.g.
+    * similarity = −key) without a re-join. */
+  def topkIdsKeyed(orderKey: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKIdsAgg(
+      Cast(Bridge.expression(orderKey), DoubleType),
+      Cast(Bridge.expression(id), LongType), k,
+      withKeys = true).toAggregateExpression())
 }

@@ -1885,6 +1885,7 @@ object Oracles {
     "q_text_fingerprint_summary" -> fingerprintSummary,
     "q_pack_shards" -> packShards,
     "q_ann_topk" -> annTopK,
+    "q_ann_topk_agg" -> annTopK,
     "q_mm_blob_meta" -> blobMeta,
     "q_mm_decode" -> mmDecode,
     "q_mm_frames" -> mmFrames,

@@ -586,6 +586,17 @@ object Q {
         q(col("similarity"), 4).as("sim_q4"))
   }
 
+  /** [[annTopK]] through the bounded top-k aggregate (no window, no
+    * corpus shuffle) — same rows, same oracle semantics. */
+  def annTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    Similarity.bruteForceTopKAgg(emb, emb.filter(col("id") < 5), 5)
+      .select(col("queryId"), col("neighbourId"), col("rank").cast("long").as("rank"),
+        q(col("similarity"), 4).as("sim_q4"))
+  }
+
   /** Multimodal metadata (payload byte length without decode). */
   def blobMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")

@@ -79,6 +79,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.sorted.reverse.sameElements(sims)) // descending
   }
 
+  test("aggregate top-k equals the window top-k on real embeddings, sans Window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 20)
+    val win = Similarity.bruteForceTopK(emb, q, 5)
+      .select("queryId", "neighbourId", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val agg = Similarity.bruteForceTopKAgg(emb, q, 5)
+      .select("queryId", "neighbourId", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(agg === win)
+    // similarities are recovered from the heap key, not re-joined
+    val simsW = Similarity.bruteForceTopK(emb, q, 5)
+      .select("queryId", "neighbourId", "similarity")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    Similarity.bruteForceTopKAgg(emb, q, 5)
+      .select("queryId", "neighbourId", "similarity")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, s) => assert(math.abs(simsW((a, b)) - s) < 1e-12) }
+    val plan = Similarity.bruteForceTopKAgg(emb, q, 5)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, plan.toString)
+  }
+
   test("PQ ADC score equals the exact dot with the reconstructed vector") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
