@@ -64,6 +64,7 @@ object SparkEntry {
     "q_text_langid" -> (Q.textLangId _),
     "q_upsert_orders" -> (Q.upsertOrders _),
     "q_text_quality" -> (Q.textQuality _),
+    "q_text_tokens" -> (Q.textTokens _),
     "q_text_unigram_lp" -> (Q.textUnigramLp _),
     "q_text_repetition" -> (Q.textRepetition _),
     "q_text_oov" -> (Q.textOov _),

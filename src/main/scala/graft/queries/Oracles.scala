@@ -581,6 +581,16 @@ object Oracles {
        |    AS quality_q6
        |FROM c""".stripMargin
 
+  /** Mirrors Q.textTokens: whitespace and BPE-ish (letter runs /
+    * single digits / punctuation marks) token counts. */
+  val textTokens: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                       x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+      |       AS BIGINT) AS n_bpeish_tokens
+      |FROM documents""".stripMargin
+
   val textStats: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1877,6 +1887,7 @@ object Oracles {
     "q_text_langid" -> textLangId,
     "q_upsert_orders" -> upsertOrders,
     "q_text_quality" -> textQuality,
+    "q_text_tokens" -> textTokens,
     "q_text_unigram_lp" -> textUnigramLp,
     "q_text_repetition" -> textRepetition,
     "q_text_oov" -> textOov,

@@ -493,6 +493,15 @@ object Q {
         .as("n_stopwords"))
   }
 
+  /** Whitespace vs BPE-ish token counts per document (the two token
+    * accounting modes of the packing/mixing operators). */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"))
+  }
+
   /** Per-document heuristic language ID (stopword-vote argmax over
     * {en,es,fr,de}) plus two of the underlying stopword ratios. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
