@@ -82,6 +82,15 @@ object Similarity {
       .filter(col("queryId") =!= col("neighbourId"))
       .withColumn("similarity",
         cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
+    rankTopKAgg(scored, k)
+  }
+
+  /** Per-query (similarity DESC, neighbourId ASC) top-k via the
+    * bounded heap aggregate: candidates partially aggregate map-side,
+    * so only k heap entries per (partition, query) shuffle — never the
+    * candidate set itself. Input needs (queryId, neighbourId,
+    * similarity); distinct candidates are the caller's contract. */
+  private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("queryId")
       .agg(graft.plans.TopK.topkIdsKeyed(
@@ -90,7 +99,6 @@ object Similarity {
       .select(col("queryId"), col("__t.id").as("neighbourId"),
         (lit(0.0) - col("__t.key")).as("similarity"),
         (col("__pos") + 1).as("rank"))
-  }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash-mixed value in [-1, 1). */
@@ -145,16 +153,15 @@ object Similarity {
         .select(col(idAs), col(vecAs), col("table"), col("key"))
     val sigC = banded(corpus, "neighbourId", "c")
     val sigQ = banded(queries, "queryId", "q")
-    val w = Window.partitionBy("queryId")
-      .orderBy(col("similarity").desc, col("neighbourId"))
-    sigQ.join(sigC, Seq("table", "key"))
-      .filter(col("queryId") =!= col("neighbourId"))
-      .select(col("queryId"), col("neighbourId"), col("q"), col("c"))
-      .dropDuplicates("queryId", "neighbourId")
-      .withColumn("similarity", cosine(col("q"), col("c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("queryId", "neighbourId", "similarity", "rank")
+    // heap-aggregate ranking: after the OR-amplified candidate dedup,
+    // only k entries per (partition, query) shuffle — not the
+    // candidate set a window rank would re-shuffle
+    rankTopKAgg(
+      sigQ.join(sigC, Seq("table", "key"))
+        .filter(col("queryId") =!= col("neighbourId"))
+        .select(col("queryId"), col("neighbourId"), col("q"), col("c"))
+        .dropDuplicates("queryId", "neighbourId")
+        .withColumn("similarity", cosine(col("q"), col("c"))), k)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are partitioned into
@@ -188,17 +195,13 @@ object Similarity {
       col("embedding").cast("array<double>").as("q"),
       norm(col("embedding")).as("_nq"),
       explode(cellsOf(col("embedding"), nProbe)).as("cell"))
-    val w = Window.partitionBy("queryId")
-      .orderBy(col("similarity").desc, col("neighbourId"))
-    queryCells
-      .join(corpusCells, Seq("cell"))
-      .filter(col("queryId") =!= col("neighbourId"))
-      .dropDuplicates("queryId", "neighbourId")
-      .withColumn("similarity",
-        cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("queryId", "neighbourId", "similarity", "rank")
+    rankTopKAgg(
+      queryCells
+        .join(corpusCells, Seq("cell"))
+        .filter(col("queryId") =!= col("neighbourId"))
+        .dropDuplicates("queryId", "neighbourId")
+        .withColumn("similarity",
+          cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc"))), k)
   }
 
   /** Deterministic bounded training sample: xxhash64-ordered top
