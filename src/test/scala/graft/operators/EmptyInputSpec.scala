@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Empty-input sweep: a scheduled 100 TB pipeline will eventually feed
+  * an operator an empty batch (a quiet ingest day, a filter that
+  * drops everything). Every operator must return an empty,
+  * schema-correct frame — not throw.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyPairs: DataFrame =
+    Seq.empty[(Long, Long)].toDF("idA", "idB")
+
+  test("dedup family on an empty corpus") {
+    assert(Dedup.exactDedup(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(Dedup.minhashDupPairs(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(Dedup.connectedComponents(emptyPairs).count() === 0L)
+  }
+
+  test("incremental dedup with empty index, empty batch, or both") {
+    val idx = IncrementalDedup.exactIndex(emptyDocs, "text", "doc_id")
+    assert(idx.count() === 0L)
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    assert(IncrementalDedup.incrementalExactDedup(docs, idx, "text", "doc_id")
+      .count() === 1L)
+    val fullIdx = IncrementalDedup.exactIndex(docs, "text", "doc_id")
+    assert(IncrementalDedup.incrementalExactDedup(emptyDocs, fullIdx,
+      "text", "doc_id").count() === 0L)
+    assert(IncrementalDedup.mergeComponents(
+      Seq.empty[(Long, Long)].toDF("id", "comp"), emptyPairs).count() === 0L)
+  }
+
+  test("decontamination, mixing, upsert, profiler on empty inputs") {
+    val bench = Seq((1L, "benchmark text body")).toDF("doc_id", "text")
+    assert(Decontamination.contaminationPairs(emptyDocs, bench,
+      "text", "doc_id").count() === 0L)
+    assert(Mixing.sampleToMix(emptyDocs.withColumn("source",
+      org.apache.spark.sql.functions.lit("s"))
+      .withColumn("tokens", org.apache.spark.sql.functions.lit(1L)),
+      "doc_id", "source", "tokens", Map("s" -> 1.0), 100L).count() === 0L)
+    assert(Mixing.stratifiedTake(emptyDocs.withColumn("source",
+      org.apache.spark.sql.functions.lit("s")), "source", "doc_id", 5)
+      .count() === 0L)
+    assert(Mixing.stratifiedTakeAgg(emptyDocs.withColumn("source",
+      org.apache.spark.sql.functions.lit("s")), "source", "doc_id", 5)
+      .count() === 0L)
+    val snap = Seq((1L, 2.0)).toDF("k", "v")
+    val emptyDelta = Seq.empty[(Long, Double, Long)].toDF("k", "v", "seq")
+    assert(Upsert.applyDelta(snap, emptyDelta, Seq("k"), "seq").count() === 1L)
+    assert(Profiler.profile(emptyDocs, Seq("doc_id", "text"))
+      .count() > 0L) // metric rows exist; values reflect zero rows
+  }
+
+  test("similarity search with empty query side") {
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "embedding")
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    assert(Similarity.bruteForceTopK(corpus, emptyVecs, 3).count() === 0L)
+    assert(Similarity.bruteForceTopKAgg(corpus, emptyVecs, 3).count() === 0L)
+    assert(Similarity.lshTopK(corpus, emptyVecs, 3).count() === 0L)
+  }
+}
