@@ -90,14 +90,15 @@ object Similarity {
     * so only k heap entries per (partition, query) shuffle — never the
     * candidate set itself. Input needs (queryId, neighbourId,
     * similarity); distinct candidates are the caller's contract. */
-  private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopKAgg(scored: DataFrame, k: Int,
+                          scoreCol: String = "similarity"): DataFrame =
     scored
       .groupBy("queryId")
       .agg(graft.plans.TopK.topkIdsKeyed(
-        lit(0.0) - col("similarity"), col("neighbourId"), k).as("__top"))
+        lit(0.0) - col(scoreCol), col("neighbourId"), k).as("__top"))
       .select(col("queryId"), posexplode(col("__top")).as(Seq("__pos", "__t")))
       .select(col("queryId"), col("__t.id").as("neighbourId"),
-        (lit(0.0) - col("__t.key")).as("similarity"),
+        (lit(0.0) - col("__t.key")).as(scoreCol),
         (col("__pos") + 1).as("rank"))
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -460,31 +461,26 @@ object Similarity {
       .withColumn("cellDot",
         dot(col("embedding"), element_at(centLit, col("cell") + 1)))
       .drop("embedding")
-    val w = Window.partitionBy("queryId")
-      .orderBy(col("score").desc, col("neighbourId"))
     // a corpus row lives in exactly one cell, so each (query, corpus)
-    // pair appears at most once — no dedup needed
-    val adcTop = queryLuts
+    // pair appears at most once — no dedup needed; the heap-aggregate
+    // rank ships k (or k·refineFactor) entries per partition instead
+    // of shuffling the probed candidate rows
+    val scored = queryLuts
       .join(codes, Seq("cell"))
       .filter(col("queryId") =!= col("neighbourId"))
       .withColumn("score", col("cellDot") +
         graft.plans.SketchFunctions.pqAdc(col("codes"), col("lut")))
-      .withColumn("rank", row_number().over(w))
     refineCorpus match {
-      case None =>
-        adcTop.filter(col("rank") <= k)
-          .select("queryId", "neighbourId", "score", "rank")
+      case None => rankTopKAgg(scored, k, "score")
       case Some(corpus) =>
-        adcTop.filter(col("rank") <= k * refineFactor)
-          .select("queryId", "neighbourId")
-          .join(unitVectors(corpus).select(col("id").as("neighbourId"),
-            col("embedding").as("_c")), Seq("neighbourId"))
-          .join(queriesN.select(col("id").as("queryId"),
-            col("embedding").as("_q")), Seq("queryId"))
-          .withColumn("score", dot(col("_q"), col("_c")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select("queryId", "neighbourId", "score", "rank")
+        rankTopKAgg(
+          rankTopKAgg(scored, k * refineFactor, "score")
+            .select("queryId", "neighbourId")
+            .join(unitVectors(corpus).select(col("id").as("neighbourId"),
+              col("embedding").as("_c")), Seq("neighbourId"))
+            .join(queriesN.select(col("id").as("queryId"),
+              col("embedding").as("_q")), Seq("queryId"))
+            .withColumn("score", dot(col("_q"), col("_c"))), k, "score")
     }
   }
 
