@@ -131,6 +131,67 @@ class StepsSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("corpus lifecycle chain: dedup -> decontaminate -> sample -> split -> pack -> compact -> audited write") {
+    // mirror of the genetics lifecycle lock, for the training-data
+    // pipeline: every hand-off is a parquet write by one step read by
+    // the next, exactly as a scheduled deployment would run it
+    val in = tmp("corpus")
+    (1 to 40).map { i =>
+      val text =
+        if (i % 10 == 0) "repeated boilerplate body shared by many docs"
+        else if (i == 7) "the exact benchmark question lives here today"
+        else s"unique document number $i with its own words and more padding text"
+      (i.toLong, s"src${i % 2}", text)
+    }.toDF("doc_id", "source", "text").write.parquet(in)
+
+    val pairs = tmp("pairs")
+    Steps.runFromArgs(spark, Seq("dedup_minhash", s"in=$in", s"out=$pairs",
+      "threshold=0.9"))
+    val surv = tmp("survivors")
+    Steps.runFromArgs(spark, Seq("dedup_cluster_canonical",
+      s"in=$in", s"pairs=$pairs", s"out=$surv"))
+    val nSurv = spark.read.parquet(surv).count()
+    assert(nSurv < 40 && nSurv >= 34) // the 4 boilerplate dups collapse to 1
+
+    val bench = tmp("bench")
+    Seq((100L, "the exact benchmark question lives here today"))
+      .toDF("doc_id", "text").write.parquet(bench)
+    val flagged = tmp("flagged")
+    Steps.runFromArgs(spark, Seq("decontaminate", s"in=$surv",
+      s"benchmark=$bench", s"out=$flagged", "min_coverage=0.6"))
+    val clean = tmp("clean")
+    spark.read.parquet(flagged).filter(!col("isContaminated"))
+      .select("doc_id", "source", "text").write.parquet(clean)
+    assert(!spark.read.parquet(clean).select("doc_id").as[Long]
+      .collect().contains(7L))
+
+    val sampled = tmp("sampled")
+    Steps.runFromArgs(spark, Seq("stratified_sample", s"in=$clean",
+      s"out=$sampled", "n=12", "mode=agg"))
+    assert(spark.read.parquet(sampled).groupBy("source").count()
+      .select("count").as[Long].collect().forall(_ <= 12))
+
+    val split = tmp("split")
+    Steps.runFromArgs(spark, Seq("assign_split", s"in=$sampled",
+      s"out=$split", "val_frac=0.2", "test_frac=0.2"))
+    val shards = tmp("shards")
+    Steps.runFromArgs(spark, Seq("pack_shards", s"in=$split",
+      s"out=$shards", "budget=64"))
+    assert(spark.read.parquet(shards).columns.contains("shardId"))
+
+    val compacted = tmp("compacted")
+    Steps.runFromArgs(spark, Seq("compact", s"in=$shards",
+      s"out=$compacted", s"target_bytes=${1L << 30}"))
+    val fin = tmp("final")
+    Steps.runFromArgs(spark, Seq("audited_write", s"in=$compacted",
+      s"out=$fin", "audit_cols=doc_id"))
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fin._audit.json")), "UTF-8")
+    val n = spark.read.parquet(fin).count()
+    assert(audit.contains(s""""rows":$n"""))
+    assert(n === spark.read.parquet(sampled).count())
+  }
+
   test("pq index steps: build, append, search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
