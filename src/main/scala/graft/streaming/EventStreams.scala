@@ -26,6 +26,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("windowStart"), col("event_type"), col("n"))
 
+  /** Top-k most active entities per event-time window — the bounded
+    * heap aggregate ([[graft.plans.TopKIdsAgg]]) running INSIDE
+    * streaming state: per-window per-entity counts (first stateful
+    * aggregation) feed a per-window heap (second), the chained shape
+    * Structured Streaming supports in Append mode when both group by
+    * the time window. State per window is one k-bounded heap, not the
+    * entity counts — the trending-query shape at any stream volume. */
+  def topEntitiesPerWindow(events: DataFrame, idCol: String = "user_id",
+                           windowLength: String = "5 minutes",
+                           k: Int = 3,
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col(idCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(graft.plans.TopK.topkIdsKeyed(
+        lit(0.0) - col("n"), col(idCol), k).as("__top"))
+      .select(col("w.start").as("windowStart"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("windowStart"), col("__t.id").as(idCol),
+        (lit(0.0) - col("__t.key")).cast("long").as("n"),
+        (col("__pos") + 1).as("rank"))
+
   case class Event(userId: Long, eventType: String, tsMicros: Long)
   case class SessionState(start: Long, lastTs: Long, n: Int)
   case class SessionOut(userId: Long, startMicros: Long, endMicros: Long,

@@ -27,6 +27,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top-k entities per window: chained stateful aggs with the heap aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val q = topEntitiesPerWindow(events, "user_id", "5 minutes", k = 2,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("topents")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // window [10:00,10:05): user 1 × 3, user 2 × 2, user 3 × 1
+      input.addData(
+        (1L, "c", ts(0)), (1L, "c", ts(1)), (1L, "c", ts(2)),
+        (2L, "c", ts(0)), (2L, "c", ts(3)),
+        (3L, "c", ts(4)))
+      q.processAllAvailable()
+      // advance the watermark past the window so append emits it
+      input.addData((9L, "c", ts(40)))
+      q.processAllAvailable()
+      val rows = spark.table("topents")
+        .select("user_id", "n", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(rows === Set((1L, 3L, 1), (2L, 2L, 2)))
+    } finally q.stop()
+  }
+
   test("stateful sessionisation: gap closes a session, tail stays open") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
