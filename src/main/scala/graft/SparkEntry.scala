@@ -46,6 +46,7 @@ object SparkEntry {
     "q_w4_rank_scan" -> (Q.rankScan _),
     "q_w5_running_frame" -> (Q.runningFrame _),
     "q_w7_medians" -> (Q.medians _),
+    "q_w_topk_window" -> (Q.topkWindow _),
     // set ops
     "q_set_union_distinct" -> (Q.setOps _),
     // scalar function library

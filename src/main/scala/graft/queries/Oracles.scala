@@ -518,6 +518,20 @@ object Oracles {
        |SELECT o_orderkey, ${q("o_totalprice", 2)} AS price_q2, o_orderstatus
        |FROM latest WHERE rk = 1 AND op <> 'D'""".stripMargin
 
+  /** Mirrors Q.topkWindow: per-10-minute-bucket top-3 users, ties to
+    * the smaller user id. */
+  val topkWindow: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 600000000 AS bucket, user_id,
+      |         count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY bucket
+      |    ORDER BY n DESC, user_id) AS rk
+      |  FROM c)
+      |SELECT bucket, user_id, n, CAST(rk AS BIGINT) AS rank
+      |FROM r WHERE rk <= 3""".stripMargin
+
   /** Mirrors Q.textLangId / TextAnalysis.languageId: stopword-ratio
     * argmax over {en,es,fr,de}, ties to the lexicographically larger
     * code, 'und' when no stopwords hit at all. */
@@ -1888,6 +1902,7 @@ object Oracles {
     "q_upsert_orders" -> upsertOrders,
     "q_text_quality" -> textQuality,
     "q_text_tokens" -> textTokens,
+    "q_w_topk_window" -> topkWindow,
     "q_text_unigram_lp" -> textUnigramLp,
     "q_text_repetition" -> textRepetition,
     "q_text_oov" -> textOov,

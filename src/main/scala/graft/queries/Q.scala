@@ -267,6 +267,27 @@ object Q {
       .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Per-10-minute-bucket top-3 most active users via the bounded
+    * heap aggregate (no window function, no per-bucket shuffle of the
+    * count rows). */
+  def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val counts = events.withColumn("ts_us", tsUs)
+      .withColumn("bucket", expr("ts_us div 600000000"))
+      .groupBy("bucket", "user_id").agg(count(lit(1)).as("n"))
+    counts.groupBy("bucket")
+      .agg(graft.plans.TopK.topkIdsKeyed(
+        lit(0.0) - col("n"), col("user_id"), 3).as("__top"))
+      .select(col("bucket"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("bucket"), col("__t.id").as("user_id"),
+        (lit(0.0) - col("__t.key")).cast("long").as("n"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** W4: rank scan + distance-to-best within group (exact doubles). */
   def rankScan(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
