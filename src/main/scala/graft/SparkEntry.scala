@@ -115,6 +115,7 @@ object SparkEntry {
     "q_ann_pq" -> (Q.annPq _),
     // oracle-checked again: the fake decode is replayed in SQL
     "q_mm_decode" -> (Q.multimodalDecode _),
+    "q_mm_resize" -> (Q.multimodalResize _),
     "q_mm_frames" -> (Q.multimodalFrames _))
 
   def oracleSql: Map[String, String] = Oracles.all

@@ -93,6 +93,24 @@ object Multimodal {
     }
   }
 
+  /** STUB resize plan over decoded rows: the target dimensions fitting
+    * `maxDim` with aspect preserved (never upscaled), half-up rounded,
+    * floored at 1px. The real pixel resample is the per-partition
+    * codec call the decode stub stands in for; the planning/metadata
+    * side — what Spark owns — is exact and columnar. */
+  def resize(decoded: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "resize needs maxDim > 0")
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    decoded
+      .withColumn("outWidth",
+        greatest(lit(1L), floor(w * scale + 0.5).cast("long")))
+      .withColumn("outHeight",
+        greatest(lit(1L), floor(h * scale + 0.5).cast("long")))
+      .withColumn("resizeScale", scale)
+  }
+
   /** Feature extraction over decoded rows: aspect ratio + megapixels,
     * pure column math post-decode. */
   def features(decoded: DataFrame): DataFrame =

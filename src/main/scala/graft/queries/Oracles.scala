@@ -774,6 +774,38 @@ object Oracles {
     * floorMod / arithmetic-shift (= floor-division) for the fake
     * dimensions. Text is ASCII in the testdata, so ord(char) = the
     * UTF-8 byte the Scala side folds. */
+  /** Mirrors Q.multimodalResize: the decode-stub hash fold, then the
+    * fit-within-256 resize plan. */
+  val mmResize: String =
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(25214903917::HUGEINT,
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> ord(substring(text, i, 1))::HUGEINT)),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM h),
+      |d AS (
+      |  SELECT doc_id,
+      |    64 + ((hs % 960 + 960) % 960) AS w,
+      |    64 + ((((hs - (hs % 1024 + 1024) % 1024) // 1024) % 960 + 960) % 960) AS ht
+      |  FROM s),
+      |r AS (
+      |  SELECT doc_id, w, ht,
+      |    least(1.0, 256.0 / greatest(w::DOUBLE, ht::DOUBLE)) AS sc
+      |  FROM d)
+      |SELECT CAST(doc_id AS BIGINT) AS id,
+      |       CAST(w AS INTEGER) AS width, CAST(ht AS INTEGER) AS height,
+      |       CAST(greatest(1, floor(w::DOUBLE * sc + 0.5)) AS BIGINT) AS "outWidth",
+      |       CAST(greatest(1, floor(ht::DOUBLE * sc + 0.5)) AS BIGINT) AS "outHeight",
+      |       ${q("sc", 6)} AS scale_q6
+      |FROM r""".stripMargin
+
   val mmDecode: String =
     s"""WITH h AS (
       |  SELECT doc_id,
@@ -1914,6 +1946,7 @@ object Oracles {
     "q_ann_topk_agg" -> annTopK,
     "q_mm_blob_meta" -> blobMeta,
     "q_mm_decode" -> mmDecode,
+    "q_mm_resize" -> mmResize,
     "q_mm_frames" -> mmFrames,
     "q_dedup_minhash_md5" -> minhashMd5,
     "q_dedup_incr_exact" -> dedupIncrExact,

@@ -807,6 +807,17 @@ object Q {
         q(col("width").cast("double") / col("height"), 4).as("aspect_q4"),
         q(col("width").cast("double") * col("height") / 1e6, 4).as("mega_q4"))
 
+  /** Resize planning over decoded blobs: fit-within-256 target
+    * dimensions, aspect preserved, never upscaled. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(
+        Multimodal.decode(s,
+          Multimodal.toBlobTable(t(s, dir, "documents"), "doc_id", "text")).toDF(),
+        maxDim = 256)
+      .select(col("id"), col("width"), col("height"),
+        col("outWidth"), col("outHeight"),
+        q(col("resizeScale"), 6).as("scale_q6"))
+
   /** Video frame sampling over fake blobs (kind=video): deterministic
     * frame count from the payload size, every 2nd frame up to 4 per
     * blob, per-frame dimensions + checksum mixed from the payload fold
