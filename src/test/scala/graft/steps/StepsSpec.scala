@@ -88,6 +88,15 @@ class StepsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got.contains((1L, 11L)) && got.contains((12L, 13L)))
     assert(spark.read.parquet(mhIdx2).count() == 5) // 2 corpus + 3 batch sigs
+
+    // close the daily cycle: fold the arrival pairs into standing labels
+    val labels = tmp("incr_labels")
+    Seq.empty[(Long, Long)].toDF("id", "comp").write.parquet(labels)
+    val merged = tmp("incr_labels2")
+    Steps.runFromArgs(spark, Seq("dedup_merge_components",
+      s"labels=$labels", s"pairs=$pairs", s"out=$merged"))
+    val lab = spark.read.parquet(merged).as[(Long, Long)].collect().toMap
+    assert(lab(11L) == 1L && lab(13L) == 12L)
   }
 
   test("profile and zorder_write steps run end-to-end on parquet") {
