@@ -444,6 +444,72 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // --------------------------------------------------------- span dedup
+
+  /** Corpus-wide duplicated-span removal (the fixed-window form of
+    * exact substring deduplication — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): each document's
+    * token stream is cut into consecutive non-overlapping blocks of
+    * `blockTokens` tokens (the last block may be short); every
+    * occurrence of a block after its first — ordered by (docId,
+    * blockIdx) across the whole corpus, so repeats within one
+    * document count too — is removed, and the surviving blocks are
+    * re-joined in order. Returns one row per input document:
+    * (idCol, clean_text, n_blocks, n_removed). A document whose every
+    * block is claimed elsewhere keeps an empty clean_text rather than
+    * vanishing.
+    *
+    * Scale shape (one pass + 3 shuffles, no quadratic stage):
+    * tokenise/block/posexplode is pipelined map-side; the canonical
+    * occurrence per block value is a hash-groupBy on the block's md5
+    * (min(struct(doc, idx)) + count — map-side partial combine, so a
+    * span duplicated a million times still contributes one row per
+    * map partition); survivors are an equi-join of the occurrence
+    * frame against that per-digest frame (AQE splits a skewed digest);
+    * reconstruction is a groupBy(doc) whose per-group state is one
+    * document's own blocks — bounded by max document size, not corpus
+    * size. Block text rides the shuffles once; nothing collects.
+    *
+    * The digest is md5 so a SQL oracle can replay the exact dataflow
+    * (same role as [[minhashDupPairsMd5]]); collisions would need 2⁶⁴
+    * distinct spans. */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                blockTokens: Int = 10,
+                cache: graft.core.CacheHandle =
+                  graft.core.CacheHandle()): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val b = blockTokens
+    val tk = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val blocks = when(size(tk) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(tk) / lit(b.toDouble)).cast("int") - 1),
+        i => array_join(slice(tk, i * b + 1, lit(b)), " ")))
+    val occ = cache.persist(spread(df, idCol)
+      .select(col(idCol).as("__doc"), posexplode(blocks).as(Seq("idx", "block")))
+      .withColumn("__h", md5(col("block"))))
+    val canon = occ
+      .groupBy("__h")
+      .agg(min(struct(col("__doc"), col("idx"))).as("__c"))
+    val rebuilt = occ
+      .join(canon, Seq("__h"))
+      .filter(struct(col("__doc"), col("idx")) === col("__c"))
+      .groupBy("__doc")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("block")))),
+          s => s.getField("block"))).as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = occ.groupBy("__doc").agg(count(lit(1)).as("n_blocks"))
+    df.select(col(idCol))
+      .join(totals.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .join(rebuilt.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        (coalesce(col("n_blocks"), lit(0L)) -
+          coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   // ------------------------------------------------ oracle anchors (md5)
 
   /** Oracle-parity MinHash anchor: identical shingling / affine-rehash

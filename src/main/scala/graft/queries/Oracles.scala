@@ -473,6 +473,74 @@ object Oracles {
       |       ${q("tfidf", 6)} AS tfidf_q6
       |FROM ranked WHERE rk <= 3""".stripMargin
 
+  /** Mirrors Q.searchBm25 + Search.bm25TopK: Okapi BM25 (Lucene
+    * non-negative idf), k1=1.2, b=0.75, top-10 per query, ties toward
+    * the smaller doc_id. Arithmetic literals are written in the same
+    * shape the operator computes them ((1.2 + 1.0), (1.0 - 0.75))
+    * so both engines evaluate bit-identical doubles. */
+  val searchBm25: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'spark window agg'),
+      |                             (CAST(2 AS BIGINT), 'customer order query'),
+      |                             (CAST(3 AS BIGINT), 'vector hash join'))
+      |       AS v(query_id, qtext)),
+      |qt AS (
+      |  SELECT query_id, unnest(list_distinct(list_filter(
+      |           string_split_regex(lower(trim(qtext)), '\s+'), x -> x <> ''))) AS term
+      |  FROM qs),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf
+      |          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |             (tf * (1.2 + 1.0)) /
+      |             (tf + (dl / avgdl * 0.75 + (1.0 - 0.75)) * 1.2)) AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |          JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk AS rank, doc_id, ${q("score", 6)} AS score_q6
+      |FROM ranked WHERE rk <= 10""".stripMargin
+
+  /** Mirrors Q.dedupSpans + Dedup.spanDedup: 10-token non-overlapping
+    * blocks; every occurrence of a block value after its first (by
+    * (doc_id, block index) order, corpus-wide) is removed; the rank
+    * over the raw block string equals the operator's md5-digest
+    * grouping. */
+  val dedupSpans: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, CAST(u.i AS INT) AS idx,
+      |         array_to_string(
+      |           t[(CAST(u.i AS INT)*10+1):(CAST(u.i AS INT)*10+10)], ' ') AS block
+      |  FROM tk, LATERAL unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rk
+      |  FROM occ),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(block, ' ' ORDER BY idx) AS clean_text
+      |  FROM ranked WHERE rk = 1 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_blocks FROM occ GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+      |       coalesce(tot.n_blocks, 0) AS n_blocks,
+      |       coalesce(tot.n_blocks, 0) - coalesce(agg.n_kept, 0) AS n_removed
+      |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+      |""".stripMargin
+
   /** Mirrors Q.semanticDedup + Similarity.semanticDupPairs: cosine
     * argmax assignment to the vec_id % 100 seed centroids (ties to the
     * smallest centroid id), within-cell pairs at cosine ≥ 0.4. */
@@ -1923,6 +1991,8 @@ object Oracles {
     "q_gx_qc_metrics" -> qcMetrics,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_spans" -> dedupSpans,
+    "q_search_bm25" -> searchBm25,
     "q_dedup_decontaminate" -> decontamination,
     // the Bloom prefilter is exact-equivalent (no false negatives +
     // exact confirm join), so the bloom variant shares the oracle

@@ -504,6 +504,23 @@ object Q {
       shingleSize = 3, threshold = 0.4)
       .select(col("idA"), col("idB"), q(col("jaccard"), 6).as("jaccard_q6"))
 
+  /** Corpus-wide duplicated-span removal: every 10-token block seen
+    * earlier (by (doc_id, block index)) anywhere in the corpus is cut
+    * and the survivors re-joined. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", blockTokens = 10)
+
+  /** BM25 top-10 retrieval for a 3-query batch over the documents
+    * corpus (rank ties toward the smaller doc_id). */
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
+      (3L, "vector hash join")).toDF("query_id", "qtext")
+    Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id", qs, k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        q(col("score"), 6).as("score_q6"))
+  }
+
   /** Token/stopword text statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -405,6 +405,24 @@ object Steps {
         Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id")), a("out"))),
 
+    Step("bm25_topk",
+      "BM25 top-k documents per query (queries=parquet with query_id,qtext)",
+      (s, a) => writeReleasing(a("out")) { h =>
+        Search.bm25TopK(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          read(s, a("queries")),
+          k = a.int("k", 10), k1 = a.double("k1", 1.2),
+          b = a.double("b", 0.75), cache = h) }),
+
+    Step("dedup_spans",
+      "Remove corpus-wide duplicated token blocks (fixed-window substring dedup)",
+      (s, a) => writeReleasing(a("out")) { h =>
+        Dedup.spanDedup(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          blockTokens = a.int("block_tokens", 10), cache = h) }),
+
     Step("dedup_minhash",
       "MinHash+LSH near-duplicate pairs on a document table",
       (s, a) => writeReleasing(a("out")) { h =>

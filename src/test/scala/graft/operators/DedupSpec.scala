@@ -224,6 +224,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup removes later occurrences of duplicated token blocks " +
+    "corpus-wide and within a document") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),       // blocks (b=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // "a b c" is doc 1's — removed
+      (3L, "g h i g h i j"),     // blocks "g h i" | "g h i" | "j": within-doc repeat
+      (4L, "")                   // empty doc: 0 blocks
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "text", "doc_id", blockTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "a b c d e f", 2L, 0L)))
+    assert(out(1) == ((2L, "x y z", 2L, 1L)))
+    assert(out(2) == ((3L, "g h i j", 3L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 0L)))
+  }
+
+  test("spanDedup keeps one occurrence of a block shared by every doc " +
+    "(fully-duplicated docs keep empty text, not vanish)") {
+    val corpus = Seq(
+      (10L, "w1 w2 w3 w4"),
+      (11L, "w1 w2 w3 w4"),
+      (12L, "w1 w2 w3 w4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, "text", "doc_id", blockTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((10L, "w1 w2 w3 w4", 1L, 0L)))
+    assert(out(1) == ((11L, "", 1L, 1L)))
+    assert(out(2) == ((12L, "", 1L, 1L)))
+  }
+
   test("keepClusterCanonical deletes transitive duplicates, keeps minima") {
     // clusters {1,2,3} (via 1-2, 2-3) and {5,6}; 4 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")

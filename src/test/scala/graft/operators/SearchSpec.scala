@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark runs fast spark scales"),
+    (2L, "duck walks slow"),
+    (3L, "spark and duck share a pond"),
+    (4L, "pond life is calm")
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies counts per (doc, term) on lowercased tokens") {
+    val tf = Search.termFrequencies(corpus, "text", "doc_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf.contains((1L, "spark", 2L)))
+    assert(tf.contains((3L, "duck", 1L)))
+    assert(!tf.exists(_._2 == ""))
+  }
+
+  test("bm25TopK ranks docs with more query-term mass first; ranks are " +
+    "1-based and bounded by k") {
+    val qs = Seq((7L, "spark")).toDF("query_id", "qtext")
+    val hits = Search.bm25TopK(corpus, "text", "doc_id", qs, k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    // docs 1 and 3 contain "spark"; doc 1 has tf=2 and is shorter-normalised
+    assert(hits.map(_._3).toSeq == Seq(1L, 3L))
+    assert(hits.map(_._2).toSeq == Seq(1L, 2L))
+    assert(hits.forall(_._4 > 0.0))
+    assert(hits(0)._4 > hits(1)._4)
+  }
+
+  test("bm25TopK scores a multi-term query additively and caps at k") {
+    val qs = Seq((1L, "spark duck"), (2L, "pond")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(corpus, "text", "doc_id", qs, k = 1)
+    val byQuery = out.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (qid, rows) => (qid, rows.toSeq) }
+    // doc 3 matches both terms of query 1 — beats single-term docs
+    assert(byQuery(1L).map(_._3) == Seq(3L))
+    assert(byQuery.forall(_._2.size == 1))
+  }
+
+  test("bm25TopK idf downweights common terms: a term present in every " +
+    "doc scores below a rare term at equal tf") {
+    val even = Seq(
+      (1L, "common rare"),
+      (2L, "common x"),
+      (3L, "common y"),
+      (4L, "common z")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "common"), (2L, "rare")).toDF("query_id", "qtext")
+    val out = Search.bm25TopK(even, "text", "doc_id", qs, k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._4)).toMap
+    assert(out(2L) > out(1L))
+  }
+}
