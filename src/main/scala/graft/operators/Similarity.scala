@@ -205,6 +205,97 @@ object Similarity {
           cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc"))), k)
   }
 
+  // ------------------------------------------------ distributed k-means
+
+  /** Converged (or iteration-capped) k-means model: `centroids(i)` is
+    * cell i; `maxShift` is the largest centroid movement of the last
+    * Lloyd round (≤ tol ⟺ converged). */
+  case class KMeansModel(centroids: Array[Array[Double]], iterations: Int,
+                         maxShift: Double)
+
+  /** Full-corpus Lloyd k-means — the complement of the sampled
+    * [[lloydLocal]] training the ANN indexes use. Sampling is the
+    * right protocol when centroids are only a coarse QUANTISER (IVF
+    * cells: quality saturates at ~100 points/centroid); this operator
+    * is for when the cluster structure itself is the product — SemDeDup
+    * cells, topic balancing, curriculum binning — and must reflect
+    * every corpus row, not a 4096-row sample.
+    *
+    * Scale shape per iteration: one scan of the persisted input with
+    * the (k × dim) centroid matrix riding inside the native
+    * [[graft.plans.NearestCells]] expression (no join, no broadcast
+    * variable), then a (cell, dim) hash-groupBy whose map-side partial
+    * state is ≤ k·dim entries per partition — the shuffle carries
+    * partitions × k·dim partial sums, never corpus rows. Driver state
+    * is the model itself (k·dim doubles) — the same order as any
+    * broadcast centroid model. Iterations stop at `tol` max centroid
+    * shift or `maxIter`. Initial centroids are k deterministic
+    * seeded-hash-ordered rows (TakeOrdered, no full sort); empty cells
+    * keep their previous centroid (count 0 never divides). */
+  def kmeansFit(embeddings: DataFrame, k: Int, maxIter: Int = 20,
+                tol: Double = 1e-6, seed: Long = 42L,
+                idCol: String = "id", vecCol: String = "embedding",
+                cache: graft.core.CacheHandle =
+                  graft.core.CacheHandle()): KMeansModel = {
+    require(k > 0, "k must be positive")
+    require(maxIter > 0, "maxIter must be positive")
+    val e = cache.persist(
+      embeddings.select(col(vecCol).cast("array<double>").as("e")))
+    var cents: Array[Array[Double]] = embeddings
+      .select(col(vecCol).cast("array<double>").as("e"),
+        xxhash64(col(idCol), lit(seed)).as("_h"))
+      .orderBy(col("_h")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var iter = 0
+    var shift = Double.MaxValue
+    while (iter < maxIter && shift > tol) {
+      val upd = e.select(
+          graft.plans.SketchFunctions.nearestCells(col("e"), cents, 1)
+            .getItem(0).as("cell"),
+          posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      shift = cents.indices.map { i =>
+        var s = 0.0
+        var j = 0
+        while (j < cents(i).length) {
+          val d = cents(i)(j) - next(i)(j); s += d * d; j += 1
+        }
+        math.sqrt(s)
+      }.max
+      cents = next
+      iter += 1
+    }
+    KMeansModel(cents, iter, shift)
+  }
+
+  /** Cell assignment under a trained model: (id, embedding, cell),
+    * squared-L2 argmin with ties to the lower cell index — one native
+    * expression per row, no join. */
+  def kmeansAssign(embeddings: DataFrame, centroids: Array[Array[Double]],
+                   idCol: String = "id",
+                   vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("embedding"))
+      .withColumn("cell",
+        graft.plans.SketchFunctions.nearestCells(col("embedding"), centroids, 1)
+          .getItem(0))
+
+  /** Model centroids as a (id, embedding) frame — the shape
+    * [[semanticDupPairs]] takes, so a full-corpus k-means can seed the
+    * SemDeDup cells instead of a modular-arithmetic centroid pick. */
+  def kmeansCentroids(s: SparkSession, model: KMeansModel): DataFrame = {
+    import s.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("id", "embedding")
+  }
+
   /** Deterministic bounded training sample: xxhash64-ordered top
     * maxTrain rows (TakeOrderedAndProject — no full sort at scale).
     * Codebook training on a bounded sample is the FAISS protocol;

@@ -473,6 +473,28 @@ object Oracles {
       |       ${q("tfidf", 6)} AS tfidf_q6
       |FROM ranked WHERE rk <= 3""".stripMargin
 
+  /** Mirrors Q.kmeansStep + Similarity.kmeansAssign: squared-L2 argmin
+    * assignment to the (vec_id % 100 == 0) seed centroids, ties to the
+    * lower cell index (list_distance is IEEE sqrt of the same
+    * index-order sum, and sqrt is monotone, so the argmin agrees),
+    * then the per-(cell, dim) mean and population of one Lloyd
+    * update. */
+  val kmeansStep: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % 100 = 0),
+      |c AS (SELECT cent_id, cv,
+      |             row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM c0),
+      |sim AS (
+      |  SELECT e.id, e.v, c.cell,
+      |         row_number() OVER (PARTITION BY e.id
+      |           ORDER BY list_distance(e.v, c.cv) ASC, c.cell) AS rk
+      |  FROM e CROSS JOIN c),
+      |a AS (SELECT id, v, cell FROM sim WHERE rk = 1),
+      |x AS (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a)
+      |SELECT CAST(cell AS BIGINT) AS cell, CAST(pos AS BIGINT) AS pos,
+      |       count(*) AS n, ${q("avg(val)", 6)} AS mean_q6
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** Mirrors Q.searchBm25 + Search.bm25TopK: Okapi BM25 (Lucene
     * non-negative idf), k1=1.2, b=0.75, top-10 per query, ties toward
     * the smaller doc_id. Arithmetic literals are written in the same
@@ -1993,6 +2015,7 @@ object Oracles {
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_spans" -> dedupSpans,
     "q_search_bm25" -> searchBm25,
+    "q_kmeans_step" -> kmeansStep,
     "q_dedup_decontaminate" -> decontamination,
     // the Bloom prefilter is exact-equivalent (no false negatives +
     // exact confirm join), so the bloom variant shares the oracle

@@ -510,6 +510,24 @@ object Q {
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", blockTokens = 10)
 
+  /** One distributed Lloyd update from fixed seed centroids (vec_id %
+    * 100 == 0, index-ordered): per-(cell, dim) mean + population — the
+    * per-iteration building block of Similarity.kmeansFit, with
+    * assignment through the native NearestCells expression. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cents = e.filter(col("id") % 100 === 0).orderBy("id")
+      .select("embedding").collect().map(_.getSeq[Double](0).toArray)
+    Similarity.kmeansAssign(e, cents)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"), q(avg("v"), 6).as("mean_q6"))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        col("n"), col("mean_q6"))
+  }
+
   /** BM25 top-10 retrieval for a 3-query batch over the documents
     * corpus (rank ties toward the smaller doc_id). */
   def searchBm25(s: SparkSession, dir: String): DataFrame = {

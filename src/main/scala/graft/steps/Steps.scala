@@ -405,6 +405,25 @@ object Steps {
         Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id")), a("out"))),
 
+    Step("kmeans_fit",
+      "Full-corpus Lloyd k-means: writes (id, cell); centroids to out_centroids",
+      (s, a) => {
+        val h = graft.core.CacheHandle()
+        try {
+          val in = read(s, a("in"))
+          val id = a.get("id_col").getOrElse("id")
+          val vec = a.get("vec_col").getOrElse("embedding")
+          val m = Similarity.kmeansFit(in, a.int("k", 16),
+            maxIter = a.int("max_iter", 20), tol = a.double("tol", 1e-6),
+            seed = a.int("seed", 42).toLong, idCol = id, vecCol = vec,
+            cache = h)
+          write(Similarity.kmeansAssign(in, m.centroids, id, vec)
+            .select("id", "cell"), a("out"))
+          a.get("out_centroids").foreach(p =>
+            write(Similarity.kmeansCentroids(s, m), p))
+        } finally h.release()
+      }),
+
     Step("bm25_topk",
       "BM25 top-k documents per query (queries=parquet with query_id,qtext)",
       (s, a) => writeReleasing(a("out")) { h =>
