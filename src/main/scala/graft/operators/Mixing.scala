@@ -50,6 +50,45 @@ object Mixing {
       .drop("_frac")
   }
 
+  /** Temperature-flattened domain mix — the multilingual-sampling
+    * q_d ∝ p_d^α rule (mT5 / XLM-R): each source's token share p_d is
+    * raised to `alpha` ∈ (0, 1] and renormalised (α = 1 keeps the
+    * natural mix, α → 0 approaches uniform across sources), then the
+    * corpus is thinned deterministically toward q_d × totalTokenBudget
+    * tokens per source, capped at availability like [[sampleToMix]].
+    *
+    * The flattened shares are quantised to 1e-12 integers before the
+    * partition function Z is summed, so Z is an EXACT integer sum —
+    * bit-identical regardless of aggregation order, engine, or
+    * partitioning. A float Z would make every acceptance fraction
+    * carry the summation-order ulp noise of the run that computed it.
+    *
+    * Scale: token totals are one map-side-combined groupBy on the
+    * source key; everything after is arithmetic on the per-source
+    * frame (broadcast back), so the corpus pays one filter pass. */
+  def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
+                     tokenCol: String, alpha: Double,
+                     totalTokenBudget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    val avail = docs.groupBy(sourceCol).agg(sum(col(tokenCol)).as("_avail"))
+    val tot = avail.agg(sum("_avail").as("_tot"))
+    val shared = avail.crossJoin(broadcast(tot))
+      .withColumn("_shareq",
+        floor(pow(col("_avail") / col("_tot"), alpha) * 1e12 + 0.500000001)
+          .cast("long"))
+    val z = shared.agg(sum("_shareq").as("_z"))
+    val fractions = shared.crossJoin(broadcast(z))
+      .withColumn("_frac",
+        least(lit(1.0),
+          col("_shareq") / col("_z") * totalTokenBudget / col("_avail")))
+      .select(col(sourceCol), col("_frac"))
+    docs
+      .join(broadcast(fractions), Seq(sourceCol))
+      .filter(uniform01(col(idCol)) < col("_frac"))
+      .drop("_frac")
+  }
+
   /** Exact-count stratified sample: keep exactly `min(n, |stratum|)`
     * rows per stratum, chosen by the deterministic md5 draw (so the
     * selection is stable across reruns and replayable in SQL — the

@@ -1086,6 +1086,31 @@ object Oracles {
       |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < f.frac""".stripMargin
 
+  /** Mirrors Q.mixTemperature / Mixing.temperatureMix: p^0.5-flattened
+    * source shares, 1e-12-integer-quantised partition function (exact
+    * sum on both engines), 1500-token budget, md5-uniform thinning. */
+  val mixTemperature: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                         x -> x <> ''))::BIGINT AS tokens
+      |  FROM documents),
+      |a AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS avail FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot FROM a),
+      |sh AS (
+      |  SELECT source, avail,
+      |         CAST(FLOOR(pow(avail / tot, 0.5) * 1e12 + 0.500000001) AS BIGINT)
+      |           AS shareq
+      |  FROM a CROSS JOIN t),
+      |z AS (SELECT CAST(sum(shareq) AS BIGINT) AS zq FROM sh),
+      |f AS (
+      |  SELECT source, least(1.0, shareq / zq * 1500 / avail) AS frac
+      |  FROM sh CROSS JOIN z)
+      |SELECT d.doc_id, d.source, d.tokens
+      |FROM d JOIN f USING (source)
+      |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0 < f.frac""".stripMargin
+
   /** Mirrors Q.mixStratified / Mixing.stratifiedTake: per-stratum
     * exact-N cut over the md5-uniform order, ties broken by id. */
   val mixStratified: String =
@@ -2016,6 +2041,7 @@ object Oracles {
     "q_dedup_spans" -> dedupSpans,
     "q_search_bm25" -> searchBm25,
     "q_kmeans_step" -> kmeansStep,
+    "q_mix_temperature" -> mixTemperature,
     "q_dedup_decontaminate" -> decontamination,
     // the Bloom prefilter is exact-equivalent (no false negatives +
     // exact confirm join), so the bloom variant shares the oracle

@@ -966,6 +966,17 @@ object Q {
       .select(col("doc_id"), col("source"), col("tokens"))
   }
 
+  /** Temperature-flattened mix at α = 0.5 over the source domains,
+    * 1500-token budget. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    Mixing.temperatureMix(docs, "doc_id", "source", "tokens", alpha = 0.5,
+        totalTokenBudget = 1500L)
+      .select(col("doc_id"), col("source"), col("tokens"))
+  }
+
   /** Exact-count stratified sample: 10 documents per source, chosen
     * by the deterministic md5 draw. */
   def mixStratified(s: SparkSession, dir: String): DataFrame =

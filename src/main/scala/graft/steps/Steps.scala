@@ -576,6 +576,16 @@ object Steps {
           }.toMap,
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("mix_temperature",
+      "Temperature-flatten the source mix (q_d ∝ p_d^alpha) to a token budget",
+      (s, a) => write(
+        graft.operators.Mixing.temperatureMix(read(s, a("in")),
+          a.get("id_col").getOrElse("doc_id"),
+          a.get("source_col").getOrElse("source"),
+          a.get("token_col").getOrElse("tokens"),
+          a.double("alpha", 0.5),
+          a.long("budget", 1000000L)), a("out"))),
+
     Step("stratified_sample",
       "Keep exactly n rows per stratum under the deterministic md5 draw (mode=window|agg)",
       (s, a) => {

@@ -81,6 +81,53 @@ class MixingSpec extends SparkSpec {
     assert(kinds == Set("train"))
   }
 
+  test("temperatureMix flattens a skewed mix: alpha < 1 boosts the scarce " +
+    "source's share relative to the natural mix") {
+    // 90/10 skew between two sources
+    val skewed = ((0L until 360L).map(i => (i, "big", 10L)) ++
+      (360L until 400L).map(i => (i, "small", 10L)))
+      .toDF("doc_id", "source", "tokens")
+    def share(alpha: Double): Double = {
+      val s = Mixing.temperatureMix(skewed, "doc_id", "source", "tokens",
+        alpha, totalTokenBudget = 2000L)
+        .groupBy("source").agg(sum("tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+      s.getOrElse("small", 0L).toDouble / (s.values.sum.toDouble)
+    }
+    val natural = 0.1
+    assert(share(0.3) > share(0.7))
+    assert(share(0.7) > natural)
+  }
+
+  test("temperatureMix at alpha = 1 reproduces sampleToMix with natural " +
+    "weights (same survivors)") {
+    val weights = Map("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.25,
+      "src3" -> 0.25)
+    // constant tokens ⇒ natural shares are exactly 0.25 each, so the
+    // α = 1 flattening must select the same survivor set
+    val uniform = (0L until 400L).map(i => (i, s"src${i % 4}", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val a = Mixing.temperatureMix(uniform, "doc_id", "source", "tokens",
+      alpha = 1.0, totalTokenBudget = 1500L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Mixing.sampleToMix(uniform, "doc_id", "source", "tokens", weights,
+      totalTokenBudget = 1500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("temperatureMix is deterministic and never oversamples an " +
+    "exhausted source") {
+    val out1 = Mixing.temperatureMix(docs, "doc_id", "source", "tokens",
+      alpha = 0.5, totalTokenBudget = 100000L)
+    val out2 = Mixing.temperatureMix(docs.repartition(7), "doc_id", "source",
+      "tokens", alpha = 0.5, totalTokenBudget = 100000L)
+    // budget >> corpus: every row survives (fraction capped at 1)
+    assert(out1.count() == 400L)
+    assert(out1.select("doc_id").as[Long].collect().toSet ==
+      out2.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratifiedTake keeps exactly n per stratum, deterministically") {
     val out = Mixing.stratifiedTake(docs, "source", "doc_id", n = 30)
     val counts = out.groupBy("source").count()
