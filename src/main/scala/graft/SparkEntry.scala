@@ -65,6 +65,7 @@ object SparkEntry {
     "q_search_bm25" -> (Q.searchBm25 _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_mix_temperature" -> (Q.mixTemperature _),
+    "q_text_chunks" -> (Q.textChunks _),
     "q_text_stats" -> (Q.textStats _),
     "q_text_langid" -> (Q.textLangId _),
     "q_upsert_orders" -> (Q.upsertOrders _),

@@ -78,6 +78,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Sliding-window context chunks: each document's token stream is
+    * cut into windows of `maxTokens` tokens advancing by `maxTokens −
+    * overlapTokens` (so consecutive chunks share `overlapTokens`
+    * tokens — the standard long-document preparation for bounded
+    * context windows and RAG passage indexes). Returns (idCol,
+    * chunk_idx, chunk_text, n_tokens); a document with no tokens
+    * yields no chunks; chunk_text re-joins tokens with single spaces
+    * (whitespace is normalised, original token case kept).
+    *
+    * Chunk count is ceil(max(n − overlap, 1) / stride) — every token
+    * appears in ≥1 chunk and the final window is the only short one.
+    *
+    * Scale: pure map-side expression work (split + per-row slice
+    * transforms + posexplode) — zero shuffles; output row count is
+    * input tokens × (1 + overlap/stride) amortised. */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+                     maxTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < maxTokens,
+      "overlapTokens must be in [0, maxTokens)")
+    val stride = maxTokens - overlapTokens
+    val tk = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val nChunks = ceil(greatest(size(tk) - overlapTokens, lit(1))
+      .cast("double") / stride).cast("int")
+    val chunks = when(size(tk) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tk, i * stride + 1, lit(maxTokens)), " ")))
+    docs
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        size(filter(split(col("chunk_text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = term count in the doc,
     * idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn formulation —
     * never zero, so rare terms always outrank stopwords), ranked by

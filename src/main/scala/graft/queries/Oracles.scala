@@ -473,6 +473,27 @@ object Oracles {
       |       ${q("tfidf", 6)} AS tfidf_q6
       |FROM ranked WHERE rk <= 3""".stripMargin
 
+  /** Mirrors Q.textChunks + TextAnalysis.chunkDocuments: 12-token
+    * windows advancing by 9 (3-token overlap); chunk count =
+    * ceil(max(n − overlap, 1) / stride); empty docs yield no chunks. */
+  val textChunks: String =
+    raw"""WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |p AS (SELECT doc_id, t,
+      |             CAST(ceil(greatest(len(t) - 3, 1) / 9.0) AS BIGINT) AS nc
+      |      FROM tk WHERE len(t) > 0),
+      |c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+      |             array_to_string(
+      |               t[(CAST(u.i AS INT)*9+1):(CAST(u.i AS INT)*9+12)], ' ')
+      |               AS chunk_text
+      |      FROM p, LATERAL unnest(range(0, nc)) AS u(i))
+      |SELECT doc_id, chunk_idx, chunk_text,
+      |       len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))::BIGINT
+      |         AS n_tokens
+      |FROM c""".stripMargin
+
   /** Mirrors Q.kmeansStep + Similarity.kmeansAssign: squared-L2 argmin
     * assignment to the (vec_id % 100 == 0) seed centroids, ties to the
     * lower cell index (list_distance is IEEE sqrt of the same
@@ -2042,6 +2063,7 @@ object Oracles {
     "q_search_bm25" -> searchBm25,
     "q_kmeans_step" -> kmeansStep,
     "q_mix_temperature" -> mixTemperature,
+    "q_text_chunks" -> textChunks,
     "q_dedup_decontaminate" -> decontamination,
     // the Bloom prefilter is exact-equivalent (no false negatives +
     // exact confirm join), so the bloom variant shares the oracle

@@ -528,6 +528,12 @@ object Q {
         col("n"), col("mean_q6"))
   }
 
+  /** Sliding-window context chunks (12-token windows, 3-token
+    * overlap) over the documents corpus. */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+      maxTokens = 12, overlapTokens = 3)
+
   /** BM25 top-10 retrieval for a 3-query batch over the documents
     * corpus (rank ties toward the smaller doc_id). */
   def searchBm25(s: SparkSession, dir: String): DataFrame = {

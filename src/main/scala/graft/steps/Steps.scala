@@ -405,6 +405,15 @@ object Steps {
         Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id")), a("out"))),
 
+    Step("chunk",
+      "Sliding-window context chunks (max_tokens window, overlap carry)",
+      (s, a) => write(
+        TextAnalysis.chunkDocuments(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          maxTokens = a.int("max_tokens", 512),
+          overlapTokens = a.int("overlap", 0)), a("out"))),
+
     Step("kmeans_fit",
       "Full-corpus Lloyd k-means: writes (id, cell); centroids to out_centroids",
       (s, a) => {

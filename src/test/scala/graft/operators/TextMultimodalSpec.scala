@@ -93,6 +93,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("chunkDocuments: windows advance by stride, overlap carries " +
+    "tokens, every token is covered, short/empty docs behave") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // shorter than a window
+      (3L, "")                                // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      maxTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = out.filter(_._1 == 1L)
+    // stride 3, n=10: ceil((10-1)/3) = 3 chunks
+    assert(d1.map(_._3).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("chunkDocuments with zero overlap partitions the token stream") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      maxTokens = 2, overlapTokens = 0)
+      .orderBy("chunk_idx").as[(Long, Long, String, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq("a b", "c d", "e"))
+    assert(out.map(_._4).toSeq == Seq(2L, 2L, 1L))
+  }
+
   test("unigram log-prob scores match the hand-computed corpus LM") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProbScores(docs, "text", "doc_id")
