@@ -66,6 +66,7 @@ object SparkEntry {
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_mix_temperature" -> (Q.mixTemperature _),
     "q_text_chunks" -> (Q.textChunks _),
+    "q_text_quality_rules" -> (Q.textQualityRules _),
     "q_text_stats" -> (Q.textStats _),
     "q_text_langid" -> (Q.textLangId _),
     "q_upsert_orders" -> (Q.upsertOrders _),

@@ -78,6 +78,77 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Names of the hard-filter rule battery, in audit order. */
+  val QualityRuleNames: Seq[String] =
+    Seq("tokens_ok", "word_len_ok", "punct_ok", "stopword_ok", "alpha_ok")
+
+  /** Gopher/C4-style hard-filter rule battery: one boolean column per
+    * rule plus the conjunction (`passes`). Unlike [[qualityScore]]'s
+    * soft composite, these are the reject rules a production corpus
+    * filter applies — each failure is individually attributable, which
+    * is what corpus QA needs ("how many docs died to which rule").
+    * All per-row columnar expressions — zero shuffles.
+    *
+    * Rules (Rae et al. 2021 "Gopher" §A1.1 shapes, thresholds as
+    * parameters): token count within [minTokens, maxTokens]; mean word
+    * length within [meanWordLenMin, meanWordLenMax]; punctuation-char
+    * ratio ≤ maxPunctRatio; stopword ratio ≥ minStopwordRatio;
+    * fraction of tokens containing a letter ≥ minAlphaFrac. */
+  def qualityRuleFlags(docs: DataFrame, textCol: String, idCol: String,
+                       minTokens: Int = 10, maxTokens: Int = 100000,
+                       meanWordLenMin: Double = 3.0,
+                       meanWordLenMax: Double = 10.0,
+                       maxPunctRatio: Double = 0.2,
+                       minStopwordRatio: Double = 0.02,
+                       minAlphaFrac: Double = 0.8,
+                       lang: String = "en"): DataFrame = {
+    val text = col(textCol)
+    val nTok = tokenCount(text).cast("double")
+    val meanWl = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1.0))
+    val alphaFrac = size(filter(tokens(text), t => t.rlike("[a-z]")))
+      .cast("double") / greatest(nTok, lit(1.0))
+    docs.select(col(idCol),
+        nTok.between(minTokens.toDouble, maxTokens.toDouble).as("tokens_ok"),
+        meanWl.between(meanWordLenMin, meanWordLenMax).as("word_len_ok"),
+        (punctRatio(text) <= maxPunctRatio).as("punct_ok"),
+        (stopwordRatio(text, lang) >= minStopwordRatio).as("stopword_ok"),
+        (alphaFrac >= minAlphaFrac).as("alpha_ok"))
+      .withColumn("passes",
+        QualityRuleNames.map(col).reduce(_ && _))
+  }
+
+  /** Corpus rows passing every rule of [[qualityRuleFlags]] — the
+    * filter itself. One scan: the flags are recomputed inline and the
+    * original row survives untouched. */
+  def qualityRuleFilter(docs: DataFrame, textCol: String, idCol: String,
+                        minTokens: Int = 10, maxTokens: Int = 100000,
+                        meanWordLenMin: Double = 3.0,
+                        meanWordLenMax: Double = 10.0,
+                        maxPunctRatio: Double = 0.2,
+                        minStopwordRatio: Double = 0.02,
+                        minAlphaFrac: Double = 0.8,
+                        lang: String = "en"): DataFrame = {
+    val flags = qualityRuleFlags(docs, textCol, idCol, minTokens, maxTokens,
+      meanWordLenMin, meanWordLenMax, maxPunctRatio, minStopwordRatio,
+      minAlphaFrac, lang)
+      .filter(col("passes")).select(col(idCol))
+    docs.join(flags, Seq(idCol), "left_semi")
+  }
+
+  /** Per-rule failure audit of a [[qualityRuleFlags]] frame: one row
+    * per rule — (rule, n_failed, n_docs) — from a single aggregate
+    * (map-side partial counts; the unpivot runs on one row). */
+  def qualityRuleAudit(flags: DataFrame): DataFrame = {
+    val agg = flags.agg(count(lit(1)).as("n_docs"),
+      QualityRuleNames.map(r =>
+        sum(when(col(r), 0L).otherwise(1L)).as(r)): _*)
+    agg.select(explode(array(QualityRuleNames.map(r =>
+        struct(lit(r).as("rule"), col(r).as("n_failed"),
+          col("n_docs").as("n_docs"))): _*)).as("e"))
+      .select(col("e.rule"), col("e.n_failed"), col("e.n_docs"))
+  }
+
   /** Sliding-window context chunks: each document's token stream is
     * cut into windows of `maxTokens` tokens advancing by `maxTokens −
     * overlapTokens` (so consecutive chunks share `overlapTokens`

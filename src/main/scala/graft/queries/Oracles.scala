@@ -473,6 +473,37 @@ object Oracles {
       |       ${q("tfidf", 6)} AS tfidf_q6
       |FROM ranked WHERE rk <= 3""".stripMargin
 
+  /** Mirrors Q.textQualityRules + TextAnalysis.qualityRuleFlags:
+    * Gopher-style hard rules — token count in [30, 100000], mean word
+    * length in [3, 10], punct ratio ≤ 0.2, en-stopword ratio ≥ 0.02,
+    * alpha-token fraction ≥ 0.8 — as int flags plus the conjunction. */
+  val textQualityRules: String =
+    raw"""WITH b AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                    x -> x <> ''))::DOUBLE AS n_tok,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','of','and','to','in','is','that','it','was','for',
+      |        'with','as','his','on','be','at','by','this')))::DOUBLE AS n_sw,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      x -> x <> '' AND regexp_matches(x, '[a-z]')))::DOUBLE AS n_alpha
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(n_tok BETWEEN 30 AND 100000 AS INT) AS tokens_ok,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+      |           / greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0 AS INT) AS word_len_ok,
+      |    CAST(((length(text)
+      |           - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE
+      |           / greatest(length(text), 1)) <= 0.2 AS INT) AS punct_ok,
+      |    CAST(n_sw / greatest(n_tok, 1.0) >= 0.02 AS INT) AS stopword_ok,
+      |    CAST(n_alpha / greatest(n_tok, 1.0) >= 0.8 AS INT) AS alpha_ok
+      |  FROM b)
+      |SELECT doc_id, tokens_ok, word_len_ok, punct_ok, stopword_ok, alpha_ok,
+      |       tokens_ok * word_len_ok * punct_ok * stopword_ok * alpha_ok
+      |         AS passes
+      |FROM f""".stripMargin
+
   /** Mirrors Q.textChunks + TextAnalysis.chunkDocuments: 12-token
     * windows advancing by 9 (3-token overlap); chunk count =
     * ceil(max(n − overlap, 1) / stride); empty docs yield no chunks. */
@@ -2064,6 +2095,7 @@ object Oracles {
     "q_kmeans_step" -> kmeansStep,
     "q_mix_temperature" -> mixTemperature,
     "q_text_chunks" -> textChunks,
+    "q_text_quality_rules" -> textQualityRules,
     "q_dedup_decontaminate" -> decontamination,
     // the Bloom prefilter is exact-equivalent (no false negatives +
     // exact confirm join), so the bloom variant shares the oracle

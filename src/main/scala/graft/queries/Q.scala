@@ -528,6 +528,16 @@ object Q {
         col("n"), col("mean_q6"))
   }
 
+  /** Gopher-style hard-filter rule battery with per-rule flags (ints
+    * for the oracle) and the conjunction. */
+  def textQualityRules(s: SparkSession, dir: String): DataFrame = {
+    val flags = TextAnalysis.qualityRuleFlags(t(s, dir, "documents"),
+      "text", "doc_id", minTokens = 30)
+    flags.select(col("doc_id") +:
+      (TextAnalysis.QualityRuleNames :+ "passes")
+        .map(r => col(r).cast("int").as(r)): _*)
+  }
+
   /** Sliding-window context chunks (12-token windows, 3-token
     * overlap) over the documents corpus. */
   def textChunks(s: SparkSession, dir: String): DataFrame =

@@ -405,6 +405,19 @@ object Steps {
         Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id")), a("out"))),
 
+    Step("quality_filter",
+      "Gopher-style hard-rule filter; survivors to out, per-rule audit to out_audit",
+      (s, a) => {
+        val in = read(s, a("in"))
+        val text = a.get("text_col").getOrElse("text")
+        val id = a.get("id_col").getOrElse("doc_id")
+        val minTok = a.int("min_tokens", 10)
+        write(TextAnalysis.qualityRuleFilter(in, text, id,
+          minTokens = minTok), a("out"))
+        a.get("out_audit").foreach(p => write(TextAnalysis.qualityRuleAudit(
+          TextAnalysis.qualityRuleFlags(in, text, id, minTokens = minTok)), p))
+      }),
+
     Step("chunk",
       "Sliding-window context chunks (max_tokens window, overlap carry)",
       (s, a) => write(

@@ -93,6 +93,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("qualityRuleFlags: each rule fires on its own violation; filter " +
+    "keeps only full passes; audit counts failures per rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the dog in the sun and all was well"),
+      (2L, "a b"),                                       // too few tokens
+      (3L, ("the supercalifragilistic " * 8) +
+        "antidisestablishmentarianism extraordinarily"), // mean word len ~14
+      (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ### $$$ %%%"),
+      (5L, "12 34 56 78 90 11 22 33 44 55 66 77 88 99 00 12 34 56")
+    ).toDF("doc_id", "text")
+    val flags = TextAnalysis.qualityRuleFlags(docs, "text", "doc_id",
+      minTokens = 10)
+    val byId = flags.collect().map(r =>
+      r.getLong(0) -> r.getValuesMap[Boolean](
+        TextAnalysis.QualityRuleNames :+ "passes")).toMap
+    assert(byId(1L)("passes"))
+    assert(!byId(2L)("tokens_ok") && !byId(2L)("passes"))
+    assert(!byId(3L)("word_len_ok") && !byId(3L)("passes"))
+    assert(!byId(4L)("punct_ok") && !byId(4L)("alpha_ok"))
+    assert(!byId(5L)("alpha_ok") && !byId(5L)("stopword_ok"))
+    val kept = TextAnalysis.qualityRuleFilter(docs, "text", "doc_id",
+      minTokens = 10).select("doc_id").as[Long].collect().toSet
+    assert(kept == flags.filter(col("passes"))
+      .select("doc_id").as[Long].collect().toSet)
+    val audit = TextAnalysis.qualityRuleAudit(flags)
+      .as[(String, Long, Long)].collect()
+    assert(audit.length == TextAnalysis.QualityRuleNames.length)
+    assert(audit.forall(_._3 == 5L))
+    val failed = audit.map(a => a._1 -> a._2).toMap
+    assert(failed("punct_ok") >= 1L && failed("tokens_ok") >= 1L)
+  }
+
   test("chunkDocuments: windows advance by stride, overlap carries " +
     "tokens, every token is covered, short/empty docs behave") {
     import spark.implicits._
