@@ -50,6 +50,35 @@ object EventStreams {
         (lit(0.0) - col("__t.key")).cast("long").as("n"),
         (col("__pos") + 1).as("rank"))
 
+  /** Stream-stream interval join — the attribution shape (impression
+    * → conversion within a bound): rows of `left` and `right` sharing
+    * `keyCol` pair up when the right event lands inside
+    * [left ts, left ts + within]. Both sides carry event-time
+    * watermarks, and the time bound is two-sided, so Spark derives a
+    * state-eviction horizon for BOTH buffers — without it a
+    * stream-stream join's state grows without limit. Inner join:
+    * unmatched rows simply age out of state.
+    *
+    * The two inputs must share ONLY `keyCol` (timestamp/payload
+    * column names must differ) so the equi-join key needs no aliasing
+    * gymnastics in streaming plans. State per key ≈ events inside one
+    * watermark+within horizon — bounded by stream rate, not stream
+    * length. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   within: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet) == Set(keyCol),
+      s"left/right may share only '$keyCol' " +
+        "(rename timestamp/payload columns apart)")
+    left.withWatermark(leftTsCol, watermark).alias("l")
+      .join(right.withWatermark(rightTsCol, watermark).alias("r"),
+        expr(s"l.`$keyCol` = r.`$keyCol` AND " +
+          s"`$rightTsCol` >= `$leftTsCol` AND " +
+          s"`$rightTsCol` <= `$leftTsCol` + interval $within"))
+      .drop(col(s"r.`$keyCol`"))
+  }
+
   case class Event(userId: Long, eventType: String, tsMicros: Long)
   case class SessionState(start: Long, lastTs: Long, n: Int)
   case class SessionOut(userId: Long, startMicros: Long, endMicros: Long,

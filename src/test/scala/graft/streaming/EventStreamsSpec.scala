@@ -53,6 +53,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events on key within the bound " +
+    "and drops late conversions") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = EventStreams.intervalJoin(
+      impressions.toDF().toDF("user_id", "imp_ts", "ad"),
+      clicks.toDF().toDF("user_id", "click_ts", "page"),
+      keyCol = "user_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      within = "10 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      impressions.addData((1L, ts(0), "adA"), (2L, ts(0), "adB"))
+      clicks.addData(
+        (1L, ts(5), "p1"),   // within 10 min of user 1's impression
+        (2L, ts(25), "p2"),  // 25 min later — outside the bound
+        (3L, ts(5), "p3"))   // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .select("user_id", "ad", "page").as[(Long, String, String)]
+        .collect().toSet
+      assert(rows == Set((1L, "adA", "p1")))
+    } finally q.stop()
+  }
+
+  test("intervalJoin rejects inputs sharing more than the key column") {
+    val a = Seq((1L, 1L)).toDF("k", "ts")
+    val b = Seq((1L, 1L)).toDF("k", "ts")
+    assertThrows[IllegalArgumentException] {
+      EventStreams.intervalJoin(a, b, "k", "ts", "ts")
+    }
+  }
+
   test("stateful sessionisation: gap closes a session, tail stays open") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
