@@ -201,6 +201,85 @@ class StepsSpec extends SparkSpec {
     assert(n === spark.read.parquet(sampled).count())
   }
 
+  test("context-prep chain: quality_filter -> dedup_spans -> chunk -> " +
+    "bm25_topk on parquet hand-offs") {
+    val corpus = tmp("prep_corpus")
+    val clean = tmp("prep_clean")
+    val audit = tmp("prep_audit")
+    val despanned = tmp("prep_despanned")
+    val chunks = tmp("prep_chunks")
+    val queries = tmp("prep_queries")
+    val hits = tmp("prep_hits")
+    Seq(
+      (1L, "the spark engine is fast and the quick brown fox jumps over it " +
+        "while the lazy dog naps in the shade of the old oak tree"),
+      (2L, "the spark engine is fast and the quick brown fox jumps over it " +
+        "while a different tail diverges here with extra words to spare"),
+      (3L, "a b"), // fails the min-token rule
+      (4L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) ??? !!! ### $$$ %%%"))
+      .toDF("doc_id", "text").write.parquet(corpus)
+
+    Steps.runFromArgs(spark, Seq("quality_filter", s"in=$corpus",
+      "min_tokens=10", s"out=$clean", s"out_audit=$audit"))
+    assert(spark.read.parquet(clean).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    val auditMap = spark.read.parquet(audit)
+      .select("rule", "n_failed").as[(String, Long)].collect().toMap
+    assert(auditMap("tokens_ok") >= 1L && auditMap("punct_ok") >= 1L)
+
+    Steps.runFromArgs(spark, Seq("dedup_spans", s"in=$clean",
+      "block_tokens=12", s"out=$despanned"))
+    val despan = spark.read.parquet(despanned)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    // docs 1 and 2 share their first 12-token block; doc 2 loses it
+    assert(despan(1L) == 0L && despan(2L) == 1L)
+
+    Steps.runFromArgs(spark, Seq("chunk", s"in=$despanned",
+      "text_col=clean_text", "max_tokens=8", "overlap=2", s"out=$chunks"))
+    val perDoc = spark.read.parquet(chunks).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc(1L) > 1L)
+
+    Seq((1L, "quick brown fox")).toDF("query_id", "qtext")
+      .write.parquet(queries)
+    Steps.runFromArgs(spark, Seq("bm25_topk", s"in=$corpus",
+      s"queries=$queries", "k=2", s"out=$hits"))
+    val ranked = spark.read.parquet(hits)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(ranked.length == 2 && ranked.toSet == Set(1L, 2L))
+  }
+
+  test("kmeans_fit step writes assignment and centroids") {
+    val vecs = tmp("km_in")
+    val assign = tmp("km_assign")
+    val cents = tmp("km_cents")
+    (0L until 30L).map(i =>
+        (i, Seq((i % 2) * 10.0 + (i % 3) * 0.1, (i % 2) * 10.0)))
+      .toDF("id", "embedding").write.parquet(vecs)
+    Steps.runFromArgs(spark, Seq("kmeans_fit", s"in=$vecs", "k=2",
+      s"out=$assign", s"out_centroids=$cents"))
+    val cells = spark.read.parquet(assign).select("id", "cell")
+      .as[(Long, Int)].collect().toMap
+    // even ids cluster near origin, odd near (10, 10) — one cell each
+    assert(cells.filter(_._1 % 2 == 0).values.toSet.size == 1)
+    assert(cells.filter(_._1 % 2 == 1).values.toSet.size == 1)
+    assert(spark.read.parquet(cents).count() == 2)
+  }
+
+  test("mix_temperature step flattens the source mix") {
+    val in = tmp("mt_in")
+    val out = tmp("mt_out")
+    ((0L until 180L).map(i => (i, "big", 10L)) ++
+      (180L until 200L).map(i => (i, "small", 10L)))
+      .toDF("doc_id", "source", "tokens").write.parquet(in)
+    Steps.runFromArgs(spark, Seq("mix_temperature", s"in=$in",
+      "alpha=0.5", "budget=1000", s"out=$out"))
+    val got = spark.read.parquet(out).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // natural small share 10%; alpha=0.5 target is 25% of the budget
+    assert(got("small").toDouble / (got("small") + got("big")) > 0.12)
+  }
+
   test("pq index steps: build, append, search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
