@@ -210,6 +210,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"index probe is not an anti-join:\n$p")
   }
 
+  test("spanDedup is hash-groupBy + equi-join on the digest, no window, " +
+    "no cartesian") {
+    val p = plan(Dedup.spanDedup(docs, "text", "doc_id",
+      cache = graft.core.CacheHandle.disabled))
+    assert(p.contains("HashAggregate"), s"no HashAggregate in:\n$p")
+    assert(!p.contains("Window"), s"window leaked into spanDedup plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
+  test("bm25 broadcasts the query-vocabulary side; the corpus is never " +
+    "broadcast and no join decays to nested loop") {
+    val qs = Seq((1L, "alpha epsilon")).toDF("query_id", "qtext")
+    val p = plan(Search.bm25TopK(docs, "text", "doc_id", qs,
+      cache = graft.core.CacheHandle.disabled))
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$p")
+    // the single one-row stats (N, avgdl) attach is a broadcast cross
+    // join by construction; anything beyond it is a decayed equi join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"a bm25 equi join decayed to nested loop:\n$p")
+    // ranking ships bounded heaps, not a window rank over candidates
+    assert(p.contains("topk_ids"), s"heap aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"window rank leaked into bm25 plan:\n$p")
+  }
+
+  test("chunkDocuments plans with zero exchanges — pure map-side work") {
+    val p = plan(TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      maxTokens = 3, overlapTokens = 1))
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+  }
+
+  test("quality rule battery plans with zero exchanges") {
+    val p = plan(TextAnalysis.qualityRuleFlags(docs, "text", "doc_id"))
+    assert(!p.contains("Exchange"), s"rule flags should not shuffle:\n$p")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
