@@ -446,6 +446,24 @@ object Steps {
         } finally h.release()
       }),
 
+    Step("bm25_index_build",
+      "Build + persist a BM25 postings index (term-range-sorted for pruning)",
+      (s, a) => {
+        val h = graft.core.CacheHandle()
+        try Search.bm25IndexWrite(Search.bm25IndexBuild(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"), cache = h), a("out"))
+        finally h.release()
+      }),
+
+    Step("bm25_search",
+      "Search a persisted BM25 index with a query batch",
+      (s, a) => writeReleasing(a("out")) { h =>
+        Search.bm25SearchIndex(Search.bm25IndexRead(s, a("index")),
+          read(s, a("queries")),
+          k = a.int("k", 10), k1 = a.double("k1", 1.2),
+          b = a.double("b", 0.75), cache = h) }),
+
     Step("bm25_topk",
       "BM25 top-k documents per query (queries=parquet with query_id,qtext)",
       (s, a) => writeReleasing(a("out")) { h =>

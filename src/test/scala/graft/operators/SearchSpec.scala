@@ -42,6 +42,27 @@ class SearchSpec extends SparkSpec {
     assert(byQuery.forall(_._2.size == 1))
   }
 
+  test("persisted index round-trip: build -> write -> read -> search " +
+    "equals the inline bm25TopK, and the term prune pushes down") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val qs = Seq((1L, "spark duck"), (2L, "pond")).toDF("query_id", "qtext")
+    val built = Search.bm25IndexBuild(corpus, "text", "doc_id")
+    assert(built.nDocs == 4L)
+    Search.bm25IndexWrite(built, dir)
+    val loaded = Search.bm25IndexRead(spark, dir)
+    assert(loaded.nDocs == built.nDocs && loaded.avgdl == built.avgdl)
+    val viaIndex = Search.bm25SearchIndex(loaded, qs, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inline = Search.bm25TopK(corpus, "text", "doc_id", qs, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex == inline)
+    // the query-vocabulary IN predicate reaches the parquet scan
+    val p = Search.bm25SearchIndex(loaded, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      s"term prune not pushed to the postings scan:\n$p")
+  }
+
   test("bm25TopK idf downweights common terms: a term present in every " +
     "doc scores below a rare term at equal tf") {
     val even = Seq(
