@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_spans" -> (Q.dedupSpans _),
     "q_search_bm25" -> (Q.searchBm25 _),
     "q_kmeans_step" -> (Q.kmeansStep _),
+    "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),
     "q_text_chunks" -> (Q.textChunks _),
     "q_text_quality_rules" -> (Q.textQualityRules _),

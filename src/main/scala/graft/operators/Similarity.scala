@@ -296,6 +296,125 @@ object Similarity {
       .toDF("id", "embedding")
   }
 
+  // ---------------------------------------------------------------- PCA
+
+  /** PCA model: `components(r)` is the r-th principal axis (rows
+    * orthonormal, eigenvalue-descending, sign-canonicalised so the
+    * largest-|component| entry is positive). */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+                      eigenvalues: Array[Double], nRows: Long)
+
+  /** One-pass distributed PCA — the dim-reduction preprocessing the
+    * embedding pipeline wants before IVF-PQ (FAISS's PCAR transform).
+    * The corpus contributes exactly one scan: the native
+    * [[graft.plans.VectorOuterSumAgg]] reduces n×d vectors to a
+    * (1 + d + d(d+1)/2)-double sufficient statistic with map-side
+    * partial merges, and the d×d eigenproblem is solved on the driver
+    * with cyclic Jacobi — model-sized work, like every other
+    * broadcast-model fit here. No n×d² explode, no MLlib RowMatrix
+    * detour through RDDs. */
+  def pcaFit(embeddings: DataFrame, k: Int,
+             vecCol: String = "embedding"): PcaModel = {
+    require(k > 0, "k must be positive")
+    val e = embeddings.select(col(vecCol).cast("array<double>").as("v"))
+    val d = e.select(size(col("v"))).head().getInt(0)
+    require(k <= d, s"cannot keep $k components of $d dimensions")
+    val flat = e.agg(graft.plans.VectorStats.outerSums(col("v"), d).as("f"))
+      .head().getSeq[Double](0).toArray
+    val n = flat(0)
+    require(n > 0, "pcaFit needs at least one row")
+    val mean = Array.tabulate(d)(i => flat(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var off = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = flat(off + (j - i)) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1
+      }
+      off += d - i
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(r => (-evals(r), r)).take(k)
+    val comps = order.map { r =>
+      val v = Array.tabulate(d)(row => evecs(row)(r))
+      // canonical sign: largest-|entry| positive (ties to the first)
+      val pivot = v.indices.maxBy(x => (math.abs(v(x)), -x))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(evals).toArray, n.toLong)
+  }
+
+  /** Project rows into a fitted model's components: (id, projection)
+    * with projection = W(x − mean), one native expression per row. */
+  def pcaTransform(embeddings: DataFrame, model: PcaModel,
+                   idCol: String = "id",
+                   vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+      graft.plans.VectorStats.project(
+        col(vecCol).cast("array<double>"), model.components, model.mean)
+        .as("projection"))
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * (eigenvalues, eigenvector MATRIX with eigenvectors as columns).
+    * O(d³) per sweep, converges quadratically; d here is an embedding
+    * width (≤ a few thousand), driver-side by design. */
+  private def jacobiEigen(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(m.map(_.map(math.abs).max).max, 1e-300)
+    var sweep = 0
+    var offNorm = Double.MaxValue
+    while (sweep < 100 && offNorm > 1e-24 * scale * scale) {
+      offNorm = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          offNorm += 2 * apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val mrp = m(r)(p); val mrq = m(r)(q)
+              m(r)(p) = c * mrp - s * mrq
+              m(r)(q) = s * mrp + c * mrq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val mpr = m(p)(r); val mqr = m(q)(r)
+              m(p)(r) = c * mpr - s * mqr
+              m(q)(r) = s * mpr + c * mqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => m(i)(i)), v)
+  }
+
   /** Deterministic bounded training sample: xxhash64-ordered top
     * maxTrain rows (TakeOrderedAndProject — no full sort at scale).
     * Codebook training on a bounded sample is the FAISS protocol;

@@ -1,0 +1,148 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** One-pass sufficient statistics of a d-dimensional vector column:
+  * count, per-dimension sums, and the upper triangle of the outer-
+  * product sum — everything mean/covariance/PCA need, in a single
+  * aggregation whose buffer is 1 + d + d(d+1)/2 doubles.
+  *
+  * The scale point: a covariance at 100 TB must NOT be a d² explode
+  * (n·d² shuffle rows) or a driver-side pass. This buffer partially
+  * aggregates map-side, so the shuffle carries one ~d²/2-double
+  * vector per partition and the final merge is elementwise addition —
+  * the same shape MLlib's RowMatrix uses, expressed as a native
+  * Catalyst aggregate over an `array<double>` column.
+  *
+  * Output layout (array<double>): [n, s₀…s_{d−1}, upper-tri outer
+  * sums row-major: (0,0),(0,1)…(0,d−1),(1,1)…(d−1,d−1)].
+  */
+case class VectorOuterSumAgg(child: Expression, d: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+  require(d > 0, "dimension must be positive")
+
+  private val len = 1 + d + d * (d + 1) / 2
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vector_outer_sums"
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](len)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), d)
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+      buf(0) += 1.0
+      i = 0
+      while (i < n) { buf(1 + i) += x(i); i += 1 }
+      var off = 1 + d
+      i = 0
+      while (i < n) {
+        var j = i
+        val xi = x(i)
+        // row i of the upper triangle starts at off; contiguous walk
+        while (j < n) { buf(off + (j - i)) += xi * x(j); j += 1 }
+        off += d - i
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    new GenericArrayData(buf.map(x => x: Any))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(len * 8)
+    var i = 0
+    while (i < len) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Double](len)
+    var i = 0
+    while (i < len) { buf(i) = bb.getDouble; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorOuterSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorOuterSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorOuterSumAgg =
+    copy(child = c)
+}
+
+/** Projection y = W (x − center): one tight loop per row with the
+  * (k × d) matrix riding inside the plan — the transform side of PCA,
+  * same native-expression pattern as [[NearestCells]]. */
+case class MatVecCentered(child: Expression, w: Array[Array[Double]],
+                          center: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(w.nonEmpty && w.forall(_.length == center.length),
+    "every projection row must match the center's dimension")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "matvec_centered"
+
+  override protected def nullSafeEval(emb: Any): Any = {
+    val arr = emb.asInstanceOf[ArrayData]
+    val d = math.min(arr.numElements(), center.length)
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = arr.getDouble(i) - center(i); i += 1 }
+    val out = new Array[Any](w.length)
+    var r = 0
+    while (r < w.length) {
+      val row = w(r)
+      var s = 0.0
+      i = 0
+      while (i < d) { s += row(i) * x(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVecCentered =
+    copy(child = c)
+}
+
+object VectorStats {
+  /** `vector_outer_sums(vec, d)`: see [[VectorOuterSumAgg]]. */
+  def outerSums(vec: Column, d: Int): Column =
+    Bridge.column(VectorOuterSumAgg(
+      Bridge.expression(vec), d).toAggregateExpression())
+
+  /** `matvec_centered(vec)`: project into the rows of `w` after
+    * subtracting `center`. */
+  def project(vec: Column, w: Array[Array[Double]],
+              center: Array[Double]): Column =
+    Bridge.column(MatVecCentered(Bridge.expression(vec), w, center))
+}

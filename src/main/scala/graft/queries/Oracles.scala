@@ -525,6 +525,25 @@ object Oracles {
       |         AS n_tokens
       |FROM c""".stripMargin
 
+  /** Mirrors Q.pcaCov + plans.VectorOuterSumAgg: upper-triangle
+    * covariance of the embedding corpus — sum(xᵢxⱼ)/n − (Σxᵢ/n)(Σxⱼ/n),
+    * the exact arithmetic pcaFit derives from the one-pass sufficient
+    * statistic. */
+  val pcaCov: String =
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM e),
+      |idx AS (SELECT unnest(range(0, 64)) AS i),
+      |m AS (SELECT i, sum(v[CAST(i AS INT)+1]) AS s
+      |      FROM e CROSS JOIN idx GROUP BY i),
+      |o AS (SELECT a.i AS i, b.i AS j,
+      |             sum(v[CAST(a.i AS INT)+1] * v[CAST(b.i AS INT)+1]) AS so
+      |      FROM e CROSS JOIN idx a CROSS JOIN idx b WHERE b.i >= a.i
+      |      GROUP BY 1, 2)
+      |SELECT CAST(o.i AS BIGINT) AS i, CAST(o.j AS BIGINT) AS j,
+      |       ${q("o.so / n - (ma.s / n) * (mb.s / n)", 6)} AS cov_q6
+      |FROM o JOIN m ma ON ma.i = o.i JOIN m mb ON mb.i = o.j CROSS JOIN n
+      |""".stripMargin
+
   /** Mirrors Q.kmeansStep + Similarity.kmeansAssign: squared-L2 argmin
     * assignment to the (vec_id % 100 == 0) seed centroids, ties to the
     * lower cell index (list_distance is IEEE sqrt of the same
@@ -2093,6 +2112,7 @@ object Oracles {
     "q_dedup_spans" -> dedupSpans,
     "q_search_bm25" -> searchBm25,
     "q_kmeans_step" -> kmeansStep,
+    "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,
     "q_text_chunks" -> textChunks,
     "q_text_quality_rules" -> textQualityRules,

@@ -510,6 +510,26 @@ object Q {
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id", blockTokens = 10)
 
+  /** Upper-triangle covariance entries of the embedding corpus,
+    * computed from the ONE-PASS native sufficient-statistics aggregate
+    * (count + sums + outer-product sums) that pcaFit consumes. */
+  def pcaCov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 64
+    val e = t(s, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val flat = e.agg(graft.plans.VectorStats.outerSums(col("v"), d).as("f"))
+      .head().getSeq[Double](0)
+    val n = flat(0)
+    val mean = Array.tabulate(d)(i => flat(1 + i) / n)
+    val rows = for {i <- 0 until d; j <- i until d} yield {
+      val off = 1 + d + i * d - i * (i - 1) / 2 + (j - i)
+      val cov = flat(off) / n - mean(i) * mean(j)
+      (i.toLong, j.toLong, math.floor(cov * 1e6 + 0.500000001).toLong)
+    }
+    rows.toDF("i", "j", "cov_q6")
+  }
+
   /** One distributed Lloyd update from fixed seed centroids (vec_id %
     * 100 == 0, index-ordered): per-(cell, dim) mean + population — the
     * per-iteration building block of Similarity.kmeansFit, with

@@ -427,6 +427,16 @@ object Steps {
           maxTokens = a.int("max_tokens", 512),
           overlapTokens = a.int("overlap", 0)), a("out"))),
 
+    Step("pca_project",
+      "Fit k-component PCA in one corpus pass and write (id, projection)",
+      (s, a) => {
+        val in = read(s, a("in"))
+        val vec = a.get("vec_col").getOrElse("embedding")
+        val m = Similarity.pcaFit(in, a.int("k", 16), vecCol = vec)
+        write(Similarity.pcaTransform(in, m,
+          a.get("id_col").getOrElse("id"), vec), a("out"))
+      }),
+
     Step("kmeans_fit",
       "Full-corpus Lloyd k-means: writes (id, cell); centroids to out_centroids",
       (s, a) => {
