@@ -51,7 +51,9 @@ object Search {
     val tf = cache.persist(termFrequencies(docs, textCol, idCol))
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), avg("dl").as("a")).head()
-    Bm25Index(tf, dl, st.getLong(0), st.getDouble(1))
+    // an empty corpus has no average length; 0 keeps search a no-op
+    Bm25Index(tf, dl, st.getLong(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1))
   }
 
   /** Persist an index: postings range-partitioned and sorted by term

@@ -246,6 +246,7 @@ object Similarity {
         xxhash64(col(idCol), lit(seed)).as("_h"))
       .orderBy(col("_h")).limit(k)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeansFit needs a non-empty corpus")
     var iter = 0
     var shift = Double.MaxValue
     while (iter < maxIter && shift > tol) {
@@ -317,7 +318,9 @@ object Similarity {
              vecCol: String = "embedding"): PcaModel = {
     require(k > 0, "k must be positive")
     val e = embeddings.select(col(vecCol).cast("array<double>").as("v"))
-    val d = e.select(size(col("v"))).head().getInt(0)
+    val first = e.take(1)
+    require(first.nonEmpty, "pcaFit needs a non-empty corpus")
+    val d = first(0).getSeq[Double](0).length
     require(k <= d, s"cannot keep $k components of $d dimensions")
     val flat = e.agg(graft.plans.VectorStats.outerSums(col("v"), d).as("f"))
       .head().getSeq[Double](0).toArray

@@ -142,7 +142,7 @@ object TextAnalysis {
   def qualityRuleAudit(flags: DataFrame): DataFrame = {
     val agg = flags.agg(count(lit(1)).as("n_docs"),
       QualityRuleNames.map(r =>
-        sum(when(col(r), 0L).otherwise(1L)).as(r)): _*)
+        coalesce(sum(when(col(r), 0L).otherwise(1L)), lit(0L)).as(r)): _*)
     agg.select(explode(array(QualityRuleNames.map(r =>
         struct(lit(r).as("rule"), col(r).as("n_failed"),
           col("n_docs").as("n_docs"))): _*)).as("e"))

@@ -23,6 +23,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(emptyPairs).count() === 0L)
   }
 
+  test("span dedup, bm25, chunking, quality rules, temperature mix on " +
+    "empty inputs; kmeans/pca fail loudly instead of mislabelling") {
+    import org.apache.spark.sql.functions.lit
+    assert(Dedup.spanDedup(emptyDocs, "text", "doc_id").count() === 0L)
+    val qs = Seq((1L, "some query")).toDF("query_id", "qtext")
+    assert(Search.bm25TopK(emptyDocs, "text", "doc_id", qs).count() === 0L)
+    assert(Search.bm25TopK(Seq((1L, "a doc")).toDF("doc_id", "text"),
+      "text", "doc_id",
+      Seq.empty[(Long, String)].toDF("query_id", "qtext")).count() === 0L)
+    val emptyIdx = Search.bm25IndexBuild(emptyDocs, "text", "doc_id")
+    assert(emptyIdx.nDocs === 0L && emptyIdx.avgdl === 0.0)
+    assert(Search.bm25SearchIndex(emptyIdx, qs).count() === 0L)
+    assert(TextAnalysis.chunkDocuments(emptyDocs, "text", "doc_id", 8)
+      .count() === 0L)
+    val flags = TextAnalysis.qualityRuleFlags(emptyDocs, "text", "doc_id")
+    assert(flags.count() === 0L)
+    val audit = TextAnalysis.qualityRuleAudit(flags)
+      .as[(String, Long, Long)].collect()
+    assert(audit.length === TextAnalysis.QualityRuleNames.length)
+    assert(audit.forall(a => a._2 === 0L && a._3 === 0L))
+    assert(Mixing.temperatureMix(emptyDocs.withColumn("source", lit("s"))
+      .withColumn("tokens", lit(1L)), "doc_id", "source", "tokens",
+      0.5, 100L).count() === 0L)
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Similarity.kmeansFit(emptyVecs, k = 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pcaFit(emptyVecs, k = 2)
+    }
+  }
+
   test("incremental dedup with empty index, empty batch, or both") {
     val idx = IncrementalDedup.exactIndex(emptyDocs, "text", "doc_id")
     assert(idx.count() === 0L)
