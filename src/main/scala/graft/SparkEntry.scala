@@ -66,6 +66,7 @@ object SparkEntry {
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),
+    "q_mix_curriculum" -> (Q.mixCurriculum _),
     "q_text_chunks" -> (Q.textChunks _),
     "q_text_quality_rules" -> (Q.textQualityRules _),
     "q_text_stats" -> (Q.textStats _),

@@ -89,6 +89,26 @@ object Mixing {
       .drop("_frac")
   }
 
+  /** Curriculum bins: assign each row a quantile bin 1..nBins of
+    * `scoreCol` (ntile over a total order — ties broken by id so the
+    * cut is deterministic), optionally within each `byCol` partition.
+    * The curriculum-training shape: bin 1 = lowest-scoring nBins-th,
+    * schedulable from easy/clean to hard/noisy.
+    *
+    * One shuffle (the ntile sort); at 100 TB prefer per-domain bins
+    * (`byCol`) so each sort partition is a domain, not the corpus. */
+  def curriculumBins(docs: DataFrame, scoreCol: String, idCol: String,
+                     nBins: Int, byCol: Option[String] = None): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val w = byCol match {
+      case Some(c) => org.apache.spark.sql.expressions.Window
+        .partitionBy(col(c)).orderBy(col(scoreCol), col(idCol))
+      case None => org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol), col(idCol))
+    }
+    docs.withColumn("bin", ntile(nBins).over(w))
+  }
+
   /** Exact-count stratified sample: keep exactly `min(n, |stratum|)`
     * rows per stratum, chosen by the deterministic md5 draw (so the
     * selection is stable across reruns and replayable in SQL — the

@@ -1182,6 +1182,34 @@ object Oracles {
       |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0 < f.frac""".stripMargin
 
+  /** Mirrors Q.mixCurriculum / Mixing.curriculumBins: per-source
+    * quality quartiles — ntile(4) over (round-6 quality, doc_id); the
+    * quality formula is the [[textQuality]] composite. */
+  val mixCurriculum: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                    x -> x <> ''))::DOUBLE AS n_tok,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN ('the','of','and','to','in','is','that','it','was','for',
+       |        'with','as','his','on','be','at','by','this')))::DOUBLE AS n_sw
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    round(least(n_tok / 100.0, 1.0) * 0.3 +
+       |      (1.0 - least(((length(text)
+       |          - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |          / greatest(length(text), 1)) * 5.0, 1.0)) * 0.3 +
+       |      least((n_sw / greatest(n_tok, 1.0)) * 5.0, 1.0) * 0.2 +
+       |      (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+       |                 / greatest(n_tok, 1.0) BETWEEN 3.0 AND 12.0
+       |            THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+       |  FROM b)
+       |SELECT doc_id, source,
+       |       CAST(ntile(4) OVER (PARTITION BY source
+       |              ORDER BY quality, doc_id) AS BIGINT) AS bin
+       |FROM c""".stripMargin
+
   /** Mirrors Q.mixStratified / Mixing.stratifiedTake: per-stratum
     * exact-N cut over the md5-uniform order, ties broken by id. */
   val mixStratified: String =
@@ -2114,6 +2142,7 @@ object Oracles {
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,
+    "q_mix_curriculum" -> mixCurriculum,
     "q_text_chunks" -> textChunks,
     "q_text_quality_rules" -> textQualityRules,
     "q_dedup_decontaminate" -> decontamination,

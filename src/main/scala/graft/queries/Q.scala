@@ -1013,6 +1013,15 @@ object Q {
       .select(col("doc_id"), col("source"), col("tokens"))
   }
 
+  /** Curriculum bins: quality-score quartiles per source domain. */
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    Mixing.curriculumBins(docs, "quality", "doc_id", nBins = 4,
+        byCol = Some("source"))
+      .select(col("doc_id"), col("source"), col("bin").cast("long").as("bin"))
+  }
+
   /** Exact-count stratified sample: 10 documents per source, chosen
     * by the deterministic md5 draw. */
   def mixStratified(s: SparkSession, dir: String): DataFrame =

@@ -626,6 +626,13 @@ object Steps {
           }.toMap,
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("curriculum_bins",
+      "Assign quantile curriculum bins of score_col (optionally per domain)",
+      (s, a) => write(
+        graft.operators.Mixing.curriculumBins(read(s, a("in")),
+          a("score_col"), a.get("id_col").getOrElse("doc_id"),
+          a.int("bins", 4), a.get("by_col")), a("out"))),
+
     Step("mix_temperature",
       "Temperature-flatten the source mix (q_d ∝ p_d^alpha) to a token budget",
       (s, a) => write(

@@ -128,6 +128,26 @@ class MixingSpec extends SparkSpec {
       out2.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("curriculumBins: balanced quantile bins ordered by score, " +
+    "per-domain when asked") {
+    val scored = (0L until 40L).map(i =>
+      (i, s"d${i % 2}", i.toDouble)).toDF("doc_id", "source", "score")
+    val global = Mixing.curriculumBins(scored, "score", "doc_id", nBins = 4)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    // 40 rows / 4 bins = 10 each; score == id so bin = id/10 + 1
+    assert((0L until 40L).forall(i => global(i) == (i / 10 + 1).toInt))
+    val byDomain = Mixing.curriculumBins(scored, "score", "doc_id",
+      nBins = 2, byCol = Some("source"))
+      .select("doc_id", "source", "bin").as[(Long, String, Int)].collect()
+    // each domain has 20 rows → bins of 10; highest scores land in bin 2
+    byDomain.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._3 == 1) == 10 && rows.count(_._3 == 2) == 10)
+      val maxBin1 = rows.filter(_._3 == 1).map(_._1).max
+      val minBin2 = rows.filter(_._3 == 2).map(_._1).min
+      assert(maxBin1 < minBin2)
+    }
+  }
+
   test("stratifiedTake keeps exactly n per stratum, deterministically") {
     val out = Mixing.stratifiedTake(docs, "source", "doc_id", n = 30)
     val counts = out.groupBy("source").count()
