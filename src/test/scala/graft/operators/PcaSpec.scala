@@ -69,6 +69,19 @@ class PcaSpec extends SparkSpec {
     m.mean.zip(mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("k = d projection is an isometry: pairwise L2 distances survive " +
+    "the rotation, so downstream L2 clustering/IVF is unchanged") {
+    val m = Similarity.pcaFit(diag, k = 2)
+    val orig = diag.as[(Long, Seq[Double])].collect().toMap
+    val proj = Similarity.pcaTransform(diag, m)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    for (i <- 0L until 5L; j <- (i + 1) to 5L) {
+      assert(math.abs(d2(orig(i), orig(j)) - d2(proj(i), proj(j))) < 1e-9)
+    }
+  }
+
   test("pcaFit is deterministic and invariant to partitioning") {
     val a = Similarity.pcaFit(diag, k = 2)
     val b = Similarity.pcaFit(diag.repartition(7), k = 2)
