@@ -124,6 +124,39 @@ object Search {
         (-col("hit.key")).as("score"))
   }
 
+  /** Reciprocal-rank fusion of per-query rankings — the standard
+    * hybrid-search combiner (lexical BM25 + dense ANN, or any scorer
+    * family): each system contributes 1/(c + rank) per (query, doc),
+    * summed across systems, re-ranked top-k. Rank-based, so scorers
+    * with incomparable score scales fuse without calibration.
+    *
+    * Inputs are (query_id, rank, doc_id) frames — exactly what
+    * [[bm25TopK]]/[[bm25SearchIndex]] and the ANN top-k family emit.
+    * Scale: the inputs are already k-bounded per query, so the union
+    * and the fused groupBy run on |queries|·k·systems rows —
+    * query-batch-sized, nowhere near corpus scale; the final ranking
+    * ships k-bounded heaps. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && c >= 0, "k must be positive and c non-negative")
+    val tagged = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    tagged
+      .withColumn("rrf", lit(1.0) / (col("rank") + c))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("rrf").as("score"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopK.topkIdsKeyed(-col("score"), col("doc_id"), k)
+        .as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("doc_id"),
+        (-col("hit.key")).as("score"))
+  }
+
   /** BM25 top-k documents per query: (query_id, rank, doc_id,
     * score), rank 1 = best, ties broken toward the smaller doc_id.
     *

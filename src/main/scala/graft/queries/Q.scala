@@ -575,6 +575,21 @@ object Q {
         q(col("score"), 6).as("score_q6"))
   }
 
+  /** Reciprocal-rank fusion of two BM25 scorer variants (the hybrid-
+    * search combiner) over the same 3-query batch. */
+  def searchRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
+      (3L, "vector hash join")).toDF("query_id", "qtext")
+    val docs = t(s, dir, "documents")
+    val sys1 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10)
+    val sys2 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10,
+      k1 = 0.5, b = 0.0)
+    Search.rrfFuse(Seq(sys1, sys2), k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        q(col("score"), 6).as("score_q6"))
+  }
+
   /** Token/stopword text statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -474,6 +474,12 @@ object Steps {
           k = a.int("k", 10), k1 = a.double("k1", 1.2),
           b = a.double("b", 0.75), cache = h) }),
 
+    Step("rrf_fuse",
+      "Reciprocal-rank-fuse ranking parquets (in=a,b,... each query_id,rank,doc_id)",
+      (s, a) => write(
+        Search.rrfFuse(a("in").split(",").map(_.trim).toSeq.map(read(s, _)),
+          k = a.int("k", 10), c = a.int("c", 60)), a("out"))),
+
     Step("bm25_topk",
       "BM25 top-k documents per query (queries=parquet with query_id,qtext)",
       (s, a) => writeReleasing(a("out")) { h =>

@@ -63,6 +63,26 @@ class SearchSpec extends SparkSpec {
       s"term prune not pushed to the postings scan:\n$p")
   }
 
+  test("rrfFuse: a doc ranked by both systems beats single-system docs; " +
+    "scores are 1/(c+rank) sums; ties break toward the smaller id") {
+    val sysA = Seq((1L, 1L, 10L), (1L, 2L, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val sysB = Seq((1L, 1L, 20L), (1L, 2L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val fused = Search.rrfFuse(Seq(sysA, sysB), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    // doc 20: rank 2 in A + rank 1 in B → 1/62 + 1/61; doc 10: 1/61; doc 30: 1/62
+    assert(fused.map(_._3).toSeq == Seq(20L, 10L, 30L))
+    assert(math.abs(fused(0)._4 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(fused(1)._4 - 1.0 / 61) < 1e-12)
+    // 10 and 30 at equal score would tie to the lower id — here 10 wins
+    // on score (rank 1 vs 2); construct an exact tie too:
+    val tie = Search.rrfFuse(Seq(
+      Seq((1L, 1L, 5L), (1L, 1L, 3L)).toDF("query_id", "rank", "doc_id")),
+      k = 10).orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(tie.map(_._3).toSeq == Seq(3L, 5L))
+  }
+
   test("bm25TopK idf downweights common terms: a term present in every " +
     "doc scores below a rare term at equal tf") {
     val even = Seq(
