@@ -657,6 +657,64 @@ object Oracles {
       |SELECT query_id, rk AS rank, doc_id, ${q("score", 6)} AS score_q6
       |FROM fr WHERE rk <= 10""".stripMargin
 
+  /** Mirrors Q.searchHybrid: RRF of the [[searchBm25]] lexical scorer
+    * and the [[annTopK]] dense cosine scorer (query items 1–3 in the
+    * shared doc/vec id space), top-10 per query. */
+  val searchHybrid: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qs AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'spark window agg'),
+      |                             (CAST(2 AS BIGINT), 'customer order query'),
+      |                             (CAST(3 AS BIGINT), 'vector hash join'))
+      |       AS v(query_id, qtext)),
+      |qt AS (
+      |  SELECT query_id, unnest(list_distinct(list_filter(
+      |           string_split_regex(lower(trim(qtext)), '\s+'), x -> x <> ''))) AS term
+      |  FROM qs),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf
+      |          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+      |s1 AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |             (tf * (1.2 + 1.0)) /
+      |             (tf + (dl / avgdl * 0.75 + (1.0 - 0.75)) * 1.2)) AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |          JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |r1 AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, doc_id) AS rk FROM s1),
+      |eu AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM eu GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid, sum(q.x * e.x) AS dot
+      |  FROM eu q JOIN eu e ON q.i = e.i
+      |  WHERE q.vec_id IN (1, 2, 3) AND q.vec_id <> e.vec_id
+      |  GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT qid, nid, dot / (nq.nrm * ne.nrm) AS s
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid
+      |            JOIN norms ne ON ne.vec_id = nid),
+      |r2 AS (SELECT qid AS query_id, nid AS doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rk
+      |       FROM sim),
+      |u AS (SELECT query_id, doc_id, rk FROM r1 WHERE rk <= 10
+      |      UNION ALL SELECT query_id, doc_id, rk FROM r2 WHERE rk <= 10),
+      |f AS (SELECT query_id, doc_id, sum(1.0 / (rk + 60)) AS score
+      |      FROM u GROUP BY 1, 2),
+      |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, doc_id) AS rk FROM f)
+      |SELECT query_id, rk AS rank, doc_id, ${q("score", 6)} AS score_q6
+      |FROM fr WHERE rk <= 10""".stripMargin
+
   /** Mirrors Q.dedupSpans + Dedup.spanDedup: 10-token non-overlapping
     * blocks; every occurrence of a block value after its first (by
     * (doc_id, block index) order, corpus-wide) is removed; the rank
@@ -2192,6 +2250,7 @@ object Oracles {
     "q_dedup_spans" -> dedupSpans,
     "q_search_bm25" -> searchBm25,
     "q_search_rrf" -> searchRrf,
+    "q_search_hybrid" -> searchHybrid,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

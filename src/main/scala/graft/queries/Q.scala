@@ -590,6 +590,28 @@ object Q {
         q(col("score"), 6).as("score_q6"))
   }
 
+  /** Hybrid retrieval: lexical BM25 over documents fused (RRF) with
+    * dense cosine ANN over the parallel embedding space (doc_id and
+    * vec_id share the item id space) for the same 3 query items. */
+  def searchHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
+      (3L, "vector hash join")).toDF("query_id", "qtext")
+    val lex = Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id", qs,
+        k = 10)
+      .select("query_id", "rank", "doc_id")
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val dense = Similarity.bruteForceTopKAgg(emb,
+        emb.filter(col("id").isin(1L, 2L, 3L)), 10)
+      .select(col("queryId").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbourId").as("doc_id"))
+    Search.rrfFuse(Seq(lex, dense), k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        q(col("score"), 6).as("score_q6"))
+  }
+
   /** Token/stopword text statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
