@@ -71,6 +71,29 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Fold an arrival batch into a standing index WITHOUT re-reading
+    * the corpus — the daily-ingest shape ([[IncrementalDedup]]'s
+    * posture for the lexical index): the batch is tokenised once, its
+    * postings/lengths union the standing frames, and the corpus
+    * constants merge in closed form (n' = n + n_b, avgdl' =
+    * (n·avgdl + Σ_b dl) / n'). Batch ids must be new; re-ingesting an
+    * id would double its postings (dedup arrivals first). */
+  def bm25IndexAppend(index: Bm25Index, batch: DataFrame, textCol: String,
+                      idCol: String,
+                      cache: graft.core.CacheHandle =
+                        graft.core.CacheHandle()): Bm25Index = {
+    val tfB = cache.persist(termFrequencies(batch, textCol, idCol))
+    val dlB = tfB.groupBy("id").agg(sum("tf").as("dl"))
+    val st = dlB.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
+    val nB = st.getLong(0)
+    val sumB = if (st.isNullAt(1)) 0.0 else st.getLong(1).toDouble
+    val n = index.nDocs + nB
+    val avgdl =
+      if (n == 0) 0.0 else (index.nDocs * index.avgdl + sumB) / n
+    Bm25Index(index.postings.unionByName(tfB),
+      index.docLengths.unionByName(dlB), n, avgdl)
+  }
+
   /** Load an index persisted by [[bm25IndexWrite]]. */
   def bm25IndexRead(s: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {

@@ -466,6 +466,17 @@ object Steps {
         finally h.release()
       }),
 
+    Step("bm25_index_append",
+      "Fold an arrival batch into a persisted BM25 index (no corpus re-scan)",
+      (s, a) => {
+        val h = graft.core.CacheHandle()
+        try Search.bm25IndexWrite(Search.bm25IndexAppend(
+          Search.bm25IndexRead(s, a("index")), read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"), cache = h), a("out"))
+        finally h.release()
+      }),
+
     Step("bm25_search",
       "Search a persisted BM25 index with a query batch",
       (s, a) => writeReleasing(a("out")) { h =>

@@ -256,6 +256,22 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == ((12L, "", 1L, 1L)))
   }
 
+  test("spanDedup is idempotent: a second pass over its own output " +
+    "removes nothing (seeded random corpus)") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val corpus = (0L until 30L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val once = Dedup.spanDedup(corpus, "text", "doc_id", blockTokens = 4)
+    assert(once.filter(col("n_removed") > 0).count() > 0) // dups existed
+    val twice = Dedup.spanDedup(
+      once.select(col("doc_id"), col("clean_text").as("text")),
+      "text", "doc_id", blockTokens = 4)
+    assert(twice.filter(col("n_removed") > 0).count() === 0L)
+  }
+
   test("keepClusterCanonical deletes transitive duplicates, keeps minima") {
     // clusters {1,2,3} (via 1-2, 2-3) and {5,6}; 4 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")

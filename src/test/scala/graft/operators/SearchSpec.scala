@@ -63,6 +63,28 @@ class SearchSpec extends SparkSpec {
       s"term prune not pushed to the postings scan:\n$p")
   }
 
+  test("bm25IndexAppend folds an arrival batch without corpus re-scan " +
+    "and matches a from-scratch rebuild") {
+    val batch = Seq(
+      (10L, "spark spark spark streaming joins the pond"),
+      (11L, "entirely unrelated words only")).toDF("doc_id", "text")
+    val appended = Search.bm25IndexAppend(
+      Search.bm25IndexBuild(corpus, "text", "doc_id"),
+      batch, "text", "doc_id")
+    val rebuilt = Search.bm25IndexBuild(
+      corpus.unionByName(batch), "text", "doc_id")
+    assert(appended.nDocs == rebuilt.nDocs)
+    assert(math.abs(appended.avgdl - rebuilt.avgdl) < 1e-9)
+    assert(appended.postings.count() == rebuilt.postings.count())
+    val qs = Seq((1L, "spark pond")).toDF("query_id", "qtext")
+    val a = Search.bm25SearchIndex(appended, qs, k = 5)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    val b = Search.bm25SearchIndex(rebuilt, qs, k = 5)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._2).contains(10L))
+  }
+
   test("rrfFuse: a doc ranked by both systems beats single-system docs; " +
     "scores are 1/(c+rank) sums; ties break toward the smaller id") {
     val sysA = Seq((1L, 1L, 10L), (1L, 2L, 20L))

@@ -157,6 +157,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(2L, 2L, 1L))
   }
 
+  test("chunkDocuments reconstruction: zero-overlap chunks concatenate " +
+    "back to the normalised token stream (seeded random docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("w1", "w2", "w3", "w4", "w5")
+    val docs = (0L until 25L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size)))
+        .mkString("  ")) // double spaces: normalisation must absorb them
+    }.toDF("doc_id", "text")
+    val rebuilt = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+        maxTokens = 7, overlapTokens = 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("joined"))
+    val diff = docs
+      .select(col("doc_id"),
+        concat_ws(" ", TextAnalysis.tokens(col("text"))).as("norm"))
+      .join(rebuilt, "doc_id")
+      .filter(lower(col("norm")) =!= lower(col("joined")))
+    assert(diff.count() === 0L)
+  }
+
   test("unigram log-prob scores match the hand-computed corpus LM") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProbScores(docs, "text", "doc_id")
