@@ -65,6 +65,7 @@ object SparkEntry {
     "q_search_bm25" -> (Q.searchBm25 _),
     "q_search_rrf" -> (Q.searchRrf _),
     "q_search_hybrid" -> (Q.searchHybrid _),
+    "q_text_cooccurrence" -> (Q.textCooccurrence _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

@@ -149,6 +149,55 @@ object TextAnalysis {
       .select(col("e.rule"), col("e.n_failed"), col("e.n_docs"))
   }
 
+  /** Term co-occurrence with PMI — collocation mining over document-
+    * level presence: for term pairs sharing a document, nPairs = how
+    * many documents contain both, pmi = ln(nPairs·N / (dfA·dfB)).
+    * The corpus-statistics verb behind phrase detection and tokenizer
+    * curriculum design.
+    *
+    * The pair space is quadratic in per-document vocabulary, so two
+    * caps bound it (same contract as the dedup hot-bucket caps):
+    * stop terms — df > stopDfFrac·N — are excluded before the self-
+    * join (they pair with everything and carry no signal), and
+    * documents with more than `maxDocTerms` distinct surviving terms
+    * are excluded entirely (a pathological doc contributes
+    * maxDocTerms² pairs otherwise). The join itself is doc-id equi —
+    * never cross. */
+  def termCooccurrence(docs: DataFrame, textCol: String, idCol: String,
+                       minPairCount: Int = 2, maxDocTerms: Int = 1000,
+                       stopDfFrac: Double = 0.5,
+                       cache: graft.core.CacheHandle =
+                         graft.core.CacheHandle()): DataFrame = {
+    require(stopDfFrac > 0.0 && stopDfFrac <= 1.0,
+      "stopDfFrac must be in (0, 1]")
+    val dt = cache.persist(docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .distinct())
+    val nDocs = dt.agg(count_distinct(col("doc")).cast("double").as("n"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val stop = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n") * stopDfFrac).select("term")
+    val kept = dt.join(broadcast(stop), Seq("term"), "left_anti")
+    val fatDocs = kept.groupBy("doc").agg(count(lit(1)).as("_m"))
+      .filter(col("_m") > maxDocTerms).select("doc")
+    val lean = cache.persist(
+      kept.join(broadcast(fatDocs), Seq("doc"), "left_anti"))
+    lean.alias("a")
+      .join(lean.alias("b"),
+        col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairCount)
+      .join(dfreq.withColumnsRenamed(Map("term" -> "term_a", "df" -> "df_a")),
+        Seq("term_a"))
+      .join(dfreq.withColumnsRenamed(Map("term" -> "term_b", "df" -> "df_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi",
+        log(col("n_pairs") * col("n") / (col("df_a") * col("df_b"))))
+      .select("term_a", "term_b", "n_pairs", "df_a", "df_b", "pmi")
+  }
+
   /** Sliding-window context chunks: each document's token stream is
     * cut into windows of `maxTokens` tokens advancing by `maxTokens −
     * overlapTokens` (so consecutive chunks share `overlapTokens`

@@ -715,6 +715,31 @@ object Oracles {
       |SELECT query_id, rk AS rank, doc_id, ${q("score", 6)} AS score_q6
       |FROM fr WHERE rk <= 10""".stripMargin
 
+  /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
+    * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
+    * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  val textCooccurrence: String =
+    raw"""WITH dt AS (
+      |  SELECT DISTINCT doc_id AS doc,
+      |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |           x -> x <> '')) AS term
+      |  FROM documents),
+      |n AS (SELECT count(DISTINCT doc)::DOUBLE AS n FROM dt),
+      |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+      |stop AS (SELECT term FROM dfreq CROSS JOIN n WHERE df > n * 0.9),
+      |kept AS (SELECT * FROM dt WHERE term NOT IN (SELECT term FROM stop)),
+      |fat AS (SELECT doc FROM kept GROUP BY doc HAVING count(*) > 1000),
+      |lean AS (SELECT * FROM kept WHERE doc NOT IN (SELECT doc FROM fat)),
+      |pairs AS (
+      |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pairs
+      |  FROM lean a JOIN lean b ON a.doc = b.doc AND a.term < b.term
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT term_a, term_b, n_pairs, da.df AS df_a, db.df AS df_b,
+      |       ${q("ln(n_pairs * n / (da.df * db.df))", 6)} AS pmi_q6
+      |FROM pairs JOIN dfreq da ON da.term = term_a
+      |           JOIN dfreq db ON db.term = term_b
+      |CROSS JOIN n""".stripMargin
+
   /** Mirrors Q.dedupSpans + Dedup.spanDedup: 10-token non-overlapping
     * blocks; every occurrence of a block value after its first (by
     * (doc_id, block index) order, corpus-wide) is removed; the rank
@@ -2251,6 +2276,7 @@ object Oracles {
     "q_search_bm25" -> searchBm25,
     "q_search_rrf" -> searchRrf,
     "q_search_hybrid" -> searchHybrid,
+    "q_text_cooccurrence" -> textCooccurrence,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

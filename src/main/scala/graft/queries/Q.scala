@@ -612,6 +612,14 @@ object Q {
         q(col("score"), 6).as("score_q6"))
   }
 
+  /** Term co-occurrence + PMI over the documents corpus (stop cap at
+    * df > 0.9·N, pairs seen in ≥ 5 docs). */
+  def textCooccurrence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.termCooccurrence(t(s, dir, "documents"), "text", "doc_id",
+        minPairCount = 5, stopDfFrac = 0.9)
+      .select(col("term_a"), col("term_b"), col("n_pairs"),
+        col("df_a"), col("df_b"), q(col("pmi"), 6).as("pmi_q6"))
+
   /** Token/stopword text statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -405,6 +405,16 @@ object Steps {
         Dedup.exactDedup(read(s, a("in")), a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id")), a("out"))),
 
+    Step("cooccurrence",
+      "Term co-occurrence + PMI with stop/fat-doc caps",
+      (s, a) => writeReleasing(a("out")) { h =>
+        TextAnalysis.termCooccurrence(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          minPairCount = a.int("min_pairs", 2),
+          maxDocTerms = a.int("max_doc_terms", 1000),
+          stopDfFrac = a.double("stop_df_frac", 0.5), cache = h) }),
+
     Step("quality_filter",
       "Gopher-style hard-rule filter; survivors to out, per-rule audit to out_audit",
       (s, a) => {

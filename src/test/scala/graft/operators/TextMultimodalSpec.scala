@@ -157,6 +157,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(2L, 2L, 1L))
   }
 
+  test("termCooccurrence: PMI separates collocated from independent " +
+    "pairs; stop and fat-doc caps bound the pair space") {
+    import spark.implicits._
+    // "left right" always co-occur; "noise" rides every doc (stop term);
+    // "solo" appears alone
+    val docs = Seq(
+      (1L, "left right noise"), (2L, "left right noise"),
+      (3L, "left right noise"), (4L, "solo noise"),
+      (5L, "left other noise")).toDF("doc_id", "text")
+    val out = TextAnalysis.termCooccurrence(docs, "text", "doc_id",
+      minPairCount = 2, stopDfFrac = 0.9)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // noise (df 5 = N) is capped out of the pair space
+    assert(!out.exists(r => r._1 == "noise" || r._2 == "noise"))
+    val lr = out.find(r => r._1 == "left" && r._2 == "right").get
+    assert(lr._3 == 3L) // 3 shared docs
+    // pmi = ln(3 * 5 / (4 * 3)) > 0 — collocated above chance
+    assert(math.abs(lr._6 - math.log(15.0 / 12.0)) < 1e-9)
+    // a fat-doc cap of 1 distinct term empties the pair space
+    assert(TextAnalysis.termCooccurrence(docs, "text", "doc_id",
+      minPairCount = 1, maxDocTerms = 1, stopDfFrac = 0.9).count() == 0L)
+  }
+
   test("chunkDocuments reconstruction: zero-overlap chunks concatenate " +
     "back to the normalised token stream (seeded random docs)") {
     import spark.implicits._
