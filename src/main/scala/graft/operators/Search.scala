@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.plans.TopK
@@ -103,8 +103,47 @@ object Search {
       st.getAs[Long]("n_docs"), st.getAs[Double]("avgdl"))
   }
 
+  /** Query batch → exploded (query_id, term) rows, distinct per
+    * query. */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+        .as("term"))
+
+  /** The one BM25 scoring + ranking tail shared by [[bm25TopK]] and
+    * [[bm25SearchIndex]] (their spec-pinned equivalence is this
+    * sharing): vocabulary-pruned postings `tfq` fan out to query
+    * terms, join df counts and doc lengths, score with the Lucene
+    * non-negative idf, sum per (query, doc), and rank through
+    * [[graft.plans.TopK.rankBy]]. `withStats` lets the corpus-pass
+    * caller attach its lazily-aggregated (n_docs, avgdl) stats row
+    * (broadcast cross join) while the index path passes literals. */
+  private def scoreAndRank(tfq: DataFrame, qterms: DataFrame,
+                           dl: DataFrame,
+                           withStats: DataFrame => DataFrame,
+                           nDocs: Column, avgdl: Column,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = withStats(tfq
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("id")))
+      .withColumn("idf",
+        log(lit(1.0) + (nDocs - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (col("dl") / avgdl * b + (1.0 - b)) * k1))
+    val scored = perTerm
+      .groupBy("query_id", "id")
+      .agg(sum("score_t").as("score"))
+    TopK.rankBy(scored, Seq("query_id"), "score", "id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("doc_id"), col("score"))
+  }
+
   /** Search a built/loaded index: scoring and ranking identical to
-    * [[bm25TopK]] (the equivalence is spec-pinned), but the corpus
+    * [[bm25TopK]] (shared [[scoreAndRank]] tail), but the corpus
     * pass is replaced by a postings filter on the collected query
     * vocabulary — a literal `IN` predicate that pushes down to the
     * parquet scan and skips non-matching files/row-groups. The
@@ -117,34 +156,13 @@ object Search {
                       cache: graft.core.CacheHandle =
                         graft.core.CacheHandle()): DataFrame = {
     require(k > 0, "k must be positive")
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
-        .as("term"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val vocab = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     val tfq = cache.persist(
       index.postings.filter(col("term").isin(vocab: _*)))
-    val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-    val perTerm = tfq
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .join(index.docLengths, Seq("id"))
-      .withColumn("idf",
-        log(lit(1.0) +
-          (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("score_t",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + (col("dl") / lit(index.avgdl) * b + (1.0 - b)) * k1))
-    perTerm
-      .groupBy("query_id", "id")
-      .agg(sum("score_t").as("score"))
-      .groupBy("query_id")
-      .agg(graft.plans.TopK.topkIdsKeyed(-col("score"), col("id"), k).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("hit.id").as("doc_id"),
-        (-col("hit.key")).as("score"))
+    scoreAndRank(tfq, qterms, index.docLengths, identity,
+      lit(index.nDocs.toDouble), lit(index.avgdl), k, k1, b)
   }
 
   /** Reciprocal-rank fusion of per-query rankings — the standard
@@ -166,18 +184,13 @@ object Search {
     val tagged = rankings
       .map(_.select(col("query_id"), col("doc_id"), col("rank")))
       .reduce(_ unionByName _)
-    tagged
+    val scored = tagged
       .withColumn("rrf", lit(1.0) / (col("rank") + c))
       .groupBy("query_id", "doc_id")
       .agg(sum("rrf").as("score"))
-      .groupBy("query_id")
-      .agg(graft.plans.TopK.topkIdsKeyed(-col("score"), col("doc_id"), k)
-        .as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("hit.id").as("doc_id"),
-        (-col("hit.key")).as("score"))
+    TopK.rankBy(scored, Seq("query_id"), "score", "doc_id", k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
   }
 
   /** BM25 top-k documents per query: (query_id, rank, doc_id,
@@ -205,34 +218,13 @@ object Search {
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
-        .as("term"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // prune the postings to the query vocabulary FIRST: every later
     // stage (df counts, query fan-out, scoring) runs on this frame,
     // which is |query vocab| postings lists, not the corpus
     val tfq = cache.persist(
       tf.join(broadcast(qterms.select("term").distinct()), Seq("term")))
-    val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-    val perTerm = tfq
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("score_t",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
-    perTerm
-      .groupBy("query_id", "id")
-      .agg(sum("score_t").as("score"))
-      .groupBy("query_id")
-      .agg(TopK.topkIdsKeyed(-col("score"), col("id"), k).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("query_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("hit.id").as("doc_id"),
-        (-col("hit.key")).as("score"))
+    scoreAndRank(tfq, qterms, dl, _.crossJoin(broadcast(stats)),
+      col("n_docs"), col("avgdl"), k, k1, b)
   }
 }

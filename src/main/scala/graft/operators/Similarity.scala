@@ -92,14 +92,9 @@ object Similarity {
     * similarity); distinct candidates are the caller's contract. */
   private def rankTopKAgg(scored: DataFrame, k: Int,
                           scoreCol: String = "similarity"): DataFrame =
-    scored
-      .groupBy("queryId")
-      .agg(graft.plans.TopK.topkIdsKeyed(
-        lit(0.0) - col(scoreCol), col("neighbourId"), k).as("__top"))
-      .select(col("queryId"), posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .select(col("queryId"), col("__t.id").as("neighbourId"),
-        (lit(0.0) - col("__t.key")).as(scoreCol),
-        (col("__pos") + 1).as("rank"))
+    graft.plans.TopK.rankBy(scored, Seq("queryId"), scoreCol,
+        "neighbourId", k)
+      .select("queryId", "neighbourId", scoreCol, "rank")
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash-mixed value in [-1, 1). */
@@ -384,10 +379,17 @@ object Similarity {
           offNorm += 2 * apq * apq
           if (math.abs(apq) > 1e-300) {
             val theta = (m(q)(q) - m(p)(p)) / (2 * apq)
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
-                case 0.0 => 1.0 // theta == 0 → 45° rotation
-                case x => x
+            val at = math.abs(theta)
+            val t =
+              if (theta == 0.0) 1.0 // 45° rotation
+              else {
+                // past ~1e150, theta² overflows to Inf and the exact
+                // form underflows to ±0.0 (a no-op rotation that
+                // stalls the sweep); the asymptote 1/(2θ) is exact to
+                // machine precision there
+                val tt = if (at > 1e150) 1.0 / (2.0 * at)
+                         else 1.0 / (at + math.sqrt(theta * theta + 1.0))
+                if (theta < 0) -tt else tt
               }
             val c = 1 / math.sqrt(t * t + 1)
             val s = t * c
@@ -415,6 +417,13 @@ object Similarity {
       }
       sweep += 1
     }
+    // offNorm is measured at the START of the last sweep, so this only
+    // trips when 100 full sweeps still left off-diagonal mass — wrong
+    // eigenvectors must fail loudly, never flow into a PCA model
+    if (offNorm > 1e-12 * scale * scale)
+      throw new IllegalStateException(
+        s"jacobiEigen failed to converge in $sweep sweeps " +
+          s"(off-diagonal norm $offNorm, scale $scale)")
     (Array.tabulate(d)(i => m(i)(i)), v)
   }
 

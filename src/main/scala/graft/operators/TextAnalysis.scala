@@ -102,25 +102,40 @@ object TextAnalysis {
                        minStopwordRatio: Double = 0.02,
                        minAlphaFrac: Double = 0.8,
                        lang: String = "en"): DataFrame = {
+    val preds = rulePredicates(textCol, minTokens, maxTokens,
+      meanWordLenMin, meanWordLenMax, maxPunctRatio, minStopwordRatio,
+      minAlphaFrac, lang)
+    docs.select(col(idCol) +: preds.map { case (n, p) => p.as(n) }: _*)
+      .withColumn("passes",
+        QualityRuleNames.map(col).reduce(_ && _))
+  }
+
+  /** (rule name, predicate) pairs shared by [[qualityRuleFlags]] and
+    * [[qualityRuleFilter]] — names match [[QualityRuleNames]]. */
+  private def rulePredicates(textCol: String, minTokens: Int,
+                             maxTokens: Int, meanWordLenMin: Double,
+                             meanWordLenMax: Double, maxPunctRatio: Double,
+                             minStopwordRatio: Double, minAlphaFrac: Double,
+                             lang: String): Seq[(String, Column)] = {
     val text = col(textCol)
     val nTok = tokenCount(text).cast("double")
     val meanWl = length(regexp_replace(text, "\\s+", "")).cast("double") /
       greatest(nTok, lit(1.0))
     val alphaFrac = size(filter(tokens(text), t => t.rlike("[a-z]")))
       .cast("double") / greatest(nTok, lit(1.0))
-    docs.select(col(idCol),
-        nTok.between(minTokens.toDouble, maxTokens.toDouble).as("tokens_ok"),
-        meanWl.between(meanWordLenMin, meanWordLenMax).as("word_len_ok"),
-        (punctRatio(text) <= maxPunctRatio).as("punct_ok"),
-        (stopwordRatio(text, lang) >= minStopwordRatio).as("stopword_ok"),
-        (alphaFrac >= minAlphaFrac).as("alpha_ok"))
-      .withColumn("passes",
-        QualityRuleNames.map(col).reduce(_ && _))
+    Seq(
+      "tokens_ok" -> nTok.between(minTokens.toDouble, maxTokens.toDouble),
+      "word_len_ok" -> meanWl.between(meanWordLenMin, meanWordLenMax),
+      "punct_ok" -> (punctRatio(text) <= maxPunctRatio),
+      "stopword_ok" -> (stopwordRatio(text, lang) >= minStopwordRatio),
+      "alpha_ok" -> (alphaFrac >= minAlphaFrac))
   }
 
   /** Corpus rows passing every rule of [[qualityRuleFlags]] — the
-    * filter itself. One scan: the flags are recomputed inline and the
-    * original row survives untouched. */
+    * filter itself, as a plain predicate pushed into the scan: one
+    * pass, no join, no shuffle, and each row judged on its OWN text
+    * (a semi-join on the id would let a failing row ride on a
+    * passing duplicate-id sibling). */
   def qualityRuleFilter(docs: DataFrame, textCol: String, idCol: String,
                         minTokens: Int = 10, maxTokens: Int = 100000,
                         meanWordLenMin: Double = 3.0,
@@ -128,13 +143,10 @@ object TextAnalysis {
                         maxPunctRatio: Double = 0.2,
                         minStopwordRatio: Double = 0.02,
                         minAlphaFrac: Double = 0.8,
-                        lang: String = "en"): DataFrame = {
-    val flags = qualityRuleFlags(docs, textCol, idCol, minTokens, maxTokens,
+                        lang: String = "en"): DataFrame =
+    docs.filter(rulePredicates(textCol, minTokens, maxTokens,
       meanWordLenMin, meanWordLenMax, maxPunctRatio, minStopwordRatio,
-      minAlphaFrac, lang)
-      .filter(col("passes")).select(col(idCol))
-    docs.join(flags, Seq(idCol), "left_semi")
-  }
+      minAlphaFrac, lang).map(_._2).reduce(_ && _))
 
   /** Per-rule failure audit of a [[qualityRuleFlags]] frame: one row
     * per rule — (rule, n_failed, n_docs) — from a single aggregate
@@ -178,10 +190,14 @@ object TextAnalysis {
     val stop = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") > col("n") * stopDfFrac).select("term")
     val kept = dt.join(broadcast(stop), Seq("term"), "left_anti")
+    // fatDocs is per-DOCUMENT, so unlike the stop-term set it has no
+    // natural size bound (a corpus where most docs exceed maxDocTerms
+    // makes it corpus-scale) — no broadcast hint; AQE picks the
+    // strategy from its measured size
     val fatDocs = kept.groupBy("doc").agg(count(lit(1)).as("_m"))
       .filter(col("_m") > maxDocTerms).select("doc")
     val lean = cache.persist(
-      kept.join(broadcast(fatDocs), Seq("doc"), "left_anti"))
+      kept.join(fatDocs, Seq("doc"), "left_anti"))
     lean.alias("a")
       .join(lean.alias("b"),
         col("a.doc") === col("b.doc") && col("a.term") < col("b.term"))

@@ -39,8 +39,9 @@ object Upsert {
 
     val ordered = opCol match {
       case Some(op) => Seq(col(seqCol).desc,
-        // op precedence on seq ties: delete beats upsert
-        when(col(op) === "D", 2).otherwise(1).desc)
+        // op precedence on seq ties: D > U > I — all three distinct,
+        // or a U/I tie would resolve by arrival order
+        when(col(op) === "D", 2).when(col(op) === "U", 1).otherwise(0).desc)
       case None => Seq(col(seqCol).desc)
     }
     val latest = delta

@@ -47,8 +47,12 @@ case class TopKIdsAgg(u: Expression, id: Expression, k: Int,
   override def createAggregationBuffer(): PriorityQueue[(Double, Long)] =
     new PriorityQueue[(Double, Long)](math.min(k, 1024), cmp)
 
+  // NaN keys never enter the heap: both displacement tests (`<` and
+  // `==`) are false against NaN, so one admitted while size < k would
+  // hold its slot forever and surface as a NaN-scored "worst" row.
   private def insert(buf: PriorityQueue[(Double, Long)], e: (Double, Long)): Unit =
-    if (buf.size < k) buf.add(e)
+    if (e._1.isNaN) ()
+    else if (buf.size < k) buf.add(e)
     else {
       val worst = buf.peek()
       if (e._1 < worst._1 || (e._1 == worst._1 && e._2 < worst._2)) {
@@ -136,4 +140,57 @@ object TopK {
       Cast(Bridge.expression(orderKey), DoubleType),
       Cast(Bridge.expression(id), LongType), k,
       withKeys = true).toAggregateExpression())
+
+  /** Per-group (`scoreCol` DESC, `idCol` ASC) top-k with 1-based
+    * ranks — the one shared reconstruction for every heap-aggregate
+    * caller (ANN ranking, BM25, RRF, windowed trending). Returns
+    * `groupCols ++ (idCol, scoreCol, rankCol)`; id and score keep
+    * their input types.
+    *
+    * Integral ids rank through the k-bounded heap (map-side combine:
+    * at most k entries per partition-group shuffle); any other id
+    * type falls back to the window-rank cut the heap replaced — the
+    * heap's `Cast(id, LongType)` would silently null a string id and
+    * drop the row, so non-integral ids take the slower-but-correct
+    * path (batch only: window ranks are unsupported over streams, so
+    * a streaming frame requires an integral id). NaN scores never
+    * rank on either path: the heap rejects them ([[TopKIdsAgg]]) and
+    * the window variant filters them, so both paths agree. */
+  def rankBy(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+             scoreCol: String, idCol: String, k: Int,
+             rankCol: String = "rank"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, "rankBy requires k > 0")
+    val idType = df.schema(idCol).dataType
+    val scoreType = df.schema(scoreCol).dataType
+    val integralId = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val groups = groupCols.map(col)
+    if (integralId) {
+      // `0.0 - score` (not unary minus) normalises -0.0 so ties break
+      // exactly like (score DESC, id ASC)
+      df.groupBy(groups: _*)
+        .agg(topkIdsKeyed(lit(0.0) - col(scoreCol), col(idCol), k)
+          .as("__top"))
+        .select(groups :+ posexplode(col("__top")).as(Seq("__pos", "__t")): _*)
+        .select(groups ++ Seq(
+          col("__t.id").cast(idType).as(idCol),
+          (lit(0.0) - col("__t.key")).cast(scoreType).as(scoreCol),
+          (col("__pos") + 1).as(rankCol)): _*)
+    } else {
+      require(!df.isStreaming,
+        s"top-k over a stream needs an integral id column; '$idCol' is $idType")
+      val noNan = scoreType match {
+        case DoubleType | FloatType => df.filter(!isnan(col(scoreCol)))
+        case _ => df
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groups: _*).orderBy(col(scoreCol).desc, col(idCol))
+      noNan.withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= k)
+        .select(groups ++ Seq(col(idCol), col(scoreCol), col(rankCol)): _*)
+    }
+  }
 }

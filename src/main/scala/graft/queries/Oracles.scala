@@ -642,7 +642,7 @@ object Oracles {
       |  SELECT qt.query_id, tf.doc_id,
       |         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
       |             (tf * (0.5 + 1.0)) /
-      |             (tf + (dl / avgdl * 0.0 + (1.0 - 0.0)) * 0.5)) AS score
+      |             (tf + (dl / avgdl * 0.35 + (1.0 - 0.35)) * 0.5)) AS score
       |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
       |          JOIN dl USING (doc_id) CROSS JOIN stats
       |  GROUP BY 1, 2),

@@ -279,13 +279,9 @@ object Q {
     val counts = events.withColumn("ts_us", tsUs)
       .withColumn("bucket", expr("ts_us div 600000000"))
       .groupBy("bucket", "user_id").agg(count(lit(1)).as("n"))
-    counts.groupBy("bucket")
-      .agg(graft.plans.TopK.topkIdsKeyed(
-        lit(0.0) - col("n"), col("user_id"), 3).as("__top"))
-      .select(col("bucket"), posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .select(col("bucket"), col("__t.id").as("user_id"),
-        (lit(0.0) - col("__t.key")).cast("long").as("n"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    graft.plans.TopK.rankBy(counts, Seq("bucket"), "n", "user_id", 3)
+      .select(col("bucket"), col("user_id"), col("n"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** W4: rank scan + distance-to-best within group (exact doubles). */
@@ -584,7 +580,11 @@ object Q {
     val docs = t(s, dir, "documents")
     val sys1 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10)
     val sys2 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10,
-      k1 = 0.5, b = 0.0)
+      // b > 0 keeps sys2 length-normalised: with b = 0 the score is
+      // dl-independent and same-tf docs tie EXACTLY, so the rank cut
+      // hinges on float summation order (= partition count) — the
+      // hash compare then flips between 4- and 8-core runs
+      k1 = 0.5, b = 0.35)
     Search.rrfFuse(Seq(sys1, sys2), k = 10)
       .select(col("query_id"), col("rank"), col("doc_id"),
         q(col("score"), 6).as("score_q6"))

@@ -37,18 +37,14 @@ object EventStreams {
                            windowLength: String = "5 minutes",
                            k: Int = 3,
                            watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength).as("w"), col(idCol))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("w"))
-      .agg(graft.plans.TopK.topkIdsKeyed(
-        lit(0.0) - col("n"), col(idCol), k).as("__top"))
-      .select(col("w.start").as("windowStart"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .select(col("windowStart"), col("__t.id").as(idCol),
-        (lit(0.0) - col("__t.key")).cast("long").as("n"),
-        (col("__pos") + 1).as("rank"))
+    graft.plans.TopK.rankBy(
+        events
+          .withWatermark("ts", watermark)
+          .groupBy(window(col("ts"), windowLength).as("w"), col(idCol))
+          .agg(count(lit(1)).as("n")),
+        Seq("w"), "n", idCol, k)
+      .select(col("w.start").as("windowStart"), col(idCol), col("n"),
+        col("rank"))
 
   /** Stream-stream interval join — the attribution shape (impression
     * → conversion within a bound): rows of `left` and `right` sharing

@@ -89,4 +89,19 @@ class PcaSpec extends SparkSpec {
     a.components.flatMap(_.toSeq).zip(b.components.flatMap(_.toSeq))
       .foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
   }
+
+  test("pcaFit survives wildly disparate feature scales: a rotation " +
+    "angle whose theta² overflows must rotate by ~1/(2θ), not 45°") {
+    // cov ≈ [[2.5e160, 2.5], [2.5, 2.5e-160]] → θ ≈ −5e159, θ² = Inf;
+    // the exact-form t underflows to −0.0 there, and treating that as
+    // the 45° case mixes axes 160 orders of magnitude apart
+    val df = Seq(
+      (1L, Seq(1e80, 1e-80)), (2L, Seq(-1e80, -1e-80)),
+      (3L, Seq(2e80, 2e-80)), (4L, Seq(-2e80, -2e-80))
+    ).toDF("id", "embedding")
+    val m = Similarity.pcaFit(df, k = 1)
+    val c = m.components(0)
+    assert(math.abs(math.abs(c(0)) - 1.0) < 1e-9, c.toSeq.toString)
+    assert(math.abs(c(1)) < 1e-9, c.toSeq.toString)
+  }
 }

@@ -119,4 +119,16 @@ class SearchSpec extends SparkSpec {
       .map(r => (r._1, r._4)).toMap
     assert(out(2L) > out(1L))
   }
+
+  test("bm25TopK on a string-id corpus ranks through the window " +
+    "fallback instead of silently dropping every hit") {
+    import org.apache.spark.sql.functions._
+    val sc = corpus.select(
+      concat(lit("doc-"), $"doc_id").as("doc_id"), $"text")
+    val qs = Seq((7L, "spark")).toDF("query_id", "qtext")
+    val hits = Search.bm25TopK(sc, "text", "doc_id", qs, k = 10)
+      .orderBy("rank").as[(Long, Long, String, Double)].collect()
+    assert(hits.map(_._3).toSeq == Seq("doc-1", "doc-3"))
+    assert(hits.map(_._2).toSeq == Seq(1L, 2L))
+  }
 }

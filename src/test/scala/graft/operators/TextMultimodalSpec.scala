@@ -216,4 +216,19 @@ class TextMultimodalSpec extends SparkSpec {
     // gibberish (all-rare tokens) scores below repeated common prose
     assert(got(2L)._1 < got(1L)._1)
   }
+
+  test("qualityRuleFilter judges each row on its OWN text — a failing " +
+    "row never rides on a passing duplicate-id sibling; plan is join-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the dog in the sun and all was well"),
+      (1L, "a b") // same id, fails tokens_ok
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityRuleFilter(docs, "text", "doc_id",
+      minTokens = 10)
+    assert(kept.count() == 1L)
+    assert(kept.select("text").as[String].head().startsWith("the cat"))
+    val plan = kept.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("join"), plan)
+  }
 }

@@ -32,6 +32,15 @@ class UpsertSpec extends SparkSpec {
     assert(!out.select("k").as[Long].collect().contains(2L))
   }
 
+  test("seq ties between U and I resolve to U in both arrival orders") {
+    val rows = Seq((5L, "e", 20.0, 1L, "U"), (5L, "e", 10.0, 1L, "I"))
+    for (d <- Seq(rows, rows.reverse)) {
+      val out = Upsert.applyDelta(snap, d.toDF("k", "name", "v", "seq", "op"),
+        Seq("k"), "seq", Some("op"))
+      assert(out.filter($"k" === 5L).select("v").as[Double].head() === 20.0)
+    }
+  }
+
   test("pure upsert mode (no op column) and idempotence") {
     val delta = Seq((1L, "a", 11.0, 7L), (9L, "z", 90.0, 7L))
       .toDF("k", "name", "v", "seq")

@@ -41,6 +41,30 @@ class PlansSpec extends SparkSpec {
     val out = df.as[Seq[Double]].head
     assert(out.last == n.toLong * (n + 1) / 2.0 && out(2) == 6.0)
   }
+
+  test("rankBy excludes NaN scores on both the heap and window paths") {
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 2.0))
+      .toDF("g", "id", "s")
+    // heap path (integral id): a NaN admitted while the heap is below
+    // capacity can never be displaced — it must never enter at all
+    val heap = TopK.rankBy(df, Seq("g"), "s", "id", 2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(heap == Seq(12L, 10L))
+    // window path (string id): same contract
+    val str = df.select($"g", concat(lit("x"), $"id").as("id"), $"s")
+    val win = TopK.rankBy(str, Seq("g"), "s", "id", 2)
+      .orderBy("rank").select("id").as[String].collect().toSeq
+    assert(win == Seq("x12", "x10"))
+  }
+
+  test("rankBy keeps the id and score types of its input") {
+    val df = Seq((1L, 10L, 3L), (1L, 11L, 5L)).toDF("g", "id", "n")
+    val out = TopK.rankBy(df, Seq("g"), "n", "id", 1)
+    assert(out.schema("id").dataType.typeName == "long")
+    assert(out.schema("n").dataType.typeName == "long")
+    assert(out.select("id", "n").as[(Long, Long)].collect().toSeq ==
+      Seq((11L, 5L)))
+  }
 }
 
 private object StatMath2 {
