@@ -718,6 +718,54 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.dsirSelect / ImportanceSampling: hashed unigram+bigram
+    * buckets (first 32 md5 bits mod 4096), add-1-smoothed
+    * target/corpus log-ratio quantised to integer nano-nats, per-doc
+    * integer sum, Gumbel-top-k on the md5-uniform draw. */
+  val dsirSelect: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, unnest(tk) AS g FROM base
+      |  UNION ALL
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(tk)),
+      |                          i -> tk[i] || ' ' || tk[i + 1])) AS g
+      |  FROM base),
+      |bk AS (SELECT doc_id, lang,
+      |         ('0x' || substring(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+      |       FROM grams),
+      |ct AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en'
+      |       GROUP BY 1),
+      |cc AS (SELECT bucket, count(*) AS cc FROM bk GROUP BY 1),
+      |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM ct) AS nt,
+      |               (SELECT coalesce(sum(cc), 0) FROM cc) AS nc),
+      |model AS (
+      |  SELECT bucket,
+      |    CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + 4096.0)) -
+      |                ln((coalesce(cc, 0) + 1.0) / (nc + 4096.0))) * 1e9)
+      |         AS BIGINT) AS lr
+      |  FROM ct FULL OUTER JOIN cc USING (bucket) CROSS JOIN tot),
+      |scores AS (
+      |  SELECT b.doc_id, CAST(coalesce(s.lw, 0) AS BIGINT) AS logw_nano
+      |  FROM (SELECT DISTINCT doc_id FROM base) b
+      |  LEFT JOIN (SELECT doc_id, sum(lr) AS lw
+      |             FROM bk JOIN model USING (bucket) GROUP BY 1) s
+      |  USING (doc_id)),
+      |keyed AS (
+      |  SELECT doc_id, logw_nano,
+      |    logw_nano / 1e9 -
+      |    ln(-ln((('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+      |                               1, 8))::BIGINT + 0.5) / 4294967296.0))
+      |      AS gk
+      |  FROM scores)
+      |SELECT d.doc_id, d.lang, k.logw_nano, ${q("k.gk", 6)} AS gumbel_q6
+      |FROM keyed k JOIN documents d USING (doc_id)
+      |ORDER BY k.gk DESC, k.doc_id LIMIT 100""".stripMargin
+
   val textCooccurrence: String =
     raw"""WITH dt AS (
       |  SELECT DISTINCT doc_id AS doc,
@@ -2277,6 +2325,7 @@ object Oracles {
     "q_search_rrf" -> searchRrf,
     "q_search_hybrid" -> searchHybrid,
     "q_text_cooccurrence" -> textCooccurrence,
+    "q_dsir_select" -> dsirSelect,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -614,6 +614,17 @@ object Q {
 
   /** Term co-occurrence + PMI over the documents corpus (stop cap at
     * df > 0.9·N, pairs seen in ≥ 5 docs). */
+  /** DSIR importance resampling: select the 100 documents whose
+    * hashed-n-gram distribution best matches the English sub-corpus
+    * (Gumbel-top-k over the target/corpus log-ratio weight). */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ImportanceSampling.dsirSelect(docs, docs.filter(col("lang") === "en"),
+        "text", "doc_id", k = 100, buckets = 4096)
+      .select(col("doc_id"), col("lang"), col("logw_nano"),
+        q(col("gumbel_key"), 6).as("gumbel_q6"))
+  }
+
   def textCooccurrence(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termCooccurrence(t(s, dir, "documents"), "text", "doc_id",
         minPairCount = 5, stopDfFrac = 0.9)

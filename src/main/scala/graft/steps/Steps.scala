@@ -670,6 +670,19 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("dsir_select",
+      "DSIR importance resampling: keep the k corpus rows whose hashed " +
+        "n-gram mix best matches the target sample (Gumbel-top-k)",
+      (s, a) => write(
+        graft.operators.ImportanceSampling.dsirSelect(
+          read(s, a("in")), read(s, a("target")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          a.long("k", 1000L).toInt,
+          a.long("buckets", 1L << 14).toInt,
+          a.double("alpha", 1.0),
+          a.long("seed", 42L)), a("out"))),
+
     Step("stratified_sample",
       "Keep exactly n rows per stratum under the deterministic md5 draw (mode=window|agg)",
       (s, a) => {

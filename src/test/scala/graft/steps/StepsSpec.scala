@@ -280,6 +280,22 @@ class StepsSpec extends SparkSpec {
     assert(got("small").toDouble / (got("small") + got("big")) > 0.12)
   }
 
+  test("dsir_select step keeps the target-like rows") {
+    val in = tmp("dsir_in")
+    val tgt = tmp("dsir_tgt")
+    val out = tmp("dsir_out")
+    ((1L to 20L).map(i => (i, "alpha beta gamma delta measurements")) ++
+      (21L to 40L).map(i => (i, "buy now click free offer winner")))
+      .toDF("doc_id", "text").write.parquet(in)
+    Seq((100L, "alpha beta gamma delta under measurements"))
+      .toDF("doc_id", "text").write.parquet(tgt)
+    Steps.runFromArgs(spark, Seq("dsir_select", s"in=$in", s"target=$tgt",
+      "k=10", "buckets=1024", s"out=$out"))
+    val picked = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(picked.size == 10 && picked.forall(_ <= 20L), picked.toString)
+  }
+
   test("pq index steps: build, append, search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
