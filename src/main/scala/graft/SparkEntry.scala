@@ -67,6 +67,7 @@ object SparkEntry {
     "q_search_hybrid" -> (Q.searchHybrid _),
     "q_text_cooccurrence" -> (Q.textCooccurrence _),
     "q_dsir_select" -> (Q.dsirSelect _),
+    "q_text_bigram_lp" -> (Q.textBigramLp _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

@@ -40,11 +40,7 @@ object ImportanceSampling {
     * column, as one array (the hashed-DSIR feature set). */
   def ngrams(text: Column): Column = {
     val tk = TextAnalysis.tokens(text)
-    val bi = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(tk, bi)
+    concat(tk, TextAnalysis.bigrams(tk))
   }
 
   /** (id, bucket) exploded feature rows. */

@@ -396,4 +396,61 @@ object TextAnalysis {
           .as("unigramLogProb"),
         count(lit(1)).as("nTokens"))
   }
+
+  /** Corpus-relative add-α bigram log-probability per document —
+    * the next-order fluency signal after [[unigramLogProbScores]]
+    * (a KenLM-style score without the external model): for each
+    * in-document bigram (w₁, w₂),
+    * ln p̂(w₂|w₁) = ln (c(w₁w₂) + α) − ln (c(w₁·) + αV), with
+    * c(w₁·) the corpus count of w₁ as a left context and V the
+    * unigram vocabulary size. Word-salad rearrangements keep their
+    * unigram score but crater here — the signal that separates
+    * scrambled boilerplate from prose.
+    *
+    * Returns (idCol, lp_nano, n_bigrams): each bigram's log-prob is
+    * quantised to integer nano-nats (round(1e9·lnp̂)) BEFORE the
+    * per-doc sum, so the sum is exact integer arithmetic —
+    * bit-identical across partitionings and engines (mean in nats =
+    * lp_nano / 1e9 / n_bigrams). Docs with < 2 tokens score (0, 0).
+    *
+    * Scale: the bigram frame is corpus-tokens-sized and recomputed,
+    * not cached (same posture as the unigram pass); the count tables
+    * are bigram-vocabulary-sized and join back on their keys (AQE
+    * broadcasts when small); V is one broadcast scalar. */
+  def bigramLogProbScores(docs: DataFrame, textCol: String,
+                          idCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive")
+    def bigramRows = docs.select(col(idCol),
+        explode(bigrams(tokens(col(textCol)))).as("_bg"))
+    val c12 = bigramRows.groupBy("_bg").agg(count(lit(1)).as("_c12"))
+    val c1 = bigramRows
+      .select(col(idCol), substring_index(col("_bg"), " ", 1).as("_w1"))
+      .groupBy("_w1").agg(count(lit(1)).as("_c1"))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("_v"))
+    val summed = bigramRows
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(c12, Seq("_bg"))
+      .join(c1, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round((log(col("_c12") + alpha) -
+               log(col("_c1") + col("_v") * alpha)) * 1e9)
+          .cast("long").as("_lp"))
+      .groupBy(idCol)
+      .agg(sum("_lp").as("lp_nano"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(summed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lp_nano"), lit(0L)).as("lp_nano"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** Space-joined bigrams of a token array (empty below 2 tokens). */
+  def bigrams(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
 }

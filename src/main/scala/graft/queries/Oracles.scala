@@ -718,6 +718,42 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors TextAnalysis.bigramLogProbScores: add-0.1 bigram LM,
+    * per-bigram log-probs quantised to nano-nats before the per-doc
+    * integer sum. */
+  val textBigramLp: String =
+    raw"""WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)),
+      |                          i -> tk[i] || ' ' || tk[i + 1])) AS b
+      |  FROM base),
+      |c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
+      |       FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t.token) AS v FROM
+      |        (SELECT unnest(tk) AS token FROM base) t),
+      |summed AS (
+      |  SELECT bg.doc_id,
+      |    sum(CAST(round((ln(c12 + 0.1) - ln(c1 + 0.1 * v)) * 1e9)
+      |             AS BIGINT)) AS lp
+      |  FROM bg
+      |  JOIN c12 USING (b)
+      |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
+      |  CROSS JOIN v
+      |  GROUP BY 1),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(s.lp, 0) AS BIGINT) AS lp_nano,
+      |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_bigrams
+      |FROM documents d
+      |LEFT JOIN summed s USING (doc_id)
+      |LEFT JOIN cnt USING (doc_id)""".stripMargin
+
   /** Mirrors Q.dsirSelect / ImportanceSampling: hashed unigram+bigram
     * buckets (first 32 md5 bits mod 4096), add-1-smoothed
     * target/corpus log-ratio quantised to integer nano-nats, per-doc
@@ -2326,6 +2362,7 @@ object Oracles {
     "q_search_hybrid" -> searchHybrid,
     "q_text_cooccurrence" -> textCooccurrence,
     "q_dsir_select" -> dsirSelect,
+    "q_text_bigram_lp" -> textBigramLp,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -614,6 +614,12 @@ object Q {
 
   /** Term co-occurrence + PMI over the documents corpus (stop cap at
     * df > 0.9·N, pairs seen in ≥ 5 docs). */
+  /** Add-α bigram LM fluency score per document (integer nano-nat
+    * sums — engine-exact). */
+  def textBigramLp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProbScores(t(s, dir, "documents"), "text",
+      "doc_id", alpha = 0.1)
+
   /** DSIR importance resampling: select the 100 documents whose
     * hashed-n-gram distribution best matches the English sub-corpus
     * (Gumbel-top-k over the target/corpus log-ratio weight). */

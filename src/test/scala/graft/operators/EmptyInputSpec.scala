@@ -97,4 +97,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.bruteForceTopKAgg(corpus, emptyVecs, 3).count() === 0L)
     assert(Similarity.lshTopK(corpus, emptyVecs, 3).count() === 0L)
   }
+
+  test("DSIR and bigram LM on empty corpus / empty target") {
+    val docs = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    // empty corpus: nothing to select, no division by zero
+    assert(ImportanceSampling.dsirSelect(emptyDocs, docs, "text",
+      "doc_id", k = 3).count() === 0L)
+    // empty target: smoothing keeps log-ratios finite, all docs score
+    val s = ImportanceSampling.dsirScores(docs, emptyDocs, "text", "doc_id")
+    assert(s.count() === 2L)
+    assert(s.filter($"logw_nano".isNull).count() === 0L)
+    assert(TextAnalysis.bigramLogProbScores(emptyDocs, "text", "doc_id")
+      .count() === 0L)
+  }
 }

@@ -247,6 +247,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rule flags should not shuffle:\n$p")
   }
 
+  test("qualityRuleFilter is a pushed filter over one scan — no join") {
+    val p = plan(TextAnalysis.qualityRuleFilter(docs, "text", "doc_id"))
+    assert(!p.contains("Join"), s"filter decayed to a join:\n$p")
+    assert(!p.contains("Exchange"), s"filter should not shuffle:\n$p")
+  }
+
+  test("DSIR selection broadcasts the bucket model and cuts top-k " +
+    "with per-partition heaps, never a global sort or cartesian") {
+    val p = plan(ImportanceSampling.dsirSelect(docs,
+      docs.filter($"doc_id" <= 2L), "text", "doc_id", k = 2, buckets = 64))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut is not TakeOrdered:\n$p")
+    // the only nested-loop joins are the broadcast one-row totals
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -217,6 +217,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L)._1 < got(1L)._1)
   }
 
+  test("bigramLogProbScores: hand-computed add-alpha bigram LM; " +
+    "scrambled word salad scores below the prose it permutes") {
+    import spark.implicits._
+    // corpus: "a b" ×3 and "b a" ×1 → c(a b)=3, c(b a)=1,
+    // c1(a·)=3, c1(b·)=1, V=2
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    val a = 0.1
+    val got = TextAnalysis.bigramLogProbScores(docs, "text", "doc_id", a)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lpAB = math.round((math.log(3 + a) - math.log(3 + a * 2)) * 1e9)
+    val lpBA = math.round((math.log(1 + a) - math.log(1 + a * 2)) * 1e9)
+    assert(got(1L) == ((lpAB, 1L)) && got(4L) == ((lpBA, 1L)))
+    // prose vs its own scramble: same unigrams, different bigrams
+    val mix = ((1 to 10).map(i =>
+      (i.toLong, "the cat sat on the mat")) ++
+      Seq((99L, "mat the on sat cat the"))).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogProbScores(mix, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2.toDouble / r._3).toMap
+    assert(s(1L) > s(99L), s.toString)
+    // sub-2-token docs score (0, 0)
+    val short = TextAnalysis.bigramLogProbScores(
+      Seq((7L, "solo"), (8L, "")).toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(short == Set((7L, 0L, 0L), (8L, 0L, 0L)))
+  }
+
   test("qualityRuleFilter judges each row on its OWN text — a failing " +
     "row never rides on a passing duplicate-id sibling; plan is join-free") {
     import spark.implicits._
