@@ -68,6 +68,8 @@ object SparkEntry {
     "q_text_cooccurrence" -> (Q.textCooccurrence _),
     "q_dsir_select" -> (Q.dsirSelect _),
     "q_text_bigram_lp" -> (Q.textBigramLp _),
+    "q_dedup_keep_best" -> (Q.dedupKeepBest _),
+    "q_split_leakage_safe" -> (Q.splitLeakageSafe _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

@@ -444,6 +444,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[keepClusterCanonical]] with a QUALITY-aware survivor: per
+    * near-dup cluster keep the row with the highest `scoreCol`
+    * (ties → smallest id) instead of the smallest id — the form
+    * production dedup actually wants, where the cluster's best-quality
+    * page beats its first-crawled copy. Unpaired rows survive
+    * untouched.
+    *
+    * Scale: the labels and both reductions run on the PAIRED rows
+    * only (duplication-rate-sized, not corpus-sized); the corpus pays
+    * one anti-join against the loser ids. Both aggregates are plain
+    * max/min (hash aggregate, map-side combine) — the max-by struct
+    * formulation would demote to SortAggregate. */
+  def keepClusterBest(df: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame, aCol: String = "idA",
+                      bCol: String = "idB",
+                      cache: graft.core.CacheHandle =
+                        graft.core.CacheHandle()): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, cache = cache)
+    val members = df.select(col(idCol).as("id"), col(scoreCol).as("_s"))
+      .join(labels, Seq("id"))
+    val best = members.groupBy("comp").agg(max("_s").as("_best"))
+    val winners = members.join(best, Seq("comp"))
+      .filter(col("_s") === col("_best"))
+      .groupBy("comp").agg(min("id").as("_winner"))
+    val losers = labels.join(winners, Seq("comp"))
+      .filter(col("id") =!= col("_winner"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------- span dedup
 
   /** Corpus-wide duplicated-span removal (the fixed-window form of

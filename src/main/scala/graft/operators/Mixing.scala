@@ -164,6 +164,40 @@ object Mixing {
         .otherwise("train"))
   }
 
+  /** [[assignSplit]] made LEAKAGE-SAFE against near-duplicates: the
+    * uniform draw hashes the document's dedup-cluster representative
+    * (its connected-component minimum over `pairs`) instead of its own
+    * id, so every member of a near-dup cluster lands in the SAME
+    * split — an id-hashed split would scatter a cluster across
+    * train/test and leak test content into training (the classic
+    * contamination-by-duplication failure). Unpaired docs hash their
+    * own id, so on a dup-free corpus this IS [[assignSplit]].
+    *
+    * Scale: component labels are duplication-rate-sized; the corpus
+    * pays one left join (AQE broadcasts small label sets) and the
+    * split itself stays a map-side expression. */
+  def assignSplitLeakageSafe(docs: DataFrame, idCol: String,
+                             pairs: DataFrame, aCol: String = "idA",
+                             bCol: String = "idB",
+                             valFrac: Double = 0.05,
+                             testFrac: Double = 0.05,
+                             salt: String = "split",
+                             cache: graft.core.CacheHandle =
+                               graft.core.CacheHandle()): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1)
+    val labels = graft.operators.Dedup
+      .connectedComponents(pairs, aCol, bCol, cache = cache)
+      .select(col("id").as(idCol), col("comp"))
+    val u = uniform01(concat(
+      coalesce(col("comp"), col(idCol)).cast("string"), lit(":" + salt)))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        when(u < valFrac, "val")
+          .when(u < valFrac + testFrac, "test")
+          .otherwise("train"))
+      .drop("comp")
+  }
+
   /** Achieved-vs-target report for a sampled mix: per source, the
     * token share realised by `sampled` against `weights`. */
   def mixReport(sampled: DataFrame, sourceCol: String, tokenCol: String,

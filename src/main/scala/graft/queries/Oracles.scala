@@ -1446,7 +1446,12 @@ object Oracles {
     * componentId = min id reachable through the (symmetric) pair
     * graph, exactly the fixed point the Spark min-label propagation
     * converges to. */
-  val dedupComponents: String =
+  /** Shared CTE chain deriving the minhash-md5 near-dup pair closure
+    * over `documents` (mirrors Dedup.minhashDupPairsMd5 at
+    * shingle=3/hashes=64/bands=16/threshold=0.5 followed by the
+    * transitive closure): ends with `reach(src, dst)`. Suffixes
+    * append further CTEs or the final SELECT. */
+  private val minhashClosurePrefix: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
       |  FROM (SELECT doc_id,
@@ -1486,10 +1491,52 @@ object Oracles {
       |reach(src, dst) AS (
       |  SELECT a, a FROM edges
       |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
+  val dedupComponents: String = minhashClosurePrefix +
+    raw"""
       |SELECT CAST(src AS BIGINT) AS "docId",
       |       CAST(min(dst) AS BIGINT) AS "componentId"
       |FROM reach GROUP BY src""".stripMargin
+
+  /** Mirrors Q.dedupKeepBest / Dedup.keepClusterBest: per closure
+    * component keep the max-n_chars member (ties → min doc_id);
+    * unpaired docs survive. */
+  val dedupKeepBest: String = minhashClosurePrefix +
+    raw""",
+      |lab AS (SELECT CAST(src AS BIGINT) AS doc_id,
+      |               CAST(min(dst) AS BIGINT) AS comp
+      |        FROM reach GROUP BY src),
+      |mem AS (SELECT d.doc_id, d.n_chars, l.comp
+      |        FROM documents d JOIN lab l USING (doc_id)),
+      |best AS (SELECT comp, max(n_chars) AS b FROM mem GROUP BY 1),
+      |win AS (SELECT m.comp, min(m.doc_id) AS w
+      |        FROM mem m JOIN best ON m.comp = best.comp
+      |        WHERE m.n_chars = best.b GROUP BY 1),
+      |losers AS (SELECT l.doc_id FROM lab l JOIN win ON l.comp = win.comp
+      |           WHERE l.doc_id <> win.w)
+      |SELECT d.doc_id, d.n_chars FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
+  /** Mirrors Q.splitLeakageSafe / Mixing.assignSplitLeakageSafe:
+    * md5-uniform split drawn on the closure representative (own id
+    * when unpaired). */
+  val splitLeakageSafe: String = minhashClosurePrefix +
+    raw""",
+      |lab AS (SELECT CAST(src AS BIGINT) AS doc_id,
+      |               CAST(min(dst) AS BIGINT) AS comp
+      |        FROM reach GROUP BY src),
+      |rep AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS rep
+      |        FROM documents d LEFT JOIN lab l USING (doc_id)),
+      |u AS (SELECT doc_id,
+      |        (('0x' || substring(md5(CAST(rep AS VARCHAR) || ':split'),
+      |                            1, 8))::BIGINT) / 4294967296.0 AS u
+      |      FROM rep)
+      |SELECT doc_id,
+      |  CASE WHEN u < 0.2 THEN 'val'
+      |       WHEN u < 0.4 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM u""".stripMargin
 
   /** Mirrors Dedup.simhashDupPairsMd5: 60-bit md5 token hash,
     * sign-sum bits over the token multiset, 15-bit quarter blocking,
@@ -2363,6 +2410,8 @@ object Oracles {
     "q_text_cooccurrence" -> textCooccurrence,
     "q_dsir_select" -> dsirSelect,
     "q_text_bigram_lp" -> textBigramLp,
+    "q_dedup_keep_best" -> dedupKeepBest,
+    "q_split_leakage_safe" -> splitLeakageSafe,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -987,6 +987,28 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Quality-aware dedup survivors: per minhash near-dup cluster keep
+    * the longest document (ties → smallest id). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.keepClusterBest(docs, "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** Leakage-safe train/val/test split: the uniform draw hashes the
+    * near-dup cluster representative, so dup clusters never straddle
+    * a split boundary. */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Mixing.assignSplitLeakageSafe(docs, "doc_id", pairs,
+        valFrac = 0.2, testFrac = 0.2)
+      .select(col("doc_id"), col("split"))
+  }
+
   /** Incremental exact dedup: the corpus is `doc_id % 5 != 0`, the
     * arrival batch is `doc_id % 5 == 0`; survivors are arrivals whose
     * text digest is new to the corpus index and min-id within the

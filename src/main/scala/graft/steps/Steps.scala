@@ -670,6 +670,23 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("dedup_keep_best",
+      "Keep the highest-score member of each near-dup cluster (pairs input)",
+      (s, a) => write(
+        graft.operators.Dedup.keepClusterBest(
+          read(s, a("in")), a.get("id_col").getOrElse("doc_id"),
+          a.get("score_col").getOrElse("quality"),
+          read(s, a("pairs"))), a("out"))),
+
+    Step("split_leakage_safe",
+      "Train/val/test split hashed on the near-dup cluster representative",
+      (s, a) => write(
+        graft.operators.Mixing.assignSplitLeakageSafe(
+          read(s, a("in")), a.get("id_col").getOrElse("doc_id"),
+          read(s, a("pairs")),
+          valFrac = a.double("val_frac", 0.05),
+          testFrac = a.double("test_frac", 0.05)), a("out"))),
+
     Step("dsir_select",
       "DSIR importance resampling: keep the k corpus rows whose hashed " +
         "n-gram mix best matches the target sample (Gumbel-top-k)",

@@ -279,4 +279,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L))
   }
+
+  test("keepClusterBest keeps the highest-score member per cluster, " +
+    "ties to the smaller id, unpaired rows untouched") {
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (9L, 0.0))
+      .toDF("doc_id", "q")
+    // cluster {1,2,3}: best q = 0.9 held by 2 and 3 → 2 survives;
+    // 4 and 9 are unpaired and survive regardless of score
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val kept = Dedup.keepClusterBest(docs, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 9L))
+    // min-id canonical would have kept 1 — the quality override is real
+    val canon = Dedup.keepClusterCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 4L, 9L))
+  }
 }

@@ -178,4 +178,26 @@ class MixingSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isEmpty, plan.toString)
   }
+
+  test("assignSplitLeakageSafe: a near-dup cluster shares one split; " +
+    "unpaired docs split exactly like assignSplit") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val safe = Mixing.assignSplitLeakageSafe(docs, "doc_id", pairs,
+        valFrac = 0.3, testFrac = 0.3)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(safe(1L), safe(2L), safe(3L)).size == 1)
+    assert(safe(10L) == safe(11L))
+    val plain = Mixing.assignSplit(docs, "doc_id",
+        valFrac = 0.3, testFrac = 0.3)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val paired = Set(1L, 2L, 3L, 10L, 11L)
+    (1L to 200L).filterNot(paired)
+      .foreach(i => assert(safe(i) == plain(i), s"doc $i diverged"))
+    // cluster members split by their REPRESENTATIVE's draw
+    assert(safe(2L) == plain(1L) && safe(11L) == plain(10L))
+    // with wide fractions, 200 docs land in all three splits
+    assert(safe.values.toSet == Set("train", "val", "test"))
+  }
 }

@@ -280,6 +280,23 @@ class StepsSpec extends SparkSpec {
     assert(got("small").toDouble / (got("small") + got("big")) > 0.12)
   }
 
+  test("dedup_keep_best and split_leakage_safe steps run off a pairs file") {
+    val in = tmp("kb_in"); val pr = tmp("kb_pairs")
+    val out1 = tmp("kb_out"); val out2 = tmp("kb_split")
+    Seq((1L, 0.2), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "quality")
+      .write.parquet(in)
+    Seq((1L, 2L)).toDF("idA", "idB").write.parquet(pr)
+    Steps.runFromArgs(spark, Seq("dedup_keep_best", s"in=$in",
+      s"pairs=$pr", s"out=$out1"))
+    assert(spark.read.parquet(out1).select("doc_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    Steps.runFromArgs(spark, Seq("split_leakage_safe", s"in=$in",
+      s"pairs=$pr", "val_frac=0.3", "test_frac=0.3", s"out=$out2"))
+    val sp = spark.read.parquet(out2).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(sp(1L) == sp(2L) && sp.size == 3)
+  }
+
   test("dsir_select step keeps the target-like rows") {
     val in = tmp("dsir_in")
     val tgt = tmp("dsir_tgt")
