@@ -198,6 +198,39 @@ object Mixing {
       .drop("comp")
   }
 
+  /** Per-domain quantile normalisation of a score column: each row
+    * gains `outCol` = its score's percent-rank WITHIN its domain
+    * (0 = domain worst, 1 = domain best; ties share a rank; a
+    * single-row domain scores 0). Quality scores are only comparable
+    * inside one domain — "keep the top 30%" needs the 30% cut drawn
+    * per domain or the cleanest domain eats the whole budget; this
+    * makes one global threshold mean the same thing everywhere.
+    *
+    * Scale: the window runs over the (domain, score)-DISTINCT
+    * aggregate, not the corpus — a corpus with quantised scores
+    * (token counts, rule totals) reduces to thousands of rows per
+    * domain before any sort; the corpus itself pays one equi-join
+    * back. Exactly SQL `percent_rank()` semantics (strictly-below
+    * count over n−1), so an engine can replay it verbatim. */
+  def quantileNormalize(docs: DataFrame, scoreCol: String,
+                        domainCol: String,
+                        outCol: String = "score_pctl"): DataFrame = {
+    val sc = docs.groupBy(domainCol, scoreCol)
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol).orderBy(scoreCol)
+    val ranked = sc
+      .withColumn("_below", sum("_c").over(w) - col("_c"))
+    val tot = docs.groupBy(domainCol).agg(count(lit(1)).as("_n"))
+    docs.join(ranked, Seq(domainCol, scoreCol))
+      .join(tot, Seq(domainCol))
+      .withColumn(outCol,
+        when(col("_n") > 1,
+          col("_below").cast("double") / (col("_n") - 1))
+          .otherwise(lit(0.0)))
+      .drop("_c", "_below", "_n")
+  }
+
   /** Achieved-vs-target report for a sampled mix: per source, the
     * token share realised by `sampled` against `weights`. */
   def mixReport(sampled: DataFrame, sourceCol: String, tokenCol: String,

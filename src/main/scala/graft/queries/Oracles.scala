@@ -718,6 +718,14 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.mixQuantileNorm / Mixing.quantileNormalize: SQL
+    * percent_rank within source over n_chars. */
+  val mixQuantileNorm: String =
+    """SELECT doc_id, source, n_chars,
+      |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+      |    AS score_pctl
+      |FROM documents""".stripMargin
+
   /** Mirrors TextAnalysis.bigramLogProbScores: add-0.1 bigram LM,
     * per-bigram log-probs quantised to nano-nats before the per-doc
     * integer sum. */
@@ -2412,6 +2420,7 @@ object Oracles {
     "q_text_bigram_lp" -> textBigramLp,
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_split_leakage_safe" -> splitLeakageSafe,
+    "q_mix_quantile_norm" -> mixQuantileNorm,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

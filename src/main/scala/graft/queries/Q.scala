@@ -987,6 +987,12 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Per-domain percent-rank normalisation of document length. */
+  def mixQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    Mixing.quantileNormalize(t(s, dir, "documents"), "n_chars", "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("score_pctl"))
+
   /** Quality-aware dedup survivors: per minhash near-dup cluster keep
     * the longest document (ties → smallest id). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {

@@ -670,6 +670,14 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("quantile_normalize",
+      "Percent-rank a score column within its domain for cross-domain thresholds",
+      (s, a) => write(
+        graft.operators.Mixing.quantileNormalize(
+          read(s, a("in")), a("score_col"),
+          a.get("domain_col").getOrElse("source"),
+          a.get("out_col").getOrElse("score_pctl")), a("out"))),
+
     Step("dedup_keep_best",
       "Keep the highest-score member of each near-dup cluster (pairs input)",
       (s, a) => write(

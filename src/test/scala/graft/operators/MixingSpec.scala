@@ -179,6 +179,20 @@ class MixingSpec extends SparkSpec {
     }.isEmpty, plan.toString)
   }
 
+  test("quantileNormalize matches SQL percent_rank semantics, ties " +
+    "share a rank, singleton domains score 0") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 40L),
+      (5L, "b", 7L))
+      .toDF("doc_id", "source", "n")
+    val got = Mixing.quantileNormalize(docs, "n", "source")
+      .select("doc_id", "score_pctl").as[(Long, Double)].collect().toMap
+    // domain a (n−1 = 3): 10 → 0/3, the tied 20s → 1/3, 40 → 3/3
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == 1.0 / 3 && got(3L) == 1.0 / 3)
+    assert(got(5L) == 0.0)
+  }
+
   test("assignSplitLeakageSafe: a near-dup cluster shares one split; " +
     "unpaired docs split exactly like assignSplit") {
     import org.apache.spark.sql.functions.col

@@ -57,6 +57,25 @@ class PlansSpec extends SparkSpec {
     assert(win == Seq("x12", "x10"))
   }
 
+  test("rankBy heap path matches the window-rank path row-for-row on " +
+    "random data with heavy score ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 600).map(i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(12).toDouble))
+    val df = rows.toDF("g", "id", "s").repartition(5)
+    val heap = TopK.rankBy(df, Seq("g"), "s", "id", 7)
+      .orderBy("g", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // force the window path by disguising the id as a string, then map back
+    val win = TopK.rankBy(
+        df.select($"g", concat(lit("k"), format_string("%06d", $"id")).as("id"), $"s"),
+        Seq("g"), "s", "id", 7)
+      .orderBy("g", "rank")
+      .as[(Long, String, Double, Int)].collect().toSeq
+      .map(r => (r._1, r._2.drop(1).toLong, r._3, r._4))
+    assert(heap == win)
+  }
+
   test("rankBy keeps the id and score types of its input") {
     val df = Seq((1L, 10L, 3L), (1L, 11L, 5L)).toDF("g", "id", "n")
     val out = TopK.rankBy(df, Seq("g"), "n", "id", 1)
