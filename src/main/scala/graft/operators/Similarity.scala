@@ -96,6 +96,44 @@ object Similarity {
         "neighbourId", k)
       .select("queryId", "neighbourId", scoreCol, "rank")
 
+  /** Hard-negative mining for contrastive/retrieval training: per
+    * query, the `k` most-similar corpus items EXCLUDING the query's
+    * own near-dup cluster — a near-duplicate is a positive in
+    * disguise, and training against it as a negative poisons the
+    * loss. Exclusion uses the connected-component labels of
+    * `dupPairs`; retrieval over-fetches `k · retrieveFactor`
+    * candidates BEFORE the exclusion, so a query whose cluster mates
+    * crowd the similarity head still returns k true negatives (a
+    * query with more than k·(retrieveFactor−1) cluster mates in the
+    * head may return fewer — raise the factor for pathological
+    * clusters).
+    *
+    * Scale: candidate generation is the bounded-heap top-k (swap in
+    * the LSH/IVF variants upstream for a large corpus); the label
+    * joins run on the k·factor-bounded candidate frame, not the
+    * corpus; the re-rank is another k-bounded heap. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    dupPairs: DataFrame, k: Int,
+                    retrieveFactor: Int = 3,
+                    aCol: String = "idA", bCol: String = "idB",
+                    cache: graft.core.CacheHandle =
+                      graft.core.CacheHandle()): DataFrame = {
+    require(k > 0 && retrieveFactor >= 1,
+      "k and retrieveFactor must be positive")
+    val labels = Dedup.connectedComponents(dupPairs, aCol, bCol,
+      cache = cache)
+    val cand = bruteForceTopKAgg(corpus, queries, k * retrieveFactor)
+    val filtered = cand
+      .join(labels.select(col("id").as("queryId"), col("comp").as("_cq")),
+        Seq("queryId"), "left")
+      .join(labels.select(col("id").as("neighbourId"),
+        col("comp").as("_cn")), Seq("neighbourId"), "left")
+      .filter(col("_cq").isNull || col("_cn").isNull ||
+        col("_cq") =!= col("_cn"))
+      .select("queryId", "neighbourId", "similarity")
+    rankTopKAgg(filtered, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash-mixed value in [-1, 1). */
   private def planeComponent(p: Column, i: Column, seed: Long): Column = {

@@ -1152,6 +1152,48 @@ object Oracles {
       |FROM sim
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 5""".stripMargin
 
+  /** Mirrors Q.simHardNegatives / Similarity.hardNegatives: cosine
+    * top-20 per query (the k·factor over-fetch), drop neighbours in
+    * the query's 0.4-cosine closure component, re-rank to 5. */
+  val simHardNegatives: String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      |edges AS (SELECT pa AS a, pb AS b FROM p
+      |          UNION SELECT pb, pa FROM p),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a),
+      |lab AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY 1),
+      |sim AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |         list_cosine_similarity(q.v, c.v) AS s
+      |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 5),
+      |pre AS (
+      |  SELECT qid, nid, s,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+      |           AS r0
+      |  FROM sim),
+      |kept AS (
+      |  SELECT pre.qid, pre.nid, pre.s
+      |  FROM pre
+      |  LEFT JOIN lab lq ON lq.id = pre.qid
+      |  LEFT JOIN lab ln ON ln.id = pre.nid
+      |  WHERE pre.r0 <= 20
+      |    AND (lq.comp IS NULL OR ln.comp IS NULL OR lq.comp <> ln.comp))
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+      |            AS BIGINT) AS rank,
+      |       ${q("s", 4)} AS sim_q4
+      |FROM kept
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid)
+      |        <= 5""".stripMargin
+
   val blobMeta: String =
     """SELECT CAST(doc_id AS BIGINT) AS id, 'image' AS kind,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS "nBytes"
@@ -2421,6 +2463,7 @@ object Oracles {
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_mix_quantile_norm" -> mixQuantileNorm,
+    "q_sim_hard_negatives" -> simHardNegatives,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

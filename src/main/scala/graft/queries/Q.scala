@@ -888,6 +888,19 @@ object Q {
       threshold = 0.4)
       .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
 
+  /** Hard negatives for the first 5 vectors: top-5 cosine neighbours
+    * excluding each query's own cosine-0.4 near-dup cluster. */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val pairs = Similarity.bruteForceDupPairs(emb, threshold = 0.4)
+    Similarity.hardNegatives(emb, emb.filter(col("id") < 5),
+        pairs, k = 5, retrieveFactor = 4)
+      .select(col("queryId"), col("neighbourId"), col("rank").cast("long").as("rank"),
+        q(col("similarity"), 4).as("sim_q4"))
+  }
+
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",

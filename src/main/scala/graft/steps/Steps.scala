@@ -670,6 +670,14 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("hard_negatives",
+      "Per-query top-k similar items excluding the query's near-dup cluster",
+      (s, a) => write(
+        graft.operators.Similarity.hardNegatives(
+          read(s, a("in")), read(s, a("queries")), read(s, a("pairs")),
+          a.long("k", 10L).toInt,
+          a.long("retrieve_factor", 3L).toInt), a("out"))),
+
     Step("quantile_normalize",
       "Percent-rank a score column within its domain for cross-domain thresholds",
       (s, a) => write(

@@ -215,4 +215,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.intersect(brute).size >= 15,
       s"recall ${pq.intersect(brute).size}/25")
   }
+
+  test("hardNegatives drops the query's near-dup cluster and refills " +
+    "to k from the similarity tail") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), // 2 ~ dup of 1
+      (3L, Seq(0.9, 0.1)), (4L, Seq(0.5, 0.5)), (5L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    val pairs = Similarity.bruteForceDupPairs(emb, threshold = 0.999)
+    assert(pairs.select("idA", "idB").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)))
+    val negs = Similarity.hardNegatives(emb,
+        emb.filter($"id" === 1L), pairs, k = 2, retrieveFactor = 3)
+      .orderBy("rank")
+      .select("neighbourId").as[Long].collect().toSeq
+    // cosine order from (1,0): 2 (excluded dup), 3, 4, 5 → top-2 = 3, 4
+    assert(negs == Seq(3L, 4L))
+    // the same call WITHOUT exclusion ranks the dup first
+    val plain = Similarity.bruteForceTopKAgg(emb,
+        emb.filter($"id" === 1L), 2)
+      .orderBy("rank").select("neighbourId").as[Long].collect().toSeq
+    assert(plain == Seq(2L, 3L))
+  }
 }
