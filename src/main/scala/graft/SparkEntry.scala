@@ -72,6 +72,7 @@ object SparkEntry {
     "q_split_leakage_safe" -> (Q.splitLeakageSafe _),
     "q_mix_quantile_norm" -> (Q.mixQuantileNorm _),
     "q_sim_hard_negatives" -> (Q.simHardNegatives _),
+    "q_pack_epoch_shuffle" -> (Q.packEpochShuffle _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

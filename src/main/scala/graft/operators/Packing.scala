@@ -60,4 +60,31 @@ object Packing {
       .withColumn("oversize", col(tokensCol) > budget)
       .drop("_bucket", "_inCum", "_boff")
   }
+
+  /** Deterministic per-epoch reshuffle into reader shards: every row
+    * gains (shard, pos) — a fresh pseudo-random permutation each
+    * `epoch`, reproducible from (id, epoch, numShards) alone, so a
+    * training run can resume mid-epoch and two readers always agree
+    * on the order without any materialised shuffle state. The key is
+    * the md5-uniform of "epoch:id": shard = key32 mod numShards, pos
+    * = the row's rank within its shard by (key, id).
+    *
+    * Scale: one hash shuffle on `shard`; the rank window partitions
+    * by shard, so per-task state is one shard — the training reader's
+    * own unit of work, sized by choosing `numShards` (corpus/shards
+    * rows each), never the corpus. */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(epoch >= 0, "epoch must be non-negative")
+    val key = conv(substring(md5(
+      concat_ws(":", lit(epoch), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("_key"), col(idCol))
+    docs
+      .withColumn("_key", key)
+      .withColumn("shard", (col("_key") % numShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_key")
+  }
 }

@@ -718,6 +718,19 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.packEpochShuffle / Packing.epochShuffle: md5-keyed
+    * epoch-3 permutation into 8 shards. */
+  val packEpochShuffle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5('3:' || CAST(doc_id AS VARCHAR)),
+      |                       1, 8))::BIGINT AS key
+      |  FROM documents)
+      |SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+      |       AS BIGINT) AS pos
+      |FROM k""".stripMargin
+
   /** Mirrors Q.mixQuantileNorm / Mixing.quantileNormalize: SQL
     * percent_rank within source over n_chars. */
   val mixQuantileNorm: String =
@@ -2464,6 +2477,7 @@ object Oracles {
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_mix_quantile_norm" -> mixQuantileNorm,
     "q_sim_hard_negatives" -> simHardNegatives,
+    "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -578,8 +578,11 @@ object Q {
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
     val docs = t(s, dir, "documents")
-    val sys1 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10)
-    val sys2 = Search.bm25TopK(docs, "text", "doc_id", qs, k = 10,
+    // one index build = one corpus tokenise pass shared by both
+    // systems (bm25SearchIndex ≡ bm25TopK is spec-pinned)
+    val idx = Search.bm25IndexBuild(docs, "text", "doc_id")
+    val sys1 = Search.bm25SearchIndex(idx, qs, k = 10)
+    val sys2 = Search.bm25SearchIndex(idx, qs, k = 10,
       // b > 0 keeps sys2 length-normalised: with b = 0 the score is
       // dl-independent and same-tf docs tie EXACTLY, so the rank cut
       // hinges on float summation order (= partition count) — the
@@ -999,6 +1002,11 @@ object Q {
       .select(col("id").cast("long").as("docId"),
         col("comp").cast("long").as("componentId"))
   }
+
+  /** Epoch-3 deterministic reshuffle of documents into 8 shards. */
+  def packEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    Packing.epochShuffle(t(s, dir, "documents").select("doc_id"),
+      "doc_id", epoch = 3, numShards = 8)
 
   /** Per-domain percent-rank normalisation of document length. */
   def mixQuantileNorm(s: SparkSession, dir: String): DataFrame =

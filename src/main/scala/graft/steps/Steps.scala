@@ -670,6 +670,14 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("epoch_shuffle",
+      "Deterministic per-epoch reshuffle into reader shards (shard, pos)",
+      (s, a) => write(
+        graft.operators.Packing.epochShuffle(
+          read(s, a("in")), a.get("id_col").getOrElse("doc_id"),
+          a.long("epoch", 0L).toInt,
+          a.long("shards", 64L).toInt), a("out"))),
+
     Step("hard_negatives",
       "Per-query top-k similar items excluding the query's near-dup cluster",
       (s, a) => write(

@@ -47,4 +47,25 @@ class PackingSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(flagged == Seq(200L))
   }
+
+  test("epochShuffle: contiguous per-shard positions, epoch changes " +
+    "the permutation, partitioning does not") {
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val e0 = Packing.epochShuffle(docs, "doc_id", epoch = 0, numShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // every row lands exactly once; per-shard positions are 1..n
+    assert(e0.size == 400 && e0.map(_._1).distinct.size == 400)
+    e0.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // shards are roughly balanced under the uniform key
+    assert(e0.groupBy(_._2).values.map(_.size).min > 50)
+    val e1 = Packing.epochShuffle(docs, "doc_id", epoch = 1, numShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(e0 != e1) // a fresh permutation per epoch
+    val e0b = Packing.epochShuffle(docs.repartition(7), "doc_id",
+        epoch = 0, numShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(e0 == e0b) // deterministic under partitioning
+  }
 }
