@@ -59,4 +59,30 @@ object Upsert {
 
     untouched.unionByName(survivors.select(outCols.map(col): _*))
   }
+
+  /** Keyed diff of two snapshot generations: one row per key with
+    * status added / removed / changed / unchanged — the drift report
+    * behind "what did yesterday's rebuild actually touch?". `changed`
+    * compares an md5 digest of `compareCols` (nulls sentinel-coded,
+    * control-char-separated), so the comparison ships one 32-char column
+    * per side instead of the payload.
+    *
+    * Scale: two map-side digest projections and ONE full-outer
+    * equi-join on the keys — no window, no payload shuffle. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    def dig(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        md5(concat_ws("\u0001", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000null"))): _*)).as(as): _*)
+    dig(oldSnap, "_do").join(dig(newSnap, "_dn"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("_do").isNull, "added")
+          .when(col("_dn").isNull, "removed")
+          .when(col("_do") =!= col("_dn"), "changed")
+          .otherwise("unchanged").as("status"): _*)
+  }
 }

@@ -718,6 +718,24 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.upsertSnapshotDiff / Upsert.snapshotDiff: md5-digest
+    * full-outer keyed diff. */
+  val upsertSnapshotDiff: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(coalesce(text, chr(0) || 'null')) AS d
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+      |                      ELSE text END, chr(0) || 'null')) AS d
+      |  FROM documents WHERE doc_id % 10 <> 3)
+      |SELECT doc_id,
+      |  CASE WHEN o.d IS NULL THEN 'added'
+      |       WHEN n.d IS NULL THEN 'removed'
+      |       WHEN o.d <> n.d THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
+
   /** Mirrors Q.packEpochShuffle / Packing.epochShuffle: md5-keyed
     * epoch-3 permutation into 8 shards. */
   val packEpochShuffle: String =
@@ -2478,6 +2496,7 @@ object Oracles {
     "q_mix_quantile_norm" -> mixQuantileNorm,
     "q_sim_hard_negatives" -> simHardNegatives,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
+    "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -1003,6 +1003,18 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Snapshot drift report between two synthetic corpus generations:
+    * docs %10==0 appear only in the new snapshot, %10==3 only in the
+    * old, %5==0 survivors have their text rewritten. */
+  def upsertSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldS = docs.filter(col("doc_id") % 10 =!= 0)
+    val newS = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        upper(col("text"))).otherwise(col("text")))
+    Upsert.snapshotDiff(oldS, newS, Seq("doc_id"), Seq("text"))
+  }
+
   /** Epoch-3 deterministic reshuffle of documents into 8 shards. */
   def packEpochShuffle(s: SparkSession, dir: String): DataFrame =
     Packing.epochShuffle(t(s, dir, "documents").select("doc_id"),

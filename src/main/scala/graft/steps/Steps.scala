@@ -670,6 +670,14 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("snapshot_diff",
+      "Keyed drift report between two snapshots: added/removed/changed/unchanged",
+      (s, a) => write(
+        graft.operators.Upsert.snapshotDiff(
+          read(s, a("old")), read(s, a("new")),
+          a("keys").split(",").toSeq,
+          a("compare_cols").split(",").toSeq), a("out"))),
+
     Step("epoch_shuffle",
       "Deterministic per-epoch reshuffle into reader shards (shard, pos)",
       (s, a) => write(

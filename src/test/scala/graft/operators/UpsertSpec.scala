@@ -50,6 +50,26 @@ class UpsertSpec extends SparkSpec {
     assert(once.filter($"k" === 1L).select("v").as[Double].head() === 11.0)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, " +
+    "nulls compare equal to nulls and unequal to values") {
+    val oldS = Seq((1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String]), (4L, Option("d")))
+      .toDF("k", "v")
+    val newS = Seq((2L, Option("B")), (3L, Option.empty[String]),
+      (4L, Option("d")), (5L, Option("e")))
+      .toDF("k", "v")
+    val got = Upsert.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "unchanged", 5L -> "added"))
+    // the digest join ships no payload and uses no window
+    val plan = Upsert.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+  }
+
   test("snapshot side sees no window — only the delta is windowed") {
     val delta = Seq((2L, "b", 21.0, 1L, "U")).toDF("k", "name", "v", "seq", "op")
     val out = Upsert.applyDelta(snap, delta, Seq("k"), "seq", Some("op"))
