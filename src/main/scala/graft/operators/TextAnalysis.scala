@@ -26,6 +26,18 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Canonical form for fuzzy-exact dedup (the CCNet-style
+    * normalisation): lowercase, every non-letter/digit/space character
+    * replaced by a space, whitespace collapsed, trimmed. Digesting
+    * THIS instead of the raw text lets exact dedup catch trivially
+    * perturbed copies (punctuation, casing, spacing churn) at exact-
+    * dedup cost — the cheap middle ground before minhash. Pure
+    * codegen expressions, replayable by any RE2-class SQL engine. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
   /** Ratio of non-alphanumeric, non-space characters. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /

@@ -718,6 +718,19 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.dedupExactNormalized: exact dedup on the CCNet-style
+    * normalised text (min doc_id per normalised digest). */
+  val dedupExactNormalized: String =
+    raw"""WITH n AS (
+      |  SELECT doc_id, n_chars,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |           '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |w AS (SELECT md5(norm) AS d, min(doc_id) AS doc_id
+      |      FROM n GROUP BY 1)
+      |SELECT n.doc_id, n.n_chars
+      |FROM n JOIN w ON md5(n.norm) = w.d AND n.doc_id = w.doc_id""".stripMargin
+
   /** Mirrors Q.upsertSnapshotDiff / Upsert.snapshotDiff: md5-digest
     * full-outer keyed diff. */
   val upsertSnapshotDiff: String =
@@ -2497,6 +2510,7 @@ object Oracles {
     "q_sim_hard_negatives" -> simHardNegatives,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
+    "q_dedup_exact_normalized" -> dedupExactNormalized,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

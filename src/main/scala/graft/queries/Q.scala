@@ -1003,6 +1003,15 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Fuzzy-exact dedup: exact dedup over the CCNet-normalised text
+    * (casing/punctuation/whitespace churn collapses to one digest). */
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("_norm", TextAnalysis.normalizeForDedup(col("text")))
+    Dedup.exactDedup(docs, "_norm", "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Snapshot drift report between two synthetic corpus generations:
     * docs %10==0 appear only in the new snapshot, %10==3 only in the
     * old, %5==0 survivors have their text rewritten. */

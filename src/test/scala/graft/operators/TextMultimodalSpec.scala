@@ -217,6 +217,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L)._1 < got(1L)._1)
   }
 
+  test("normalizeForDedup collapses casing/punctuation/whitespace " +
+    "churn to one canonical form; distinct content stays distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "héllo wörld"), (5L, "goodbye world"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.normalizeForDedup($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(docs(1L) == "hello world")
+    assert(docs(1L) == docs(2L) && docs(2L) == docs(3L))
+    assert(docs(4L) == "héllo wörld") // unicode letters survive
+    assert(docs(5L) != docs(1L))
+    val kept = Dedup.exactDedup(
+      Seq((1L, "Hello, World!"), (2L, "hello   world"), (3L, "bye"))
+        .toDF("doc_id", "text")
+        .withColumn("norm", TextAnalysis.normalizeForDedup(col("text"))),
+      "norm", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("bigramLogProbScores: hand-computed add-alpha bigram LM; " +
     "scrambled word salad scores below the prose it permutes") {
     import spark.implicits._
