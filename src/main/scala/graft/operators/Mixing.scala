@@ -50,6 +50,51 @@ object Mixing {
       .drop("_frac")
   }
 
+  /** [[sampleToMix]] with UPSAMPLING: a source whose availability
+    * falls short of its target is repeated — `floor(target/avail)`
+    * full epochs plus a deterministically-thinned partial epoch —
+    * instead of merely exhausted (the "books ×3 epochs" recipe used
+    * when a high-value domain is scarce). Output rows carry `copy`
+    * (1-based epoch index of the repeat); repeats are capped at
+    * `maxRepeat` full epochs to stop a mis-set weight from exploding
+    * a tiny source.
+    *
+    * Determinism: the partial-epoch draw is the md5-uniform of
+    * "id:rep" (a salt distinct from every other sampler), so the same
+    * inputs always emit the same copies. Scale: the per-source
+    * availability aggregate is tiny and broadcasts back; the corpus
+    * explodes by its own repeat factor (bounded by maxRepeat) with no
+    * extra shuffle. */
+  def sampleToMixWithRepeats(docs: DataFrame, idCol: String,
+                             sourceCol: String, tokenCol: String,
+                             weights: Map[String, Double],
+                             totalTokenBudget: Long,
+                             maxRepeat: Int = 10): DataFrame = {
+    require(maxRepeat >= 1, "maxRepeat must be at least 1")
+    val target = element_at(typedlit(weights), col(sourceCol))
+    val plan = docs
+      .groupBy(sourceCol)
+      .agg(sum(col(tokenCol)).as("_avail"))
+      .withColumn("_ratio",
+        coalesce(target, lit(0.0)) * totalTokenBudget / col("_avail"))
+      .withColumn("_full",
+        least(floor(col("_ratio")), lit(maxRepeat.toDouble)).cast("int"))
+      .withColumn("_frac",
+        when(col("_full") >= maxRepeat, lit(0.0))
+          .otherwise(col("_ratio") - col("_full")))
+      .select(col(sourceCol), col("_full"), col("_frac"))
+    docs
+      .join(broadcast(plan), Seq(sourceCol))
+      .withColumn("_copies",
+        col("_full") +
+          when(uniform01(concat(col(idCol).cast("string"), lit(":rep")))
+            < col("_frac"), 1).otherwise(0))
+      .filter(col("_copies") > 0)
+      .select(docs.columns.map(col) :+
+        posexplode(sequence(lit(1), col("_copies"))).as(Seq("_p", "copy")): _*)
+      .drop("_p")
+  }
+
   /** Temperature-flattened domain mix — the multilingual-sampling
     * q_d ∝ p_d^α rule (mT5 / XLM-R): each source's token share p_d is
     * raised to `alpha` ∈ (0, 1] and renormalised (α = 1 keeps the

@@ -718,6 +718,36 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.mixRepeats / Mixing.sampleToMixWithRepeats: full
+    * epochs + md5-thinned partial epoch per scarce source. */
+  val mixRepeats: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        x -> x <> ''))::BIGINT AS tokens
+      |  FROM documents),
+      |a AS (SELECT source, sum(tokens) AS avail FROM d GROUP BY 1),
+      |w(source, wt) AS (VALUES ('src0', 0.6), ('src1', 0.4)),
+      |p AS (
+      |  SELECT a.source,
+      |    wt * 5000 / avail AS ratio,
+      |    CAST(least(floor(wt * 5000 / avail), 10.0) AS INT) AS f
+      |  FROM a JOIN w USING (source)),
+      |p2 AS (
+      |  SELECT source, f,
+      |    CASE WHEN f >= 10 THEN 0.0 ELSE ratio - f END AS frac
+      |  FROM p),
+      |c AS (
+      |  SELECT d.doc_id, d.source, d.tokens,
+      |    p2.f + CASE WHEN
+      |      (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':rep'),
+      |                          1, 8))::BIGINT) / 4294967296.0 < p2.frac
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN p2 USING (source))
+      |SELECT doc_id, source, tokens,
+      |       unnest(generate_series(1, copies))::BIGINT AS copy
+      |FROM c WHERE copies > 0""".stripMargin
+
   /** Mirrors Q.dedupExactNormalized: exact dedup on the CCNet-style
     * normalised text (min doc_id per normalised digest). */
   val dedupExactNormalized: String =
@@ -2511,6 +2541,7 @@ object Oracles {
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,
+    "q_mix_repeats" -> mixRepeats,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

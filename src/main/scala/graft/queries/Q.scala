@@ -1134,6 +1134,18 @@ object Q {
       .select(col("doc_id"), col("source"), col("tokens"))
   }
 
+  /** Upsampling mix: scarce sources repeat for full epochs plus a
+    * thinned partial epoch (src0 ≈ 2.4 epochs, src1 ≈ 1.6). */
+  def mixRepeats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    Mixing.sampleToMixWithRepeats(docs, "doc_id", "source", "tokens",
+        Map("src0" -> 0.6, "src1" -> 0.4), totalTokenBudget = 5000L)
+      .select(col("doc_id"), col("source"), col("tokens"),
+        col("copy").cast("long").as("copy"))
+  }
+
   /** Temperature-flattened mix at α = 0.5 over the source domains,
     * 1500-token budget. */
   def mixTemperature(s: SparkSession, dir: String): DataFrame = {

@@ -660,6 +660,19 @@ object Steps {
           a("score_col"), a.get("id_col").getOrElse("doc_id"),
           a.int("bins", 4), a.get("by_col")), a("out"))),
 
+    Step("mix_repeats",
+      "Mix to a token budget with upsampling: scarce sources repeat whole epochs",
+      (s, a) => write(
+        graft.operators.Mixing.sampleToMixWithRepeats(read(s, a("in")),
+          a.get("id_col").getOrElse("doc_id"),
+          a.get("source_col").getOrElse("source"),
+          a.get("token_col").getOrElse("tokens"),
+          a("weights").split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v.toDouble
+          }.toMap,
+          a.long("budget", 1000000L),
+          a.long("max_repeat", 10L).toInt), a("out"))),
+
     Step("mix_temperature",
       "Temperature-flatten the source mix (q_d ∝ p_d^alpha) to a token budget",
       (s, a) => write(

@@ -179,6 +179,35 @@ class MixingSpec extends SparkSpec {
     }.isEmpty, plan.toString)
   }
 
+  test("sampleToMixWithRepeats upsamples scarce sources by whole " +
+    "epochs plus a thinned partial, capped at maxRepeat") {
+    // one source, 10 docs x 10 tokens = 100 avail; target 250 → 2 full
+    // epochs + 0.5 partial
+    val docs = (1L to 10L).map(i => (i, "s", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val out = Mixing.sampleToMixWithRepeats(docs, "doc_id", "source",
+        "tokens", Map("s" -> 1.0), totalTokenBudget = 250L)
+      .select("doc_id", "copy").as[(Long, Int)].collect().toSeq
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // every doc appears for copies 1 and 2; roughly half get copy 3
+    assert(byDoc.size == 10)
+    byDoc.values.foreach(cs => assert(cs.take(2) == Seq(1, 2)))
+    val third = byDoc.values.count(_.contains(3))
+    assert(third > 0 && third < 10, s"partial epoch picked $third/10")
+    // the cap: a 100x over-target source stops at maxRepeat epochs
+    val capped = Mixing.sampleToMixWithRepeats(docs, "doc_id", "source",
+        "tokens", Map("s" -> 1.0), totalTokenBudget = 100000L,
+        maxRepeat = 4)
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(capped.forall(_ == 4L))
+    // a source meeting its target within one epoch downsamples like
+    // sampleToMix: copy is always 1
+    val down = Mixing.sampleToMixWithRepeats(docs, "doc_id", "source",
+        "tokens", Map("s" -> 1.0), totalTokenBudget = 50L)
+      .select("copy").as[Int].collect()
+    assert(down.nonEmpty && down.forall(_ == 1))
+  }
+
   test("quantileNormalize matches SQL percent_rank semantics, ties " +
     "share a rank, singleton domains score 0") {
     val docs = Seq(
