@@ -76,6 +76,7 @@ object SparkEntry {
     "q_upsert_snapshot_diff" -> (Q.upsertSnapshotDiff _),
     "q_dedup_exact_normalized" -> (Q.dedupExactNormalized _),
     "q_mix_repeats" -> (Q.mixRepeats _),
+    "q_dedup_cluster_histogram" -> (Q.dedupClusterHistogram _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

@@ -444,6 +444,20 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-size histogram of the near-dup graph: (cluster_size,
+    * n_clusters) for clusters of ≥ 2 members — the tuning report
+    * behind threshold/band choices (a fat tail of giant clusters
+    * means the threshold is too loose or boilerplate needs
+    * stripping). Unpaired docs are not clusters and do not appear.
+    * Two hash groupBys over the duplication-rate-sized label frame. */
+  def clusterSizeHistogram(pairs: DataFrame, aCol: String = "idA",
+                           bCol: String = "idB",
+                           cache: graft.core.CacheHandle =
+                             graft.core.CacheHandle()): DataFrame =
+    connectedComponents(pairs, aCol, bCol, cache = cache)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** [[keepClusterCanonical]] with a QUALITY-aware survivor: per
     * near-dup cluster keep the row with the highest `scoreCol`
     * (ties → smallest id) instead of the smallest id — the form

@@ -718,6 +718,16 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.dedupClusterHistogram: closure component sizes →
+    * histogram. */
+  val dedupClusterHistogram: String = minhashClosurePrefix +
+    raw""",
+      |lab AS (SELECT src, min(dst) AS comp FROM reach GROUP BY 1),
+      |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       count(*) AS n_clusters
+      |FROM sz GROUP BY 1""".stripMargin
+
   /** Mirrors Q.mixRepeats / Mixing.sampleToMixWithRepeats: full
     * epochs + md5-thinned partial epoch per scarce source. */
   val mixRepeats: String =
@@ -1575,7 +1585,8 @@ object Oracles {
     * shingle=3/hashes=64/bands=16/threshold=0.5 followed by the
     * transitive closure): ends with `reach(src, dst)`. Suffixes
     * append further CTEs or the final SELECT. */
-  private val minhashClosurePrefix: String =
+  // lazy: referenced by vals declared textually earlier in the object
+  private lazy val minhashClosurePrefix: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
       |  FROM (SELECT doc_id,
@@ -2542,6 +2553,7 @@ object Oracles {
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,
     "q_mix_repeats" -> mixRepeats,
+    "q_dedup_cluster_histogram" -> dedupClusterHistogram,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

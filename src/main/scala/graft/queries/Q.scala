@@ -1035,6 +1035,13 @@ object Q {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("score_pctl"))
 
+  /** Size histogram of the minhash near-dup clusters. */
+  def dedupClusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
+      "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.clusterSizeHistogram(pairs)
+  }
+
   /** Quality-aware dedup survivors: per minhash near-dup cluster keep
     * the longest document (ties → smallest id). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {

@@ -280,6 +280,15 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("clusterSizeHistogram counts clusters by size, singletons absent") {
+    // clusters: {1,2,3}, {5,6}, {7,8} → one size-3, two size-2
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L))
+      .toDF("idA", "idB")
+    val got = Dedup.clusterSizeHistogram(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 2L -> 2L))
+  }
+
   test("keepClusterBest keeps the highest-score member per cluster, " +
     "ties to the smaller id, unpaired rows untouched") {
     val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (9L, 0.0))
