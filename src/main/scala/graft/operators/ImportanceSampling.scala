@@ -65,9 +65,15 @@ object ImportanceSampling {
     def bucketCounts(df: DataFrame, as: String): DataFrame =
       featureRows(df, textCol, idCol, buckets)
         .groupBy("bucket").agg(count(lit(1)).as(as))
-    val t = bucketCounts(target, "_ct")
-    val c = bucketCounts(corpus, "_cc")
-    // two scalar totals ride along via broadcast one-row frames
+    modelFromCounts(bucketCounts(target, "_ct"),
+      bucketCounts(corpus, "_cc"), buckets, alpha)
+  }
+
+  /** Model tail shared by [[dsirModel]] and [[dsirScores]]: smoothed
+    * log-ratio per bucket from the two (bucket, count) frames; the
+    * two scalar totals ride along as broadcast one-row frames. */
+  private def modelFromCounts(t: DataFrame, c: DataFrame, buckets: Int,
+                              alpha: Double): DataFrame = {
     val tot = t.agg(coalesce(sum("_ct"), lit(0L)).as("_nt"))
       .crossJoin(c.agg(coalesce(sum("_cc"), lit(0L)).as("_nc")))
     t.join(c, Seq("bucket"), "full_outer")
@@ -83,12 +89,28 @@ object ImportanceSampling {
   /** Per-document importance weights: (idCol, logw_nano, n_grams).
     * logw_nano is the exact integer sum of the model's quantised
     * per-gram log-ratios (logw in nats = logw_nano / 1e9); documents
-    * with no grams (empty text) score 0. */
+    * with no grams (empty text) score 0.
+    *
+    * The corpus feature frame (one explode + one md5 per gram — the
+    * dominant cost) is computed ONCE and registered on `cache`,
+    * feeding both the model's corpus-side counts and the scoring
+    * join; without the shared frame the corpus pays that pass twice.
+    * Callers at extreme scale can pass a disabled handle to trade the
+    * persist for recomputation. */
   def dsirScores(corpus: DataFrame, target: DataFrame, textCol: String,
                  idCol: String, buckets: Int = 1 << 14,
-                 alpha: Double = 1.0): DataFrame = {
-    val model = dsirModel(corpus, target, textCol, idCol, buckets, alpha)
-    val summed = featureRows(corpus, textCol, idCol, buckets)
+                 alpha: Double = 1.0,
+                 cache: graft.core.CacheHandle =
+                   graft.core.CacheHandle()): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0.0, "alpha must be positive")
+    val fc = cache.persist(featureRows(corpus, textCol, idCol, buckets))
+    val model = modelFromCounts(
+      featureRows(target, textCol, idCol, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as("_ct")),
+      fc.groupBy("bucket").agg(count(lit(1)).as("_cc")),
+      buckets, alpha)
+    val summed = fc
       .join(broadcast(model), Seq("bucket"))
       .groupBy(idCol)
       .agg(sum("logratio_nano").as("logw_nano"),
@@ -107,9 +129,12 @@ object ImportanceSampling {
     * corpus rows of the winners plus (logw_nano, gumbel_key). */
   def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
                  idCol: String, k: Int, buckets: Int = 1 << 14,
-                 alpha: Double = 1.0, seed: Long = 42L): DataFrame = {
+                 alpha: Double = 1.0, seed: Long = 42L,
+                 cache: graft.core.CacheHandle =
+                   graft.core.CacheHandle()): DataFrame = {
     require(k > 0, "k must be positive")
-    val scores = dsirScores(corpus, target, textCol, idCol, buckets, alpha)
+    val scores = dsirScores(corpus, target, textCol, idCol, buckets,
+      alpha, cache)
     val u = (conv(substring(md5(concat_ws(":", lit(seed),
         col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
