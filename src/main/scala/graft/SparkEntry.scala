@@ -77,6 +77,7 @@ object SparkEntry {
     "q_dedup_exact_normalized" -> (Q.dedupExactNormalized _),
     "q_mix_repeats" -> (Q.mixRepeats _),
     "q_dedup_cluster_histogram" -> (Q.dedupClusterHistogram _),
+    "q_text_scripts" -> (Q.textScripts _),
     "q_kmeans_step" -> (Q.kmeansStep _),
     "q_pca_cov" -> (Q.pcaCov _),
     "q_mix_temperature" -> (Q.mixTemperature _),

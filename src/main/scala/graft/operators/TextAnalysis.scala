@@ -26,6 +26,26 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Unicode script mix of the text: fractions of non-space
+    * characters in the Latin, CJK, Cyrillic, and decimal-digit
+    * ranges — the triage signal for routing mixed-script corpora
+    * before language-specific processing (complements the stopword-
+    * vote language ID, which only sees space-delimited scripts).
+    * Explicit code-point ranges rather than named script classes, so
+    * the same patterns run under Java regex and RE2-class SQL
+    * engines. */
+  def scriptRatios(text: Column): Column = {
+    val total = length(regexp_replace(text, "\\s", ""))
+    def frac(pattern: String): Column =
+      when(total === 0, lit(0.0))
+        .otherwise(regexp_count(text, lit(pattern)).cast("double") / total)
+    struct(
+      frac("[A-Za-z\\x{00C0}-\\x{024F}]").as("latin"),
+      frac("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]").as("cjk"),
+      frac("[\\x{0400}-\\x{04FF}]").as("cyrillic"),
+      frac("[0-9]").as("digit"))
+  }
+
   /** Canonical form for fuzzy-exact dedup (the CCNet-style
     * normalisation): lowercase, every non-letter/digit/space character
     * replaced by a space, whitespace collapsed, trimmed. Digesting

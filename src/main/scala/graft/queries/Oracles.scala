@@ -718,6 +718,24 @@ object Oracles {
   /** Mirrors Q.textCooccurrence + TextAnalysis.termCooccurrence:
     * document-presence term pairs with PMI, stop cap df > 0.9·N, fat
     * docs > 1000 surviving terms excluded, pairs in ≥ 5 docs. */
+  /** Mirrors Q.textScripts / TextAnalysis.scriptRatios: code-point
+    * range fractions over non-space characters. */
+  val textScripts: String = {
+    def frac(pat: String) =
+      s"CASE WHEN t = 0 THEN 0.0 ELSE " +
+        s"len(regexp_extract_all(text, '$pat'))::DOUBLE / t END"
+    raw"""WITH b AS (
+      |  SELECT doc_id, text,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${q(frac("[A-Za-z\\x{00C0}-\\x{024F}]"), 6)} AS latin_q6,
+      |  ${q(frac("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"), 6)} AS cjk_q6,
+      |  ${q(frac("[\\x{0400}-\\x{04FF}]"), 6)} AS cyrillic_q6,
+      |  ${q(frac("[0-9]"), 6)} AS digit_q6
+      |FROM b""".stripMargin
+  }
+
   /** Mirrors Q.dedupClusterHistogram: closure component sizes →
     * histogram. */
   val dedupClusterHistogram: String = minhashClosurePrefix +
@@ -2554,6 +2572,7 @@ object Oracles {
     "q_dedup_exact_normalized" -> dedupExactNormalized,
     "q_mix_repeats" -> mixRepeats,
     "q_dedup_cluster_histogram" -> dedupClusterHistogram,
+    "q_text_scripts" -> textScripts,
     "q_kmeans_step" -> kmeansStep,
     "q_pca_cov" -> pcaCov,
     "q_mix_temperature" -> mixTemperature,

@@ -1003,6 +1003,17 @@ object Q {
         col("comp").cast("long").as("componentId"))
   }
 
+  /** Unicode script-mix fractions per document (q6). */
+  def textScripts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.scriptRatios(col("text")).as("_r"))
+      .select(col("doc_id"),
+        q(col("_r.latin"), 6).as("latin_q6"),
+        q(col("_r.cjk"), 6).as("cjk_q6"),
+        q(col("_r.cyrillic"), 6).as("cyrillic_q6"),
+        q(col("_r.digit"), 6).as("digit_q6"))
+
   /** Fuzzy-exact dedup: exact dedup over the CCNet-normalised text
     * (casing/punctuation/whitespace churn collapses to one digest). */
   def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {

@@ -217,6 +217,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(2L)._1 < got(1L)._1)
   }
 
+  test("scriptRatios: hand-computed unicode range fractions") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "abc 123"),        // 6 non-space: 3 latin, 3 digit
+      (2L, "日本語 test"),     // 7 non-space: 3 cjk, 4 latin
+      (3L, "привет"),          // 6 cyrillic
+      (4L, "   "))             // all space → zeros
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.scriptRatios($"text").as("r"))
+      .select($"doc_id", $"r.latin", $"r.cjk", $"r.cyrillic", $"r.digit")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(1L) == ((0.5, 0.0, 0.0, 0.5)))
+    assert(got(2L) == ((4.0 / 7, 3.0 / 7, 0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 1.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("normalizeForDedup collapses casing/punctuation/whitespace " +
     "churn to one canonical form; distinct content stays distinct") {
     import spark.implicits._
