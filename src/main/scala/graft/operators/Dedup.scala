@@ -479,8 +479,11 @@ object Dedup {
     val members = df.select(col(idCol).as("id"), col(scoreCol).as("_s"))
       .join(labels, Seq("id"))
     val best = members.groupBy("comp").agg(max("_s").as("_best"))
+    // null-SAFE equality: a cluster whose every score is null has a
+    // null max, and a plain === would elect no winner — the cluster
+    // would skip dedup entirely; <=> degrades it to min-id canonical
     val winners = members.join(best, Seq("comp"))
-      .filter(col("_s") === col("_best"))
+      .filter(col("_s") <=> col("_best"))
       .groupBy("comp").agg(min("id").as("_winner"))
     val losers = labels.join(winners, Seq("comp"))
       .filter(col("id") =!= col("_winner"))

@@ -75,8 +75,13 @@ object Mixing {
     val plan = docs
       .groupBy(sourceCol)
       .agg(sum(col(tokenCol)).as("_avail"))
+      // zero/null availability divides to null, and least() IGNORES
+      // nulls — an unguarded ratio would silently become maxRepeat
+      // full epochs for a tokenless (or weight-absent) source
       .withColumn("_ratio",
-        coalesce(target, lit(0.0)) * totalTokenBudget / col("_avail"))
+        when(col("_avail") > 0,
+          coalesce(target, lit(0.0)) * totalTokenBudget / col("_avail"))
+          .otherwise(lit(0.0)))
       .withColumn("_full",
         least(floor(col("_ratio")), lit(maxRepeat.toDouble)).cast("int"))
       .withColumn("_frac",
@@ -260,20 +265,31 @@ object Mixing {
   def quantileNormalize(docs: DataFrame, scoreCol: String,
                         domainCol: String,
                         outCol: String = "score_pctl"): DataFrame = {
-    val sc = docs.groupBy(domainCol, scoreCol)
+    // null score/domain rows cannot rank (and an equi-join back would
+    // silently DROP them, shrinking the corpus) — they pass through
+    // with a null percentile instead
+    val rankable = docs.filter(
+      col(scoreCol).isNotNull && col(domainCol).isNotNull)
+    val unrankable = docs
+      .filter(col(scoreCol).isNull || col(domainCol).isNull)
+      .withColumn(outCol, lit(null).cast("double"))
+    val sc = rankable.groupBy(domainCol, scoreCol)
       .agg(count(lit(1)).as("_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(domainCol).orderBy(scoreCol)
     val ranked = sc
       .withColumn("_below", sum("_c").over(w) - col("_c"))
-    val tot = docs.groupBy(domainCol).agg(count(lit(1)).as("_n"))
-    docs.join(ranked, Seq(domainCol, scoreCol))
-      .join(tot, Seq(domainCol))
+    // per-domain totals come from the distinct frame, not a second
+    // corpus-wide aggregation
+    val tot = sc.groupBy(domainCol).agg(sum("_c").as("_n"))
+    rankable.join(ranked, Seq(domainCol, scoreCol))
+      .join(broadcast(tot), Seq(domainCol))
       .withColumn(outCol,
         when(col("_n") > 1,
           col("_below").cast("double") / (col("_n") - 1))
           .otherwise(lit(0.0)))
       .drop("_c", "_below", "_n")
+      .unionByName(unrankable)
   }
 
   /** Achieved-vs-target report for a sampled mix: per source, the

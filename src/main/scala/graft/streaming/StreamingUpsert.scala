@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Upsert
@@ -10,67 +10,93 @@ import graft.operators.Upsert
   * standing keyed snapshot with [[Upsert.applyDelta]] semantics
   * (latest-wins upsert + delete), one generation per micro-batch.
   *
-  * Each batch writes a NEW generation directory named by its batch id
-  * and then publishes it by rewriting the `_CURRENT` marker — readers
-  * resolve the marker and never observe a half-written snapshot, and
-  * a replayed batch (foreachBatch's at-least-once contract) rewrites
-  * the same generation directory, making the sink idempotent.
+  * Publish protocol — append-only, never rewrite published data:
+  * each batch ATTEMPT writes a fresh uniquely-named generation
+  * directory `gen-<batchId>-<attempt-uuid>` and then points the
+  * `_CURRENT` marker at it (temp file + delete + rename, and readers
+  * fall back to the newest committed directory if they catch the
+  * marker mid-swap). A replayed batch (foreachBatch's at-least-once
+  * contract) therefore writes a NEW directory from the same source —
+  * the previously published one is never deleted or overwritten
+  * underneath a concurrent reader. The snapshot SOURCE for batch N is
+  * the newest committed generation with id < N, never the marker: a
+  * replay whose own output is already published must not read it
+  * while rebuilding. Superseded attempt directories are garbage, to
+  * be expired by retention (e.g. the `compact` step).
   *
   * Scale: per batch, the standing snapshot is read once and pays one
   * anti-join against the batch's keys (the [[Upsert.applyDelta]]
-  * shape); the window runs on the batch only. A production deployment
-  * would compact/expire old generations with the `compact` step. */
+  * shape); the window runs on the batch only. */
 object StreamingUpsert {
 
   private val Marker = "_CURRENT"
 
-  /** The published generation id, if any batch has committed. */
-  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
-                        root: String): Option[Long] = {
-    val p = new Path(root, Marker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-      } finally in.close()
-    }
-  }
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The published snapshot (empty-schema error if nothing committed). */
-  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
-                   root: String): DataFrame = {
-    val gen = currentGeneration(spark, root).getOrElse(
-      throw new IllegalStateException(s"no published snapshot under $root"))
-    spark.read.parquet(s"$root/gen-$gen")
-  }
-
-  /** Generations with a completed parquet write (_SUCCESS present) —
-    * directory existence alone is not commitment. */
+  /** Committed generation directories — (batchId, dirName) with a
+    * parquet _SUCCESS; directory existence alone is not commitment. */
   private def committedGenerations(
-      spark: org.apache.spark.sql.SparkSession, root: String): Seq[Long] = {
+      spark: SparkSession, root: String): Seq[(Long, String)] = {
     val rp = new Path(root)
-    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, root)
     if (!fs.exists(rp)) Seq.empty
     else fs.listStatus(rp).toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("gen-") &&
         fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("gen-").toLong)
+      .flatMap { p =>
+        p.getName.split("-", 3) match {
+          case Array(_, id, _) if id.forall(_.isDigit) =>
+            Some(id.toLong -> p.getName)
+          case _ => None
+        }
+      }
+  }
+
+  /** The marker's target directory, if readable and still committed. */
+  private def markerTarget(spark: SparkSession,
+                           root: String): Option[String] = {
+    val p = new Path(root, Marker)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val name =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          new String(buf.toByteArray, "UTF-8").trim
+        } finally in.close()
+      Some(name).filter(d =>
+        d.nonEmpty && fs.exists(new Path(new Path(root, d), "_SUCCESS")))
+    }
+  }
+
+  /** The published generation: the marker's target, or — if a reader
+    * catches the marker mid-swap (missing/empty/stale) — the newest
+    * committed directory. */
+  def currentSnapshotDir(spark: SparkSession,
+                         root: String): Option[String] =
+    markerTarget(spark, root).orElse(
+      committedGenerations(spark, root).maxOption.map(_._2))
+
+  /** The published batch id, if any batch has committed. */
+  def currentGeneration(spark: SparkSession, root: String): Option[Long] =
+    currentSnapshotDir(spark, root)
+      .map(_.split("-", 3)(1).toLong)
+
+  /** The published snapshot (error if nothing committed). */
+  def readSnapshot(spark: SparkSession, root: String): DataFrame = {
+    val dir = currentSnapshotDir(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    spark.read.parquet(s"$root/$dir")
   }
 
   /** Apply one delta batch and publish its generation — also the
-    * foreachBatch body, exposed for direct batch use and tests.
-    *
-    * The snapshot SOURCE is the newest committed generation strictly
-    * BELOW `batchId`, never the marker: a replayed batch (restart
-    * after commit but before the checkpoint advanced) would otherwise
-    * read gen-N while overwriting gen-N — a read-under-overwrite that
-    * corrupts the snapshot. Reading below the batch id makes the
-    * replay rebuild the same generation from the same source. */
+    * foreachBatch body, exposed for direct batch use and tests. */
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
                  keys: Seq[String], seqCol: String,
                  opCol: Option[String]): Unit = {
@@ -78,22 +104,27 @@ object StreamingUpsert {
     val outCols = batch.columns.filterNot(c =>
       c == seqCol || opCol.contains(c)).toSeq
     val snapshot =
-      committedGenerations(spark, root).filter(_ < batchId) match {
+      committedGenerations(spark, root).filter(_._1 < batchId) match {
         case gens if gens.nonEmpty =>
-          spark.read.parquet(s"$root/gen-${gens.max}")
+          spark.read.parquet(s"$root/${gens.max._2}")
         case _ =>
           import org.apache.spark.sql.functions.{col, lit}
           batch.select(outCols.map(col): _*).filter(lit(false))
       }
     val next = Upsert.applyDelta(snapshot, batch, keys, seqCol, opCol)
-    next.write.mode("overwrite").parquet(s"$root/gen-$batchId")
-    // publish: never move the marker backwards (a replay of an old
-    // batch must not unpublish a later generation)
+    val attempt =
+      s"gen-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
+    next.write.parquet(s"$root/$attempt")
+    // publish unless a LATER batch already holds the marker (a replay
+    // of an old batch must not unpublish newer data)
     if (currentGeneration(spark, root).forall(_ <= batchId)) {
-      val p = new Path(root, Marker)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = fs.create(p, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      val fs = fsOf(spark, root)
+      val tmp = new Path(root, s"$Marker.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(attempt.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(root, Marker)
+      fs.delete(dst, false)
+      fs.rename(tmp, dst)
     }
   }
 

@@ -303,5 +303,12 @@ class DedupSpec extends SparkSpec {
     val canon = Dedup.keepClusterCanonical(docs, "doc_id", pairs)
       .select("doc_id").as[Long].collect().toSet
     assert(canon == Set(1L, 4L, 9L))
+    // an all-null-score cluster still dedups (to the min id) instead
+    // of electing no winner and keeping every member
+    val nullDocs = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]),
+      (9L, Option(1.0))).toDF("doc_id", "q")
+    val keptNull = Dedup.keepClusterBest(nullDocs, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull == Set(1L, 9L))
   }
 }

@@ -208,6 +208,31 @@ class MixingSpec extends SparkSpec {
     assert(down.nonEmpty && down.forall(_ == 1))
   }
 
+  test("sampleToMixWithRepeats: a tokenless or weight-absent source " +
+    "emits nothing instead of maxRepeat full epochs") {
+    val docs = Seq((1L, "zero", 0L), (2L, "zero", 0L), (3L, "other", 10L))
+      .toDF("doc_id", "source", "tokens")
+    // 'zero' has weight but no tokens; 'other' has tokens but no weight
+    val out = Mixing.sampleToMixWithRepeats(docs, "doc_id", "source",
+        "tokens", Map("zero" -> 1.0), totalTokenBudget = 100L)
+      .select("doc_id").as[Long].collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
+  test("quantileNormalize keeps null-score/null-domain rows with a " +
+    "null percentile instead of dropping them") {
+    val docs = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("a"), Option(20L)),
+      (3L, Option("a"), Option.empty[Long]), (4L, Option.empty[String], Option(5L)))
+      .toDF("doc_id", "source", "n")
+    val got = Mixing.quantileNormalize(docs, "n", "source")
+      .select("doc_id", "score_pctl").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got.size == 4)
+    assert(got(1L).contains(0.0) && got(2L).contains(1.0))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
   test("quantileNormalize matches SQL percent_rank semantics, ties " +
     "share a rank, singleton domains score 0") {
     val docs = Seq(

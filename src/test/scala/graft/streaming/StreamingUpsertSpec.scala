@@ -29,7 +29,10 @@ class StreamingUpsertSpec extends SparkSpec {
         .as[(Long, String, Double)].collect().toSet
       assert(g1 == Set((2L, "b", 21.0), (3L, "c", 30.0)))
       assert(StreamingUpsert.currentGeneration(spark, root).contains(1L))
-      // replaying a batch id rewrites its generation idempotently
+      // replaying a batch id publishes a NEW attempt directory with
+      // identical content — the already-published directory is never
+      // rewritten underneath a concurrent reader
+      val publishedDirs = new java.io.File(root).list().toSet
       StreamingUpsert.applyBatch(
         Seq((2L, "b", 21.0, 2L, "U"), (1L, "a", 10.0, 2L, "D"),
           (3L, "c", 30.0, 2L, "I")).toDF("k", "name", "v", "seq", "op"),
@@ -37,6 +40,11 @@ class StreamingUpsertSpec extends SparkSpec {
       val g1b = StreamingUpsert.readSnapshot(spark, root)
         .as[(Long, String, Double)].collect().toSet
       assert(g1b == g1)
+      val after = new java.io.File(root).list().toSet
+      assert(publishedDirs.filter(_.startsWith("gen-"))
+        .subsetOf(after), "a published generation dir was removed")
+      assert(after.count(_.startsWith("gen-1-")) == 2,
+        s"replay should add a second gen-1 attempt: $after")
     } finally q.stop()
   }
 
