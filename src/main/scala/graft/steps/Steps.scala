@@ -683,6 +683,25 @@ object Steps {
           a.double("alpha", 0.5),
           a.long("budget", 1000000L)), a("out"))),
 
+    Step("bigram_lp",
+      "Corpus-relative add-alpha bigram LM fluency score per document",
+      (s, a) => write(
+        graft.operators.TextAnalysis.bigramLogProbScores(
+          read(s, a("in")), a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          a.double("alpha", 0.1)), a("out"))),
+
+    Step("script_ratios",
+      "Unicode script-mix fractions (latin/cjk/cyrillic/digit) per document",
+      (s, a) => {
+        import org.apache.spark.sql.functions.col
+        val id = a.get("id_col").getOrElse("doc_id")
+        val t = a.get("text_col").getOrElse("text")
+        write(read(s, a("in")).select(col(id),
+          graft.operators.TextAnalysis.scriptRatios(col(t)).as("scripts")),
+          a("out"))
+      }),
+
     Step("snapshot_diff",
       "Keyed drift report between two snapshots: added/removed/changed/unchanged",
       (s, a) => write(
