@@ -62,6 +62,11 @@ object ImportanceSampling {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0.0, "alpha must be positive (unsmoothed zero " +
       "buckets would make log-ratios infinite)")
+    // α·buckets must stay well under the TARGET's gram count: the
+    // smoothing mass is spread over every bucket, so a small target
+    // sample with alpha·B ≳ N_t flattens p̂_target toward uniform and
+    // the ranking inverts (corpus-frequent junk scores above
+    // target-matching text). Rule of thumb: alpha ≤ N_t / (10·B).
     def bucketCounts(df: DataFrame, as: String): DataFrame =
       featureRows(df, textCol, idCol, buckets)
         .groupBy("bucket").agg(count(lit(1)).as(as))

@@ -201,6 +201,60 @@ class StepsSpec extends SparkSpec {
     assert(n === spark.read.parquet(sampled).count())
   }
 
+  test("selection chain: quantile_normalize -> dsir_select -> " +
+    "mix_repeats -> split_leakage_safe -> epoch_shuffle on parquet " +
+    "hand-offs") {
+    val in = tmp("sel_corpus")
+    ((1 to 30).map(i => (i.toLong, "web",
+      s"the quick brown fox jumps over the lazy dog number $i")) ++
+      (31 to 40).map(i => (i.toLong, "ads",
+        "buy now click here free offer winner prize")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("tokens", lit(10L)).write.parquet(in)
+
+    val normed = tmp("sel_norm")
+    Steps.runFromArgs(spark, Seq("quantile_normalize", s"in=$in",
+      "score_col=tokens", s"out=$normed"))
+    assert(spark.read.parquet(normed).columns.contains("score_pctl"))
+
+    val target = tmp("sel_target")
+    Seq((99L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(target)
+    val picked = tmp("sel_picked")
+    // alpha scaled to the tiny target (alpha*B far under N_t),
+    // per the dsirModel smoothing note
+    Steps.runFromArgs(spark, Seq("dsir_select", s"in=$normed",
+      s"target=$target", "k=20", "buckets=1024", "alpha=0.01",
+      s"out=$picked"))
+    val ids = spark.read.parquet(picked).select("doc_id").as[Long]
+      .collect().toSet
+    assert(ids.size == 20 && ids.forall(_ <= 30L)) // all fox-like docs
+
+    val mixed = tmp("sel_mixed")
+    Steps.runFromArgs(spark, Seq("mix_repeats", s"in=$picked",
+      "weights=web=1.0", "budget=400", s"out=$mixed"))
+    // 200 available web tokens vs 400 target → every doc twice
+    assert(spark.read.parquet(mixed).count() == 40L)
+
+    // mark two surviving docs as near-dups of each other
+    val Seq(dupA, dupB) = ids.toSeq.sorted.take(2)
+    val pairs = tmp("sel_pairs")
+    Seq((dupA, dupB)).toDF("idA", "idB").write.parquet(pairs)
+    val split = tmp("sel_split")
+    Steps.runFromArgs(spark, Seq("split_leakage_safe", s"in=$mixed",
+      s"pairs=$pairs", "val_frac=0.25", "test_frac=0.25", s"out=$split"))
+    val sp = spark.read.parquet(split).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(sp(dupA) == sp(dupB))
+
+    val shuffled = tmp("sel_shuffled")
+    Steps.runFromArgs(spark, Seq("epoch_shuffle", s"in=$split",
+      "epoch=1", "shards=4", s"out=$shuffled"))
+    val out = spark.read.parquet(shuffled)
+    assert(out.count() == 40L &&
+      out.select("shard").distinct().count() == 4L)
+  }
+
   test("context-prep chain: quality_filter -> dedup_spans -> chunk -> " +
     "bm25_topk on parquet hand-offs") {
     val corpus = tmp("prep_corpus")
