@@ -61,6 +61,7 @@ object SparkEntry {
     // training-data pipeline (oracle-checked)
     "q_dedup_exact" -> (Q.dedupExact _),
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),
+    "q_dedup_containment" -> (Q.dedupContainment _),
     "q_dedup_spans" -> (Q.dedupSpans _),
     "q_search_bm25" -> (Q.searchBm25 _),
     "q_search_rrf" -> (Q.searchRrf _),

@@ -224,7 +224,56 @@ object Dedup {
                         shingleSize: Int = 3, threshold: Double = 0.8,
                         maxShingleDF: Int = 100000,
                         cache: graft.core.CacheHandle =
-                          graft.core.CacheHandle()): DataFrame = {
+                          graft.core.CacheHandle()): DataFrame =
+    shinglePairStats(df, textCol, idCol, shingleSize, maxShingleDF, cache)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nA") + col("nB") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+
+  /** Directed shingle-containment near-dup pairs: for candidate docs
+    * sharing ≥1 shingle, emit (idSub, idSuper, containment) where
+    * containment = |S(sub) ∩ S(super)| / |S(sub)| ≥ `threshold` —
+    * i.e. most of sub's shingle set lives inside super. This is the
+    * asymmetric complement of [[ngramJaccardPairs]]: a short document
+    * embedded verbatim in a much longer one (a quoted article, a
+    * boilerplate-wrapped copy) has containment ≈ 1 but Jaccard ≈
+    * |sub|/|super| ≈ 0, so a Jaccard threshold never sees it. Both
+    * directions of each undirected candidate pair are scored from ONE
+    * intersection count (no second join); a pair of similar sizes can
+    * emit both directions.
+    *
+    * Scale: identical to [[ngramJaccardPairs]] — inverted-index
+    * equi-join candidates with the stop-shingle DF cap bounding the
+    * hot-bucket quadratic; containment is measured over the
+    * informative (capped) shingle space. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.9,
+                       maxShingleDF: Int = 100000,
+                       cache: graft.core.CacheHandle =
+                         graft.core.CacheHandle()): DataFrame =
+    shinglePairStats(df, textCol, idCol, shingleSize, maxShingleDF, cache)
+      .select(explode(array(
+        struct(col("idA").as("idSub"), col("idB").as("idSuper"),
+          (col("common").cast("double") / col("nA")).as("containment")),
+        struct(col("idB").as("idSub"), col("idA").as("idSuper"),
+          (col("common").cast("double") / col("nB")).as("containment"))))
+        .as("_d"))
+      .select(col("_d.idSub").as("idSub"), col("_d.idSuper").as("idSuper"),
+        col("_d.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Per undirected candidate pair (docs sharing ≥1 surviving
+    * shingle): (idA, idB, common, nA, nB) with idA < idB — the shared
+    * inverted-index core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]. Shingles above `maxShingleDF` documents are
+    * stop-phrases: dropped from the index AND the per-doc sizes, so
+    * every downstream measure is over the informative shingle space
+    * and the m²/2 hot-bucket join blow-up is structurally bounded. */
+  private def shinglePairStats(df: DataFrame, textCol: String,
+                               idCol: String, shingleSize: Int,
+                               maxShingleDF: Int,
+                               cache: graft.core.CacheHandle): DataFrame = {
     // native one-pass shingle set (the HOF formulation re-slices the
     // token array per position through the interpreter — it was more
     // than half the query's cost at sf0.1)
@@ -246,10 +295,6 @@ object Dedup {
     common
       .join(sizes.withColumnsRenamed(Map("id" -> "idA", "n" -> "nA")), Seq("idA"))
       .join(sizes.withColumnsRenamed(Map("id" -> "idB", "n" -> "nB")), Seq("idB"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("nA") + col("nB") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("idA", "idB", "jaccard")
   }
 
   // ------------------------------------------- components / survivors

@@ -422,6 +422,41 @@ object Oracles {
       |JOIN sizes sb ON sb.doc_id = "idB"
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.4""".stripMargin
 
+  /** Mirrors Q.dedupContainment / Dedup.containmentPairs: same
+    * shingle CTEs as [[ngramJaccard]], then both directions of each
+    * undirected candidate pair scored as |∩| / |sub|. */
+  val dedupContainment: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                           x -> x <> '') AS l
+      |        FROM documents)),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w
+      |           AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ida, idb, c, sa.n AS na, sb.n AS nb
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = ida
+      |  JOIN sizes sb ON sb.doc_id = idb),
+      |dirs AS (
+      |  SELECT ida AS id_sub, idb AS id_super, c * 1.0 / na AS containment
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT idb, ida, c * 1.0 / nb FROM pairs)
+      |SELECT id_sub, id_super, ${q("containment", 6)} AS containment_q6
+      |FROM dirs WHERE containment >= 0.5""".stripMargin
+
   /** Mirrors Q.decontamination + Decontamination.contaminationPairs:
     * distinct 3-gram shingles per doc, benchmark = doc_id % 37 subset,
     * coverage = overlap / benchmark shingle count. */
@@ -2556,6 +2591,7 @@ object Oracles {
     "q_gx_qc_metrics" -> qcMetrics,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_containment" -> dedupContainment,
     "q_dedup_spans" -> dedupSpans,
     "q_search_bm25" -> searchBm25,
     "q_search_rrf" -> searchRrf,

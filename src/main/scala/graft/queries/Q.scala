@@ -500,6 +500,14 @@ object Q {
       shingleSize = 3, threshold = 0.4)
       .select(col("idA"), col("idB"), q(col("jaccard"), 6).as("jaccard_q6"))
 
+  /** Directed shingle-containment pairs — near-supersets a Jaccard
+    * threshold misses (short doc embedded in a long one). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, threshold = 0.5)
+      .select(col("idSub").as("id_sub"), col("idSuper").as("id_super"),
+        q(col("containment"), 6).as("containment_q6"))
+
   /** Corpus-wide duplicated-span removal: every 10-token block seen
     * earlier (by (doc_id, block index)) anywhere in the corpus is cut
     * and the survivors re-joined. */

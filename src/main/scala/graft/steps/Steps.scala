@@ -519,6 +519,15 @@ object Steps {
           a.get("id_col").getOrElse("doc_id"),
           blockTokens = a.int("block_tokens", 10), cache = h) }),
 
+    Step("dedup_containment",
+      "Directed shingle-containment pairs (near-supersets Jaccard misses)",
+      (s, a) => writeReleasing(a("out")) { h =>
+        Dedup.containmentPairs(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          a.get("id_col").getOrElse("doc_id"),
+          shingleSize = a.int("shingle_size", 3),
+          threshold = a.double("threshold", 0.9), cache = h) }),
+
     Step("dedup_minhash",
       "MinHash+LSH near-duplicate pairs on a document table",
       (s, a) => writeReleasing(a("out")) { h =>

@@ -74,6 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("containmentPairs catches a short doc embedded in a long one " +
+    "that Jaccard misses, and scores both directions from one pass") {
+    // doc 11's 4 shingles all appear in doc 10 (16 shingles):
+    // containment(11→10) = 1.0 but jaccard = 4/16 = 0.25
+    val embedded = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta " +
+        "one two three four five six " +
+        "red green blue yellow purple white"),
+      (11L, "one two three four five six"),
+      (12L, "totally unrelated words about database engines here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(embedded, "text", "doc_id",
+      shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((11L, 10L, 1.0)))
+    // a Jaccard threshold at the same strictness never sees the pair
+    assert(Dedup.ngramJaccardPairs(embedded, "text", "doc_id",
+      shingleSize = 3, threshold = 0.9).count() == 0L)
+    // near-equal-size docs can emit both directions
+    val both = Dedup.containmentPairs(docs, "text", "doc_id",
+      shingleSize = 3, threshold = 0.8)
+      .select("idSub", "idSuper").as[(Long, Long)].collect().toSet
+    assert(both.contains((1L, 2L)) && both.contains((2L, 1L)))
+    // containment(1→3) = 6/7 ≥ 0.8 both ways (7 shingles each, 6 shared)
+    assert(both.contains((1L, 3L)) && both.contains((3L, 1L)))
+  }
+
   test("shingle document-frequency cap defuses the stop-phrase hot bucket") {
     // 60 documents that share one boilerplate phrase but are otherwise
     // unique: every pair shares exactly one shingle, so the inverted

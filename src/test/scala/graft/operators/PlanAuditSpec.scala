@@ -120,6 +120,13 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi index join:\n$p")
   }
 
+  test("containment pairs reuse the equi shingle join — no cartesian") {
+    val p = plan(Dedup.containmentPairs(docs, "text", "doc_id",
+      cache = graft.core.CacheHandle.disabled))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi index join:\n$p")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
