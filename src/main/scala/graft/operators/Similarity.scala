@@ -765,6 +765,30 @@ object Similarity {
   /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
     * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
     * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */
+  /** Pool chunk embeddings to one vector per group — the standard
+    * chunk-embeddings → document-embedding reduction (long documents
+    * are embedded per chunk; retrieval and dedup then want one doc
+    * vector). `method` = "mean" (bit-deterministic across
+    * partitionings via nano-unit fixed-point accumulation — see
+    * [[graft.plans.VectorPoolAgg]]) or "max" (element-wise maximum).
+    * One hash aggregate with map-side combine: the shuffle carries
+    * (d+1) longs per (partition, group), never the chunk rows. Rows
+    * with a null embedding are ignored; a group of only-null rows is
+    * dropped. */
+  def poolEmbeddings(chunks: DataFrame, groupCol: String,
+                     embCol: String = "embedding",
+                     method: String = "mean"): DataFrame = {
+    val agg = method match {
+      case "mean" => graft.plans.VectorStats.meanPool(col(embCol))
+      case "max" => graft.plans.VectorStats.maxPool(col(embCol))
+      case other =>
+        throw new IllegalArgumentException(s"unknown pool method '$other'")
+    }
+    chunks.groupBy(col(groupCol))
+      .agg(agg.as("embedding"))
+      .filter(col("embedding").isNotNull)
+  }
+
   def bruteForceDupPairs(df: DataFrame, threshold: Double): DataFrame =
     df.select(col("id").as("idA"), col("embedding").as("a"),
       norm(col("embedding")).as("_na"))

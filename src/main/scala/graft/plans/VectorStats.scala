@@ -134,11 +134,141 @@ case class MatVecCentered(child: Expression, w: Array[Array[Double]],
     copy(child = c)
 }
 
+/** Element-wise pooling of a vector column in one pass — the
+  * chunk-embeddings → document-embedding reduction. Two modes:
+  *
+  *  - `mean`: each element is quantised to integer nano-units
+  *    (round(x·1e9)) and accumulated in a long — integer addition is
+  *    associative-commutative, so the distributed mean is
+  *    BIT-DETERMINISTIC across partitionings and engines (the repo's
+  *    integer-quantised-sums pattern); the ≤5e-10 per-element
+  *    quantisation error is far below float32 input precision.
+  *    Overflow bound: |group| × max|x| must stay under 9.2e9
+  *    (value·rows) — astronomically above any real chunk group.
+  *  - `max`: per-dimension maximum (order-independent by nature),
+  *    carried as raw double bits in the same long buffer.
+  *
+  * The buffer sizes itself from the first vector seen (count slot +
+  * d value slots); shorter subsequent vectors contribute only their
+  * prefix, longer ones are truncated — mixed dimensions are a caller
+  * bug, not silently resized state. Buffer = (d+1) longs partially
+  * aggregated map-side, so the shuffle carries one row per
+  * (partition, group), never the chunk rows. */
+case class VectorPoolAgg(child: Expression, mode: String,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(mode == "mean" || mode == "max", s"unknown pool mode '$mode'")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"vector_pool_$mode"
+
+  // slot 0 = row count; slots 1..d = nano sums (mean) or raw double
+  // bits (max); length 1 until the first vector fixes d
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](1)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val out = if (buf(0) == 0L && buf.length == 1) {
+      val b = new Array[Long](1 + arr.numElements())
+      if (mode == "max") {
+        var i = 1
+        while (i < b.length) {
+          b(i) = java.lang.Double.doubleToRawLongBits(Double.NegativeInfinity)
+          i += 1
+        }
+      }
+      b
+    } else buf
+    val n = math.min(arr.numElements(), out.length - 1)
+    var i = 0
+    if (mode == "mean")
+      while (i < n) { out(1 + i) += math.round(arr.getDouble(i) * 1e9); i += 1 }
+    else
+      while (i < n) {
+        val x = arr.getDouble(i)
+        if (x > java.lang.Double.longBitsToDouble(out(1 + i)))
+          out(1 + i) = java.lang.Double.doubleToRawLongBits(x)
+        i += 1
+      }
+    out(0) += 1L
+    out
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b(0) == 0L) return a
+    if (a(0) == 0L) return b
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 1
+    if (mode == "mean")
+      while (i < small.length) { big(i) += small(i); i += 1 }
+    else
+      while (i < small.length) {
+        if (java.lang.Double.longBitsToDouble(small(i)) >
+            java.lang.Double.longBitsToDouble(big(i))) big(i) = small(i)
+        i += 1
+      }
+    big(0) += small(0)
+    big
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf(0) == 0L) return null
+    val d = buf.length - 1
+    val out = new Array[Any](d)
+    var i = 0
+    if (mode == "mean")
+      while (i < d) { out(i) = buf(1 + i) / 1e9 / buf(0); i += 1 }
+    else
+      while (i < d) { out(i) = java.lang.Double.longBitsToDouble(buf(1 + i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorPoolAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorPoolAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorPoolAgg =
+    copy(child = c)
+}
+
 object VectorStats {
   /** `vector_outer_sums(vec, d)`: see [[VectorOuterSumAgg]]. */
   def outerSums(vec: Column, d: Int): Column =
     Bridge.column(VectorOuterSumAgg(
       Bridge.expression(vec), d).toAggregateExpression())
+
+  /** Bit-deterministic element-wise mean of a vector column (nano-unit
+    * fixed-point accumulation) — see [[VectorPoolAgg]]. */
+  def meanPool(vec: Column): Column =
+    Bridge.column(VectorPoolAgg(
+      Bridge.expression(vec.cast("array<double>")), "mean")
+      .toAggregateExpression())
+
+  /** Element-wise maximum of a vector column — see [[VectorPoolAgg]]. */
+  def maxPool(vec: Column): Column =
+    Bridge.column(VectorPoolAgg(
+      Bridge.expression(vec.cast("array<double>")), "max")
+      .toAggregateExpression())
 
   /** `matvec_centered(vec)`: project into the rows of `w` after
     * subtracting `center`. */

@@ -1289,6 +1289,25 @@ object Oracles {
       |FROM sim
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 5""".stripMargin
 
+  /** Mirrors Q.simPooled / Similarity.poolEmbeddings: per (group,
+    * dim) the mean replays the engine's fixed-point path exactly —
+    * per-element floor(x·1e9 + 0.5) nano-quantisation summed as
+    * BIGINT (associative ⇒ partitioning-independent), then
+    * (ns/1e9)/n in the engine's operation order. */
+  val simPooled: String =
+    s"""WITH e AS (
+      |  SELECT vec_id % 50 AS group_id, unnest(embedding)::DOUBLE AS x,
+      |         generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT group_id, ord - 1 AS dim,
+      |         sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS ns,
+      |         count(*) AS n, max(x) AS mx
+      |  FROM e GROUP BY 1, 2)
+      |SELECT group_id, dim, ${q("(ns / 1e9) / n", 6)} AS mean_q6,
+      |       ${q("mx", 6)} AS max_q6
+      |FROM s""".stripMargin
+
   /** Mirrors Q.simHardNegatives / Similarity.hardNegatives: cosine
     * top-20 per query (the k·factor over-fetch), drop neighbours in
     * the query's 0.4-cosine closure component, re-rank to 5. */
@@ -2603,6 +2622,7 @@ object Oracles {
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_mix_quantile_norm" -> mixQuantileNorm,
     "q_sim_hard_negatives" -> simHardNegatives,
+    "q_sim_pooled" -> simPooled,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

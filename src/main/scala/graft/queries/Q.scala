@@ -912,6 +912,24 @@ object Q {
         q(col("similarity"), 4).as("sim_q4"))
   }
 
+  /** Chunk→document embedding pooling: synthetic chunk groups
+    * (vec_id % 50), element-wise mean (bit-deterministic fixed-point)
+    * and max, long format per (group, dim). */
+  def simPooled(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "embeddings")
+      .select((col("vec_id") % 50).as("group_id"), col("embedding"))
+    val mean = Similarity.poolEmbeddings(chunks, "group_id", method = "mean")
+      .withColumnRenamed("embedding", "_mean")
+    val mx = Similarity.poolEmbeddings(chunks, "group_id", method = "max")
+      .withColumnRenamed("embedding", "_max")
+    mean.join(mx, Seq("group_id"))
+      .select(col("group_id"), posexplode(col("_mean")).as(Seq("dim", "_m")),
+        col("_max"))
+      .select(col("group_id"), col("dim").cast("long").as("dim"),
+        q(col("_m"), 6).as("mean_q6"),
+        q(element_at(col("_max"), col("dim") + 1), 6).as("max_q6"))
+  }
+
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",

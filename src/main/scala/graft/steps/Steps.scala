@@ -727,6 +727,14 @@ object Steps {
           a.long("epoch", 0L).toInt,
           a.long("shards", 64L).toInt), a("out"))),
 
+    Step("pool_embeddings",
+      "Pool chunk embeddings to one vector per group (method=mean|max)",
+      (s, a) => write(
+        graft.operators.Similarity.poolEmbeddings(
+          read(s, a("in")), a.get("group_col").getOrElse("doc_id"),
+          a.get("emb_col").getOrElse("embedding"),
+          a.get("method").getOrElse("mean")), a("out"))),
+
     Step("hard_negatives",
       "Per-query top-k similar items excluding the query's near-dup cluster",
       (s, a) => write(

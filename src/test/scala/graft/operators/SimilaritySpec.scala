@@ -238,4 +238,46 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("neighbourId").as[Long].collect().toSeq
     assert(plain == Seq(2L, 3L))
   }
+
+  test("poolEmbeddings: exact mean and max per group; null embeddings " +
+    "ignored; all-null groups dropped") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Some(Seq(1.0, -2.0))), (1L, Some(Seq(3.0, 4.0))),
+      (1L, None),
+      (2L, Some(Seq(0.5, 0.25))),
+      (3L, None)
+    ).toDF("doc", "embedding")
+    val mean = Similarity.poolEmbeddings(chunks, "doc", method = "mean")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(mean(1L) == Seq(2.0, 1.0) && mean(2L) == Seq(0.5, 0.25))
+    assert(!mean.contains(3L))
+    val mx = Similarity.poolEmbeddings(chunks, "doc", method = "max")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(mx(1L) == Seq(3.0, 4.0) && mx(2L) == Seq(0.5, 0.25))
+  }
+
+  test("poolEmbeddings mean is bit-identical across partitionings " +
+    "(fixed-point accumulation) and plans as one aggregate, no join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val chunks = (0 until 400).map { i =>
+      (i.toLong % 3, Seq.fill(8)(rnd.nextFloat().toDouble * 2 - 1))
+    }.toDF("doc", "embedding")
+    def run(parts: Int): Map[Long, Seq[Double]] =
+      Similarity.poolEmbeddings(chunks.repartition(parts), "doc")
+        .as[(Long, Seq[Double])].collect().toMap
+    val p1 = run(1)
+    for (p <- Seq(3, 8)) {
+      val pp = run(p)
+      for ((k, v) <- p1)
+        assert(v.map(java.lang.Double.doubleToRawLongBits) ==
+          pp(k).map(java.lang.Double.doubleToRawLongBits))
+    }
+    val plan = Similarity.poolEmbeddings(chunks, "doc")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join") &&
+      !plan.toLowerCase.contains("explode"), plan)
+    assert(plan.contains("vector_pool_mean"), plan)
+  }
 }
