@@ -318,6 +318,48 @@ object TextAnalysis {
       .select("docId", "rank", "term", "tf", "df", "tfidf")
   }
 
+  /** Top-`k` class-based TF-IDF terms per cluster — the BERTopic
+    * labelling step run after any clustering (k-means cells, SemDeDup
+    * cells, a domain column): score(t, c) = (ctf/csize) ·
+    * ln(1 + A/f_t), where ctf = t's count in cluster c, csize = c's
+    * token count, f_t = t's corpus-wide count, and A = mean tokens
+    * per cluster. The normalised in-cluster rate rewards terms the
+    * cluster uses heavily; the damped inverse corpus frequency mutes
+    * terms every cluster uses (stopwords score ln(1+A/f_t) → ~A/f_t
+    * → ~0). Ranked (score desc, term asc); `minTermCount` prunes the
+    * singleton-term tail before ranking.
+    *
+    * Shape at 100 TB: one explode + (cluster, term) hash-groupBy
+    * (map-side combine) collapses the corpus to cluster×vocab rows;
+    * everything after — per-cluster totals, corpus term totals, the
+    * two broadcast-or-shuffle joins back, the per-cluster window cut
+    * — runs on that collapsed frame, never the corpus. */
+  def clusterTopTerms(docs: DataFrame, clusterCol: String, textCol: String,
+                      k: Int = 10, minTermCount: Int = 1): DataFrame = {
+    val ctf = docs
+      .select(col(clusterCol).as("cluster"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("cluster", "term")
+      .agg(count(lit(1)).as("ctf"))
+    val csize = ctf.groupBy("cluster").agg(sum("ctf").as("_csize"))
+    val termTotals = ctf.groupBy("term").agg(sum("ctf").as("f_t"))
+    // mean cluster size as a lazy one-row broadcast, not a driver count
+    val avgSize = csize.agg(avg(col("_csize")).as("_avg"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("term"))
+    ctf
+      .filter(col("ctf") >= minTermCount)
+      .join(termTotals, Seq("term"))
+      .join(csize, Seq("cluster"))
+      .crossJoin(broadcast(avgSize))
+      .withColumn("score",
+        col("ctf") / col("_csize") * log(lit(1.0) + col("_avg") / col("f_t")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("rank").cast("long").as("rank"),
+        col("term"), col("ctf"), col("f_t"), col("score"))
+  }
+
   /** Word n-grams (space-joined) of the tokenised text; empty array
     * when the document has fewer than `n` tokens. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -947,6 +947,31 @@ object Oracles {
       |FROM keyed k JOIN documents d USING (doc_id)
       |ORDER BY k.gk DESC, k.doc_id LIMIT 100""".stripMargin
 
+  /** Mirrors Q.textClusterTerms / TextAnalysis.clusterTopTerms:
+    * c-TF-IDF = (ctf/csize)·ln(1 + avg_cluster_size/f_t), top-5 per
+    * source, ctf ≥ 2, ties (score desc, term asc). */
+  val textClusterTerms: String =
+    s"""WITH toks AS (
+      |  SELECT source AS cluster,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                            x -> x <> '')) AS term
+      |  FROM documents),
+      |ctf AS (SELECT cluster, term, count(*) AS ctf FROM toks GROUP BY 1, 2),
+      |csize AS (SELECT cluster, CAST(sum(ctf) AS BIGINT) AS csize
+      |          FROM ctf GROUP BY 1),
+      |ft AS (SELECT term, CAST(sum(ctf) AS BIGINT) AS f_t FROM ctf GROUP BY 1),
+      |a AS (SELECT avg(csize) AS avg_size FROM csize),
+      |scored AS (
+      |  SELECT c.cluster, c.term, c.ctf, ft.f_t,
+      |         c.ctf / cs.csize * ln(1 + a.avg_size / ft.f_t) AS score
+      |  FROM ctf c JOIN ft USING (term) JOIN csize cs USING (cluster)
+      |  CROSS JOIN a
+      |  WHERE c.ctf >= 2)
+      |SELECT cluster, CAST(row_number() OVER w AS BIGINT) AS rank, term,
+      |       ctf, f_t, ${q("score", 6)} AS score_q6
+      |FROM scored WINDOW w AS (PARTITION BY cluster ORDER BY score DESC, term)
+      |QUALIFY row_number() OVER w <= 5""".stripMargin
+
   val textCooccurrence: String =
     raw"""WITH dt AS (
       |  SELECT DISTINCT doc_id AS doc,
@@ -2623,6 +2648,7 @@ object Oracles {
     "q_mix_quantile_norm" -> mixQuantileNorm,
     "q_sim_hard_negatives" -> simHardNegatives,
     "q_sim_pooled" -> simPooled,
+    "q_text_cluster_terms" -> textClusterTerms,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

@@ -642,6 +642,13 @@ object Q {
         q(col("gumbel_key"), 6).as("gumbel_q6"))
   }
 
+  /** c-TF-IDF cluster labelling: top-5 terms per source domain. */
+  def textClusterTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.clusterTopTerms(t(s, dir, "documents"), "source", "text",
+        k = 5, minTermCount = 2)
+      .select(col("cluster"), col("rank"), col("term"), col("ctf"),
+        col("f_t"), q(col("score"), 6).as("score_q6"))
+
   def textCooccurrence(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termCooccurrence(t(s, dir, "documents"), "text", "doc_id",
         minPairCount = 5, stopDfFrac = 0.9)

@@ -727,6 +727,14 @@ object Steps {
           a.long("epoch", 0L).toInt,
           a.long("shards", 64L).toInt), a("out"))),
 
+    Step("cluster_top_terms",
+      "c-TF-IDF top-k terms per cluster (BERTopic-style cluster labelling)",
+      (s, a) => write(
+        graft.operators.TextAnalysis.clusterTopTerms(
+          read(s, a("in")), a.get("cluster_col").getOrElse("cluster"),
+          a.get("text_col").getOrElse("text"),
+          a.int("k", 10), a.int("min_term_count", 1)), a("out"))),
+
     Step("pool_embeddings",
       "Pool chunk embeddings to one vector per group (method=mean|max)",
       (s, a) => write(

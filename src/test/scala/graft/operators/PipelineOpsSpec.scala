@@ -97,6 +97,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out((3L, 1))._1 == "filler")
   }
 
+  test("clusterTopTerms surfaces cluster-distinctive terms and mutes " +
+    "corpus-wide stopwords; minTermCount prunes the singleton tail") {
+    val docs = Seq(
+      (1L, "a", "the spark executor shuffles the spark stage"),
+      (2L, "a", "the spark driver plans the spark job"),
+      (3L, "b", "the gene variant maps the gene locus"),
+      (4L, "b", "the gene study tags the gene region")
+    ).toDF("doc_id", "domain", "text")
+      .select(col("doc_id"), col("domain"), col("text"))
+    val out = TextAnalysis.clusterTopTerms(docs, "domain", "text",
+        k = 2, minTermCount = 2)
+      .collect()
+      .map(r => (r.getAs[String]("cluster"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("ctf"), r.getAs[Long]("f_t")))
+      .toMap
+    // "spark"/"gene" (ctf=4, f_t=4) dominate their clusters; "the"
+    // (ctf=4, f_t=8) scores (4/14)·ln(1+14/8) ≈ 0.29 vs spark's
+    // (4/14)·ln(1+14/4) ≈ 0.43 — equal in-cluster rate, but the
+    // corpus-wide term's damped idf drags it below
+    assert(out(("a", 1L)) == ("spark", 4L, 4L))
+    assert(out(("b", 1L)) == ("gene", 4L, 4L))
+    assert(out(("a", 2L))._1 == "the" && out(("b", 2L))._1 == "the")
+    // singleton terms never rank with minTermCount=2
+    val terms = out.values.map(_._1).toSet
+    assert(!terms.contains("executor") && !terms.contains("variant"))
+  }
+
   test("semanticDupPairs blocks by nearest centroid and finds in-cell dups") {
     def vec(x: Double, y: Double) = Array(x, y)
     val emb = Seq(
