@@ -55,6 +55,18 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("containment, embedding pooling, cluster labelling on empty inputs") {
+    assert(Dedup.containmentPairs(emptyDocs, "text", "doc_id").count() === 0L)
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("doc", "embedding")
+    assert(Similarity.poolEmbeddings(emptyVecs, "doc").count() === 0L)
+    assert(Similarity.poolEmbeddings(emptyVecs, "doc", method = "max")
+      .count() === 0L)
+    assert(TextAnalysis.clusterTopTerms(
+      emptyDocs.withColumn("cluster",
+        org.apache.spark.sql.functions.lit("c")),
+      "cluster", "text").count() === 0L)
+  }
+
   test("incremental dedup with empty index, empty batch, or both") {
     val idx = IncrementalDedup.exactIndex(emptyDocs, "text", "doc_id")
     assert(idx.count() === 0L)
