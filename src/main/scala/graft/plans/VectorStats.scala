@@ -145,8 +145,8 @@ case class MatVecCentered(child: Expression, w: Array[Array[Double]],
   *    quantisation error is far below float32 input precision.
   *    Overflow bound: |group| × max|x| must stay under 9.2e9
   *    (value·rows) — astronomically above any real chunk group.
-  *  - `max`: per-dimension maximum (order-independent by nature),
-  *    carried as raw double bits in the same long buffer.
+  *  - `max` / `min`: per-dimension extremum (order-independent by
+  *    nature), carried as raw double bits in the same long buffer.
   *
   * The buffer sizes itself from the first vector seen (count slot +
   * d value slots); shorter subsequent vectors contribute only their
@@ -159,7 +159,11 @@ case class VectorPoolAgg(child: Expression, mode: String,
                          inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
     with UnaryLike[Expression] {
-  require(mode == "mean" || mode == "max", s"unknown pool mode '$mode'")
+  require(mode == "mean" || mode == "max" || mode == "min",
+    s"unknown pool mode '$mode'")
+
+  // extremum modes differ only in comparison direction
+  private val sign = if (mode == "min") -1.0 else 1.0
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -175,10 +179,11 @@ case class VectorPoolAgg(child: Expression, mode: String,
     val arr = v.asInstanceOf[ArrayData]
     val out = if (buf(0) == 0L && buf.length == 1) {
       val b = new Array[Long](1 + arr.numElements())
-      if (mode == "max") {
+      if (mode != "mean") {
         var i = 1
         while (i < b.length) {
-          b(i) = java.lang.Double.doubleToRawLongBits(Double.NegativeInfinity)
+          b(i) = java.lang.Double.doubleToRawLongBits(
+            sign * Double.NegativeInfinity)
           i += 1
         }
       }
@@ -191,7 +196,7 @@ case class VectorPoolAgg(child: Expression, mode: String,
     else
       while (i < n) {
         val x = arr.getDouble(i)
-        if (x > java.lang.Double.longBitsToDouble(out(1 + i)))
+        if (sign * x > sign * java.lang.Double.longBitsToDouble(out(1 + i)))
           out(1 + i) = java.lang.Double.doubleToRawLongBits(x)
         i += 1
       }
@@ -208,8 +213,8 @@ case class VectorPoolAgg(child: Expression, mode: String,
       while (i < small.length) { big(i) += small(i); i += 1 }
     else
       while (i < small.length) {
-        if (java.lang.Double.longBitsToDouble(small(i)) >
-            java.lang.Double.longBitsToDouble(big(i))) big(i) = small(i)
+        if (sign * java.lang.Double.longBitsToDouble(small(i)) >
+            sign * java.lang.Double.longBitsToDouble(big(i))) big(i) = small(i)
         i += 1
       }
     big(0) += small(0)
@@ -268,6 +273,12 @@ object VectorStats {
   def maxPool(vec: Column): Column =
     Bridge.column(VectorPoolAgg(
       Bridge.expression(vec.cast("array<double>")), "max")
+      .toAggregateExpression())
+
+  /** Element-wise minimum of a vector column — see [[VectorPoolAgg]]. */
+  def minPool(vec: Column): Column =
+    Bridge.column(VectorPoolAgg(
+      Bridge.expression(vec.cast("array<double>")), "min")
       .toAggregateExpression())
 
   /** `matvec_centered(vec)`: project into the rows of `w` after

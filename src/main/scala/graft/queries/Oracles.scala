@@ -1314,6 +1314,42 @@ object Oracles {
       |FROM sim
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 5""".stripMargin
 
+  /** Mirrors Q.annSq8 / Similarity.sqTrain/sqEncode/sqTopK: unit
+    * vectors → per-dim min/max model → uint8 codes → asymmetric
+    * score Σ qᵢ·mnᵢ + Σ (qᵢ·scaleᵢ)·cᵢ, replaying the engine's
+    * expression order exactly. */
+  val annSq8: String =
+    s"""WITH eu AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM eu GROUP BY 1),
+      |u AS (SELECT eu.vec_id, i, x / nrm AS u
+      |      FROM eu JOIN norms USING (vec_id)),
+      |model AS (SELECT i, min(u) AS mn, max(u) AS mx FROM u GROUP BY 1),
+      |codes AS (
+      |  SELECT u.vec_id, u.i,
+      |         CASE WHEN mx - mn = 0 THEN 0
+      |              ELSE GREATEST(0, LEAST(255,
+      |                CAST(floor((u - mn) / (mx - mn) * 255.0 + 0.5)
+      |                     AS INTEGER))) END AS c
+      |  FROM u JOIN model USING (i)),
+      |qconst AS (
+      |  SELECT u.vec_id AS qid, sum(u * mn) AS cst
+      |  FROM u JOIN model USING (i) WHERE u.vec_id < 5 GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |         sum((q.u * ((mx - mn) / 255.0)) * c.c) AS dt
+      |  FROM u q JOIN model m ON q.i = m.i JOIN codes c ON c.i = q.i
+      |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |sim AS (SELECT qid, nid, cst + dt AS s FROM dots JOIN qconst USING (qid))
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER w AS BIGINT) AS rank,
+      |       ${q("s", 4)} AS score_q4
+      |FROM sim WINDOW w AS (PARTITION BY qid ORDER BY s DESC, nid)
+      |QUALIFY row_number() OVER w <= 5""".stripMargin
+
   /** Mirrors Q.simPooled / Similarity.poolEmbeddings: per (group,
     * dim) the mean replays the engine's fixed-point path exactly —
     * per-element floor(x·1e9 + 0.5) nano-quantisation summed as
@@ -2649,6 +2685,7 @@ object Oracles {
     "q_sim_hard_negatives" -> simHardNegatives,
     "q_sim_pooled" -> simPooled,
     "q_text_cluster_terms" -> textClusterTerms,
+    "q_ann_sq8" -> annSq8,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

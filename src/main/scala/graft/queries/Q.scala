@@ -937,6 +937,20 @@ object Q {
         q(element_at(col("_max"), col("dim") + 1), 6).as("max_q6"))
   }
 
+  /** SQ8 scalar-quantised ANN: train ranges, encode the corpus to
+    * uint8 codes, search 5 queries — fully deterministic, so unlike
+    * the LSH/IVF/PQ tiers it is DuckDB-replayable end to end. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val model = Similarity.sqTrain(emb)
+    val codes = Similarity.sqEncode(model, emb)
+    Similarity.sqTopK(model, codes, emb.filter(col("id") < 5), k = 5)
+      .select(col("queryId"), col("neighbourId"),
+        col("rank").cast("long").as("rank"), q(col("score"), 4).as("score_q4"))
+  }
+
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",

@@ -862,6 +862,19 @@ object Steps {
           stride = a.int("stride", 10),
           maxFrames = a.int("max_frames", 8)).toDF(), a("out"))),
 
+    Step("sq_topk",
+      "SQ8 scalar-quantised ANN: train ranges, encode, search top-k",
+      (s, a) => {
+        val idCol = a.get("id_col").getOrElse("id")
+        def shaped(path: String) = read(s, path)
+          .select(col(idCol).as("id"), col("embedding"))
+        val corpus = shaped(a("in"))
+        val model = graft.operators.Similarity.sqTrain(corpus)
+        val codes = graft.operators.Similarity.sqEncode(model, corpus)
+        write(graft.operators.Similarity.sqTopK(model, codes,
+          shaped(a("queries")), a.int("k", 10)), a("out"))
+      }),
+
     Step("pq_index_build",
       "Train + encode an IVF-PQ ANN index (model + cell-partitioned codes)",
       (s, a) => {

@@ -216,6 +216,42 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${pq.intersect(brute).size}/25")
   }
 
+  test("SQ8: encode hits exact code points; top-k recall is near-exact " +
+    "on the real table (quantisation step ~0.4% of range)") {
+    import spark.implicits._
+    // a 2-d corpus already on the unit circle: ranges are [-1, 1] per
+    // dim, so code = round((x+1)/2*255) exactly
+    val s2 = math.sqrt(2.0) / 2
+    val unit = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, -1.0)), (4L, Seq(s2, s2)))
+      .toDF("id", "embedding")
+    val m = Similarity.sqTrain(unit)
+    assert(m.mins.toSeq == Seq(-1.0, -1.0) && m.maxs.toSeq == Seq(1.0, 1.0))
+    val codes = Similarity.sqEncode(m, unit)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(255, 128)) // round((0+1)/2*255) = 128
+    assert(codes(1L) == Seq(0, 128))
+    assert(codes(4L) == Seq(math.round((s2 + 1) / 2 * 255).toInt,
+      math.round((s2 + 1) / 2 * 255).toInt))
+    // recall on the real embeddings: SQ8 should match brute force
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val model = Similarity.sqTrain(emb)
+    val sq = Similarity.sqTopK(model, Similarity.sqEncode(model, emb), q, 5)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("queryId", "neighbourId").as[(Long, Long)].collect().toSet
+    assert(sq.size == 25)
+    assert(sq.intersect(brute).size >= 24,
+      s"recall ${sq.intersect(brute).size}/25")
+    // empty corpus fails loudly, never returns a degenerate model
+    assertThrows[IllegalArgumentException] {
+      Similarity.sqTrain(Seq.empty[(Long, Seq[Double])].toDF("id", "embedding"))
+    }
+  }
+
   test("hardNegatives drops the query's near-dup cluster and refills " +
     "to k from the similarity tail") {
     import spark.implicits._
