@@ -828,9 +828,6 @@ object Similarity {
       avg(col("recall")).as("recall")))
   }
 
-  /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
-    * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
-    * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */
   /** Pool chunk embeddings to one vector per group — the standard
     * chunk-embeddings → document-embedding reduction (long documents
     * are embedded per chunk; retrieval and dedup then want one doc
@@ -855,6 +852,9 @@ object Similarity {
       .filter(col("embedding").isNotNull)
   }
 
+  /** Exact all-pairs cosine near-duplicates (id-ordered, one row per
+    * pair) — the O(n²) correctness baseline and the DuckDB-mirrorable
+    * oracle for [[embeddingDupPairs]]; use the LSH variant at scale. */
   def bruteForceDupPairs(df: DataFrame, threshold: Double): DataFrame =
     df.select(col("id").as("idA"), col("embedding").as("a"),
       norm(col("embedding")).as("_na"))

@@ -148,10 +148,12 @@ case class MatVecCentered(child: Expression, w: Array[Array[Double]],
   *  - `max` / `min`: per-dimension extremum (order-independent by
   *    nature), carried as raw double bits in the same long buffer.
   *
-  * The buffer sizes itself from the first vector seen (count slot +
-  * d value slots); shorter subsequent vectors contribute only their
-  * prefix, longer ones are truncated — mixed dimensions are a caller
-  * bug, not silently resized state. Buffer = (d+1) longs partially
+  * The buffer sizes itself from the first NON-EMPTY vector seen
+  * (count slot + d value slots); empty vectors and null elements
+  * contribute nothing (the mean's divisor counts only non-empty
+  * rows); shorter subsequent vectors contribute only their prefix,
+  * longer ones are truncated — mixed dimensions are a caller bug,
+  * not silently resized state. Buffer = (d+1) longs partially
   * aggregated map-side, so the shuffle carries one row per
   * (partition, group), never the chunk rows. */
 case class VectorPoolAgg(child: Expression, mode: String,
@@ -177,6 +179,11 @@ case class VectorPoolAgg(child: Expression, mode: String,
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
+    // an empty vector is a non-row: admitting it would bump the mean's
+    // divisor without contributing values — and an empty FIRST vector
+    // would lock the buffer at d=0, making results depend on which
+    // partition it lands in
+    if (arr.numElements() == 0) return buf
     val out = if (buf(0) == 0L && buf.length == 1) {
       val b = new Array[Long](1 + arr.numElements())
       if (mode != "mean") {
@@ -191,13 +198,21 @@ case class VectorPoolAgg(child: Expression, mode: String,
     } else buf
     val n = math.min(arr.numElements(), out.length - 1)
     var i = 0
+    // null ELEMENTS contribute nothing (getDouble on a null slot would
+    // read garbage): the mean treats them as 0, extrema skip them
     if (mode == "mean")
-      while (i < n) { out(1 + i) += math.round(arr.getDouble(i) * 1e9); i += 1 }
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(1 + i) += math.round(arr.getDouble(i) * 1e9)
+        i += 1
+      }
     else
       while (i < n) {
-        val x = arr.getDouble(i)
-        if (sign * x > sign * java.lang.Double.longBitsToDouble(out(1 + i)))
-          out(1 + i) = java.lang.Double.doubleToRawLongBits(x)
+        if (!arr.isNullAt(i)) {
+          val x = arr.getDouble(i)
+          if (sign * x > sign * java.lang.Double.longBitsToDouble(out(1 + i)))
+            out(1 + i) = java.lang.Double.doubleToRawLongBits(x)
+        }
         i += 1
       }
     out(0) += 1L

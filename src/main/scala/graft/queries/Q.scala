@@ -925,11 +925,11 @@ object Q {
   def simPooled(s: SparkSession, dir: String): DataFrame = {
     val chunks = t(s, dir, "embeddings")
       .select((col("vec_id") % 50).as("group_id"), col("embedding"))
-    val mean = Similarity.poolEmbeddings(chunks, "group_id", method = "mean")
-      .withColumnRenamed("embedding", "_mean")
-    val mx = Similarity.poolEmbeddings(chunks, "group_id", method = "max")
-      .withColumnRenamed("embedding", "_max")
-    mean.join(mx, Seq("group_id"))
+    // both pools in ONE aggregate (single scan + shuffle, no join) —
+    // the operator's poolEmbeddings is the one-method face
+    chunks.groupBy("group_id")
+      .agg(graft.plans.VectorStats.meanPool(col("embedding")).as("_mean"),
+        graft.plans.VectorStats.maxPool(col("embedding")).as("_max"))
       .select(col("group_id"), posexplode(col("_mean")).as(Seq("dim", "_m")),
         col("_max"))
       .select(col("group_id"), col("dim").cast("long").as("dim"),

@@ -293,6 +293,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mx(1L) == Seq(3.0, 4.0) && mx(2L) == Seq(0.5, 0.25))
   }
 
+  test("poolEmbeddings: empty vectors are non-rows (no mean deflation, " +
+    "no d=0 buffer lock in any partition); null ELEMENTS skip extrema") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(2.0, 4.0)), (1L, Seq(2.0, 4.0)), (1L, Seq.empty[Double]))
+    // the empty vector must not bump the divisor (mean stays [2,4])
+    // wherever it lands — including FIRST in its partition, where it
+    // once locked the buffer at d=0 and dropped every later vector
+    for (df <- Seq(rows.toDF("doc", "embedding").repartition(1),
+                   rows.reverse.toDF("doc", "embedding").repartition(1),
+                   rows.toDF("doc", "embedding").repartition(3))) {
+      val m = Similarity.poolEmbeddings(df, "doc")
+        .as[(Long, Seq[Double])].head()._2
+      assert(m == Seq(2.0, 4.0))
+    }
+    val withNulls = Seq(
+      (1L, Seq[java.lang.Double](null, 3.0)),
+      (1L, Seq[java.lang.Double](-2.0, 1.0))
+    ).toDF("doc", "embedding")
+    val mx = Similarity.poolEmbeddings(withNulls, "doc", method = "max")
+      .as[(Long, Seq[Double])].head()._2
+    assert(mx == Seq(-2.0, 3.0)) // a null slot never reads as 0.0
+  }
+
   test("poolEmbeddings mean is bit-identical across partitionings " +
     "(fixed-point accumulation) and plans as one aggregate, no join") {
     import spark.implicits._
