@@ -76,6 +76,7 @@ object SparkEntry {
     "q_sim_pooled" -> (Q.simPooled _),
     "q_text_cluster_terms" -> (Q.textClusterTerms _),
     "q_ann_sq8" -> (Q.annSq8 _),
+    "q_text_bpe" -> (Q.textBpe _),
     "q_pack_epoch_shuffle" -> (Q.packEpochShuffle _),
     "q_upsert_snapshot_diff" -> (Q.upsertSnapshotDiff _),
     "q_dedup_exact_normalized" -> (Q.dedupExactNormalized _),

@@ -951,6 +951,16 @@ object Q {
         col("rank").cast("long").as("rank"), q(col("score"), 4).as("score_q4"))
   }
 
+  /** BPE tokenizer induction + model-token counts (no SQL oracle —
+    * the merge loop is iterative; goldens pin the trainer). */
+  def textBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 200,
+      maxWords = 1 << 15)
+    docs.select(col("doc_id"),
+      Bpe.tokenCount(model, col("text")).cast("long").as("n_bpe"))
+  }
+
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",

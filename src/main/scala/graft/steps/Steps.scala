@@ -727,6 +727,26 @@ object Steps {
           a.long("epoch", 0L).toInt,
           a.long("shards", 64L).toInt), a("out"))),
 
+    Step("bpe_train",
+      "Induce a BPE tokenizer from the corpus word histogram; write the ranked merge table",
+      (s, a) => graft.operators.Bpe.modelWrite(s,
+        graft.operators.Bpe.train(read(s, a("in")),
+          a.get("text_col").getOrElse("text"),
+          numMerges = a.int("num_merges", 8192),
+          maxWords = a.int("max_words", 1 << 16),
+          minPairCount = a.long("min_pair_count", 2L)), a("out"))),
+
+    Step("bpe_encode",
+      "Encode a text column to BPE subword tokens + model-token counts with a trained merge table",
+      (s, a) => {
+        val model = graft.operators.Bpe.modelRead(s, a("model"))
+        val text = col(a.get("text_col").getOrElse("text"))
+        write(read(s, a("in")).withColumns(Map(
+          "bpe_tokens" -> graft.operators.Bpe.encode(model, text),
+          "n_bpe" -> graft.operators.Bpe.tokenCount(model, text)
+            .cast("long"))), a("out"))
+      }),
+
     Step("cluster_top_terms",
       "c-TF-IDF top-k terms per cluster (BERTopic-style cluster labelling)",
       (s, a) => write(
