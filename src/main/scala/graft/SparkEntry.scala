@@ -76,7 +76,6 @@ object SparkEntry {
     "q_sim_pooled" -> (Q.simPooled _),
     "q_text_cluster_terms" -> (Q.textClusterTerms _),
     "q_ann_sq8" -> (Q.annSq8 _),
-    "q_text_bpe" -> (Q.textBpe _),
     "q_pack_epoch_shuffle" -> (Q.packEpochShuffle _),
     "q_upsert_snapshot_diff" -> (Q.upsertSnapshotDiff _),
     "q_dedup_exact_normalized" -> (Q.dedupExactNormalized _),
@@ -141,6 +140,7 @@ object SparkEntry {
     "q_ann_lsh" -> (Q.annLsh _),
     "q_ann_ivf" -> (Q.annIvf _),
     "q_ann_pq" -> (Q.annPq _),
+    "q_text_bpe" -> (Q.textBpe _),
     // oracle-checked again: the fake decode is replayed in SQL
     "q_mm_decode" -> (Q.multimodalDecode _),
     "q_mm_resize" -> (Q.multimodalResize _),

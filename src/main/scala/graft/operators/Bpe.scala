@@ -59,11 +59,11 @@ object Bpe {
       hist: Array[(String, Long)], numMerges: Int,
       minPairCount: Long): BpeModel = {
     import scala.collection.mutable
+    // the SAME code-point split as the encoder (BpeSymbols) — a
+    // char-level split here would learn lone-surrogate merges the
+    // encoder can never apply
     val words: Array[mutable.ArrayBuffer[String]] = hist.map { case (w, _) =>
-      val b = new mutable.ArrayBuffer[String](w.length + 1)
-      w.foreach(c => b += c.toString)
-      b += "</w>"
-      b
+      mutable.ArrayBuffer.from(graft.plans.BpeSymbols.codePointSymbols(w))
     }
     val counts = hist.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]

@@ -35,8 +35,12 @@ object Sketches {
   private[plans] def hashTwoLongs(a: Long, b: Long): Long =
     XXH64.hashLong(b, XXH64.hashLong(a, Seed))
 
+  // Locale.ROOT: a default-locale lowercase diverges from Spark's
+  // `lower()` on JVMs with e.g. a Turkish default locale (I → ı),
+  // silently splitting the sketch space from the Column formulations
   private[plans] def tokenize(text: UTF8String): Array[String] =
-    text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    text.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty)
 
   private[plans] def shingleStrings(toks: Array[String], n: Int): Array[String] =
     if (toks.length >= n) Array.tabulate(toks.length - n + 1)(i =>

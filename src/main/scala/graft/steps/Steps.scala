@@ -741,10 +741,12 @@ object Steps {
       (s, a) => {
         val model = graft.operators.Bpe.modelRead(s, a("model"))
         val text = col(a.get("text_col").getOrElse("text"))
-        write(read(s, a("in")).withColumns(Map(
-          "bpe_tokens" -> graft.operators.Bpe.encode(model, text),
-          "n_bpe" -> graft.operators.Bpe.tokenCount(model, text)
-            .cast("long"))), a("out"))
+        // n_bpe derives from the materialised tokens column — never a
+        // second run of the interpreted merge loop per row
+        write(read(s, a("in"))
+          .withColumn("bpe_tokens", graft.operators.Bpe.encode(model, text))
+          .withColumn("n_bpe", size(col("bpe_tokens")).cast("long")),
+          a("out"))
       }),
 
     Step("cluster_top_terms",

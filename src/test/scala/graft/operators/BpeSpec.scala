@@ -41,6 +41,22 @@ class BpeSpec extends SparkSpec {
     assert(m1.merges.nonEmpty)
   }
 
+  test("non-BMP text splits on code points — no lone-surrogate " +
+    "mojibake in tokens, and trainer/encoder agree on emoji symbols") {
+    val docs = Seq((1L, "😀x 😀x"), (2L, "😀x"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 2)
+    // 😀x = [😀, x, </w>]: pairs (😀,x) and (x,</w>) tie at 3; "x"
+    // sorts before the surrogate-leading 😀, so (x,</w>) merges first,
+    // then (😀, x</w>) — learnable only if both trainer and encoder
+    // keep the emoji as ONE symbol
+    assert(m.merges.toSeq == Seq(("x", "</w>"), ("😀", "x</w>")))
+    val enc = docs.limit(1).select(Bpe.encode(m, col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("😀x</w>", "😀x</w>"))
+    assert(!enc.exists(_.contains("?")))
+  }
+
   test("model round-trips through parquet; empty corpus yields the " +
     "identity tokenizer (characters + </w>)") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
