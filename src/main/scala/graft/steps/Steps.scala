@@ -390,14 +390,18 @@ object Steps {
           a.get("release_prefix").getOrElse("FINNGEN_R11")), a("out"))),
 
     Step("pack_shards",
-      "Pack documents into fixed token-budget shards (distributed prefix sum)",
-      (s, a) => write(
-        Packing.packByBudget(
-          read(s, a("in")).withColumn("n_tokens",
+      "Pack documents into fixed token-budget shards (distributed prefix sum); tokens_col uses a precomputed count (e.g. bpe_encode's n_bpe) instead of whitespace words",
+      (s, a) => {
+        val (in, tokCol) = a.get("tokens_col") match {
+          case Some(c) => (read(s, a("in")), c)
+          case None => (read(s, a("in")).withColumn("n_tokens",
             TextAnalysis.tokenCount(org.apache.spark.sql.functions
               .col(a.get("text_col").getOrElse("text"))).cast("long")),
-          a.get("id_col").getOrElse("doc_id"), "n_tokens",
-          a.get("budget").map(_.toLong).getOrElse(1 << 20)), a("out"))),
+            "n_tokens")
+        }
+        write(Packing.packByBudget(in, a.get("id_col").getOrElse("doc_id"),
+          tokCol, a.get("budget").map(_.toLong).getOrElse(1 << 20)), a("out"))
+      }),
 
     Step("dedup_exact",
       "Exact text deduplication on a document table",

@@ -115,6 +115,33 @@ class StepsSpec extends SparkSpec {
     assert(spark.read.parquet(zed).count() == 3)
   }
 
+  test("tokenizer chain: bpe_train -> bpe_encode -> pack_shards " +
+    "budgeted in MODEL tokens, each step off the previous one's parquet") {
+    val in = tmp("bpe_in")
+    Seq((1L, "ab ab ab ab"), (2L, "ab ac ab"), (3L, "zz"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val model = tmp("bpe_model")
+    val enc = tmp("bpe_enc")
+    val packed = tmp("bpe_packed")
+    Steps.runFromArgs(spark, Seq("bpe_train", s"in=$in", s"out=$model",
+      "num_merges=4"))
+    assert(spark.read.parquet(model).count() > 0)
+    Steps.runFromArgs(spark, Seq("bpe_encode", s"in=$in", s"model=$model",
+      s"out=$enc"))
+    val counts = spark.read.parquet(enc)
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    // "ab" fully merges to one token per word; "zz"/"ac" stay subword
+    assert(counts(1L) == 4L)
+    assert(counts(1L) < counts(2L) + 2) // model tokens, not characters
+    Steps.runFromArgs(spark, Seq("pack_shards", s"in=$enc", s"out=$packed",
+      "tokens_col=n_bpe", "budget=8"))
+    // budget 8 MODEL tokens, exclusive-offset/budget shard ids: doc1
+    // starts at 0 (n_bpe 4), doc2 at 4 (n_bpe 5), doc3 at 9 -> shard 1
+    val shards = spark.read.parquet(packed)
+      .select("doc_id", "shardId").as[(Long, Long)].collect().toMap
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("training-data steps chain: signals -> split -> canonical dedup") {
     val in = tmp("corpus_in")
     Seq((1L, "src0", "the quick brown fox jumps"),
