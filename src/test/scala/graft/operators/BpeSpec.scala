@@ -57,6 +57,26 @@ class BpeSpec extends SparkSpec {
     assert(!enc.exists(_.contains("?")))
   }
 
+  test("property: encoding is lossless — tokens concatenate back to " +
+    "the lowercased words with </w> terminals (seeded random corpus)") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 60).map { i =>
+      val words = (0 to rnd.nextInt(6)).map(_ =>
+        (0 to rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 50)
+    assert(m.merges.nonEmpty)
+    val got = docs.select(col("doc_id"), col("text"),
+        Bpe.encode(m, col("text")).as("t"))
+      .as[(Long, String, Seq[String])].collect()
+    got.foreach { case (_, text, toks) =>
+      val expected = text.toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).map(_ + "</w>").mkString
+      assert(toks.mkString == expected, s"text='$text' tokens=$toks")
+    }
+  }
+
   test("model round-trips through parquet; empty corpus yields the " +
     "identity tokenizer (characters + </w>)") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
