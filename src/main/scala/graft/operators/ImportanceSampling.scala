@@ -43,12 +43,16 @@ object ImportanceSampling {
     concat(tk, TextAnalysis.bigrams(tk))
   }
 
-  /** (id, bucket) exploded feature rows. */
+  /** (id, bucket) exploded feature rows — the native one-pass bucket
+    * expression ([[graft.plans.DsirBuckets]]): byte-identical to
+    * `bucketOf(explode(ngrams(text)))` (spec-pinned), but the md5
+    * runs on gram bytes without the hex → substring → conv string
+    * round-trip and no bigram string array is materialised. */
   private def featureRows(docs: DataFrame, textCol: String, idCol: String,
                           buckets: Int): DataFrame =
     docs.select(col(idCol),
-        explode(ngrams(col(textCol))).as("_g"))
-      .select(col(idCol), bucketOf(col("_g"), buckets).as("bucket"))
+      explode(graft.plans.SketchFunctions.dsirBuckets(col(textCol), buckets))
+        .as("bucket"))
 
   /** The per-bucket importance model: (bucket, logratio_nano) with
     * logratio_nano = round(1e9 · [ln p̂_target(b) − ln p̂_corpus(b)])

@@ -484,6 +484,42 @@ case class PqAdc(left: Expression, right: Expression)
       l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
 }
 
+/** One-pass hashed n-gram feature buckets for DSIR: tokenize once,
+  * md5-bucket each unigram and space-joined bigram — one long per
+  * gram, multiplicity preserved. Byte-identical to the Column
+  * formulation `md5-prefix(concat(tokens, bigrams)) % buckets`
+  * (`ImportanceSampling.bucketOf`) and to the DuckDB oracle, but
+  * skips the bigram string-array materialisation and the per-gram
+  * hex-encode → substring → conv string round-trip that made the
+  * corpus feature pass the dominant cost of dsir scoring. */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, "buckets must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val n = toks.length
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) {
+      out(i) = Sketches.md5Prefix(toks(i), 8) % buckets
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = Sketches.md5Prefix(toks(i) + " " + toks(i + 1), 8) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DsirBuckets =
+    copy(child = c)
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.catalyst.expressions.Cast
 
@@ -498,6 +534,9 @@ object SketchFunctions {
 
   def distinctShingles(text: Column, shingleSize: Int): Column =
     Bridge.column(DistinctShingles(Bridge.expression(text), shingleSize))
+
+  def dsirBuckets(text: Column, buckets: Int): Column =
+    Bridge.column(DsirBuckets(Bridge.expression(text), buckets))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

@@ -34,6 +34,25 @@ class ImportanceSamplingSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("native dsirBuckets is byte-identical to the Column " +
+    "formulation bucketOf(explode(ngrams))") {
+    val docs = corpus.unionByName(Seq(
+      (99L, ""), (100L, "  single "), (101L, "a b c d"))
+      .toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id"),
+        explode(graft.plans.SketchFunctions.dsirBuckets(col("text"), 4096))
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    val hof = docs.select(col("doc_id"),
+        explode(ImportanceSampling.ngrams(col("text"))).as("_g"))
+      .select(col("doc_id"),
+        ImportanceSampling.bucketOf(col("_g"), 4096).as("bucket"))
+      .groupBy("doc_id", "bucket").count()
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == hof && native.nonEmpty)
+  }
+
   test("target-like documents outscore alien ones and win the selection") {
     val scores = ImportanceSampling.dsirScores(corpus, target, "text",
       "doc_id", buckets = 1 << 10)
