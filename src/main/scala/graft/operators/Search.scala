@@ -23,15 +23,19 @@ import graft.plans.TopK
   */
 object Search {
 
-  /** (id, term, tf) term frequencies: one explode + one hash-groupBy
-    * over [[TextAnalysis.tokens]] (lowercased whitespace tokens). */
+  /** (id, term, tf) term frequencies, pre-combined per document by
+    * the native one-pass [[graft.plans.TermCounts]] expression — the
+    * corpus-wide (id, term) hash-aggregate SHUFFLE of the
+    * explode→groupBy formulation disappears (counting happens in the
+    * row; the entry explode is narrow). Multiset-identical to the old
+    * plan, spec-pinned. */
   def termFrequencies(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"))
+        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
+          .as("_tc"))
+      .select(col("id"), col("_tc.term").as("term"), col("_tc.tf").as("tf"))
 
   /** Persisted lexical index: postings (term, id, tf), per-doc
     * lengths (id, dl), and the two corpus constants BM25 needs.

@@ -484,6 +484,45 @@ case class PqAdc(left: Expression, right: Expression)
       l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
 }
 
+/** Per-document term frequencies in one pass: tokenize once, count
+  * into an insertion-ordered map, emit array<struct<term, tf>> —
+  * pre-combined IN THE ROW, so the (id, term) hash-aggregate shuffle
+  * of the `explode → groupBy` formulation disappears entirely (the
+  * explode of per-doc entries is a narrow map-side op). Multiset
+  * semantics are byte-identical to
+  * `explode(tokens) groupBy (id, term) count` (spec-pinned). */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.put(toks(i), counts.getOrDefault(toks(i), 0L) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
 /** One-pass hashed n-gram feature buckets for DSIR: tokenize once,
   * md5-bucket each unigram and space-joined bigram — one long per
   * gram, multiplicity preserved. Byte-identical to the Column
@@ -537,6 +576,9 @@ object SketchFunctions {
 
   def dsirBuckets(text: Column, buckets: Int): Column =
     Bridge.column(DsirBuckets(Bridge.expression(text), buckets))
+
+  def termCounts(text: Column): Column =
+    Bridge.column(TermCounts(Bridge.expression(text)))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

@@ -20,6 +20,26 @@ class SearchSpec extends SparkSpec {
     assert(!tf.exists(_._2 == ""))
   }
 
+  test("native termFrequencies is multiset-identical to the " +
+    "explode->groupBy formulation and plans with no aggregate/exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = corpus.unionByName(Seq(
+      (9L, ""), (10L, "  SPARK  spark Spark ")).toDF("doc_id", "text"))
+    val native = Search.termFrequencies(docs, "text", "doc_id")
+      .as[(Long, String, Long)].collect().toSet
+    val hof = docs
+      .select(col("doc_id").as("id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == hof)
+    assert(native.contains((10L, "spark", 3L)))
+    val plan = Search.termFrequencies(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("aggregate"),
+      plan)
+  }
+
   test("bm25TopK ranks docs with more query-term mass first; ranks are " +
     "1-based and bounded by k") {
     val qs = Seq((7L, "spark")).toDF("query_id", "qtext")
