@@ -296,10 +296,13 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
+    // native in-row term counting ([[graft.plans.TermCounts]]) — no
+    // (doc, term) aggregate shuffle; see Search.termFrequencies
     val termCounts = docs
-      .select(col(idCol).as("docId"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("docId", "term")
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("docId"),
+        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
+          .as("_tc"))
+      .select(col("docId"), col("_tc.term").as("term"), col("_tc.tf").as("tf"))
     val docFreq = termCounts.groupBy("term")
       .agg(count(lit(1)).as("df")) // termCounts is distinct per (doc, term)
     // corpus size as a lazy broadcast single-row join, not an eager
@@ -336,11 +339,15 @@ object TextAnalysis {
     * — runs on that collapsed frame, never the corpus. */
   def clusterTopTerms(docs: DataFrame, clusterCol: String, textCol: String,
                       k: Int = 10, minTermCount: Int = 1): DataFrame = {
+    // per-doc in-row counts first ([[graft.plans.TermCounts]]): the
+    // (cluster, term) aggregate still shuffles, but over pre-combined
+    // per-doc entries instead of raw token rows
     val ctf = docs
       .select(col(clusterCol).as("cluster"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy("cluster", "term")
-      .agg(count(lit(1)).as("ctf"))
+        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
+          .as("_tc"))
+      .groupBy(col("cluster"), col("_tc.term").as("term"))
+      .agg(sum(col("_tc.tf")).as("ctf"))
     val csize = ctf.groupBy("cluster").agg(sum("ctf").as("_csize"))
     val termTotals = ctf.groupBy("term").agg(sum("ctf").as("f_t"))
     // mean cluster size as a lazy one-row broadcast, not a driver count
