@@ -214,9 +214,13 @@ object TextAnalysis {
                          graft.core.CacheHandle()): DataFrame = {
     require(stopDfFrac > 0.0 && stopDfFrac <= 1.0,
       "stopDfFrac must be in (0, 1]")
+    // TermCounts entries are distinct per doc by construction — the
+    // explode+distinct() corpus shuffle this frame used to pay is gone
     val dt = cache.persist(docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
-      .distinct())
+      .select(col(idCol).as("doc"),
+        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
+          .as("_tc"))
+      .select(col("doc"), col("_tc.term").as("term")))
     val nDocs = dt.agg(count_distinct(col("doc")).cast("double").as("n"))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val stop = dfreq.crossJoin(broadcast(nDocs))
