@@ -23,19 +23,14 @@ import graft.plans.TopK
   */
 object Search {
 
-  /** (id, term, tf) term frequencies, pre-combined per document by
-    * the native one-pass [[graft.plans.TermCounts]] expression — the
-    * corpus-wide (id, term) hash-aggregate SHUFFLE of the
-    * explode→groupBy formulation disappears (counting happens in the
-    * row; the entry explode is narrow). Multiset-identical to the old
-    * plan, spec-pinned. */
+  /** (id, term, tf) term frequencies — delegates to the one shared
+    * in-row counting definition,
+    * [[TextAnalysis.termFrequencyRows]]: no aggregate, no shuffle,
+    * and the documented one-row-per-id contract (dedup upstream; a
+    * duplicated id would split its postings and inflate df). */
   def termFrequencies(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
-          .as("_tc"))
-      .select(col("id"), col("_tc.term").as("term"), col("_tc.tf").as("tf"))
+    TextAnalysis.termFrequencyRows(docs, textCol, idCol, "id")
 
   /** Persisted lexical index: postings (term, id, tf), per-doc
     * lengths (id, dl), and the two corpus constants BM25 needs.

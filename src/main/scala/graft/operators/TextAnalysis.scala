@@ -20,6 +20,27 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** (idAlias, term, tf) term-frequency rows via the native in-row
+    * [[graft.plans.TermCounts]] expression — counting happens inside
+    * the row, so the frame plans with NO aggregate and NO shuffle
+    * (the entry explode is narrow). The one shared definition behind
+    * BM25, TF-IDF, and co-occurrence.
+    *
+    * CONTRACT: one row per document id. Counting is per ROW — a
+    * duplicated id yields duplicate (id, term) rows and inflates
+    * every downstream document frequency (the old explode→groupBy
+    * formulations silently merged such rows; this one does not).
+    * Dedup upstream ([[graft.operators.Dedup.exactDedup]] or a
+    * keyed upsert) before counting. */
+  def termFrequencyRows(docs: DataFrame, textCol: String, idCol: String,
+                        idAlias: String = "id"): DataFrame =
+    docs
+      .select(col(idCol).as(idAlias),
+        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
+          .as("_tc"))
+      .select(col(idAlias), col("_tc.term").as("term"),
+        col("_tc.tf").as("tf"))
+
   /** BPE-ish token count: letter runs, digits, and punctuation each
     * count as one token — a cheap, deterministic proxy for subword
     * tokenizer counts. */
@@ -215,12 +236,10 @@ object TextAnalysis {
     require(stopDfFrac > 0.0 && stopDfFrac <= 1.0,
       "stopDfFrac must be in (0, 1]")
     // TermCounts entries are distinct per doc by construction — the
-    // explode+distinct() corpus shuffle this frame used to pay is gone
-    val dt = cache.persist(docs
-      .select(col(idCol).as("doc"),
-        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
-          .as("_tc"))
-      .select(col("doc"), col("_tc.term").as("term")))
+    // explode+distinct() corpus shuffle this frame used to pay is
+    // gone (unique-id contract: see termFrequencyRows)
+    val dt = cache.persist(
+      termFrequencyRows(docs, textCol, idCol, "doc").select("doc", "term"))
     val nDocs = dt.agg(count_distinct(col("doc")).cast("double").as("n"))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val stop = dfreq.crossJoin(broadcast(nDocs))
@@ -300,13 +319,9 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
-    // native in-row term counting ([[graft.plans.TermCounts]]) — no
-    // (doc, term) aggregate shuffle; see Search.termFrequencies
-    val termCounts = docs
-      .select(col(idCol).as("docId"),
-        explode(graft.plans.SketchFunctions.termCounts(col(textCol)))
-          .as("_tc"))
-      .select(col("docId"), col("_tc.term").as("term"), col("_tc.tf").as("tf"))
+    // in-row term counting — no (doc, term) aggregate shuffle; see
+    // termFrequencyRows for the unique-id contract
+    val termCounts = termFrequencyRows(docs, textCol, idCol, "docId")
     val docFreq = termCounts.groupBy("term")
       .agg(count(lit(1)).as("df")) // termCounts is distinct per (doc, term)
     // corpus size as a lazy broadcast single-row join, not an eager

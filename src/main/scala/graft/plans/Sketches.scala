@@ -35,12 +35,15 @@ object Sketches {
   private[plans] def hashTwoLongs(a: Long, b: Long): Long =
     XXH64.hashLong(b, XXH64.hashLong(a, Seed))
 
-  // Locale.ROOT: a default-locale lowercase diverges from Spark's
-  // `lower()` on JVMs with e.g. a Turkish default locale (I → ı),
-  // silently splitting the sketch space from the Column formulations
+  // EXACT mirror of the Column formulation `split(lower(trim(text)),
+  // "\\s+")`: UTF8String.toLowerCase/trim are the very
+  // implementations Spark's lower()/trim() call, so there is no
+  // divergence to reason about — Java String.trim would strip all
+  // chars ≤ U+0020 where Spark trim strips only 0x20, and Java
+  // toLowerCase is default-locale where Spark's has an ASCII fast
+  // path (tr_TR: I → ı splits the token space)
   private[plans] def tokenize(text: UTF8String): Array[String] =
-    text.toString.toLowerCase(java.util.Locale.ROOT)
-      .trim.split("\\s+").filter(_.nonEmpty)
+    text.trim.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
 
   private[plans] def shingleStrings(toks: Array[String], n: Int): Array[String] =
     if (toks.length >= n) Array.tabulate(toks.length - n + 1)(i =>
@@ -504,7 +507,7 @@ case class TermCounts(child: Expression)
     val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
     var i = 0
     while (i < toks.length) {
-      counts.put(toks(i), counts.getOrDefault(toks(i), 0L) + 1L)
+      counts.merge(toks(i), 1L, (a, b) => a + b) // one probe per token
       i += 1
     }
     val out = new Array[Any](counts.size)

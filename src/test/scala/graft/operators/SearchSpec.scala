@@ -23,8 +23,13 @@ class SearchSpec extends SparkSpec {
   test("native termFrequencies is multiset-identical to the " +
     "explode->groupBy formulation and plans with no aggregate/exchange") {
     import org.apache.spark.sql.functions._
+    // 11/12 pin the EXACT trim/lower mirror: Spark trim strips only
+    // 0x20 (a \u0001 stays inside the token), and Spark lower's
+    // behavior on İ must match whatever UTF8String.toLowerCase does
     val docs = corpus.unionByName(Seq(
-      (9L, ""), (10L, "  SPARK  spark Spark ")).toDF("doc_id", "text"))
+      (9L, ""), (10L, "  SPARK  spark Spark "),
+      (11L, "spark\u0001 \u0001tab"), (12L, "İstanbul I MIX"))
+      .toDF("doc_id", "text"))
     val native = Search.termFrequencies(docs, "text", "doc_id")
       .as[(Long, String, Long)].collect().toSet
     val hof = docs
