@@ -461,14 +461,20 @@ object TextAnalysis {
     * for a per-doc conditional count. */
   def oovRates(docs: DataFrame, textCol: String, idCol: String,
                vocabSize: Int = 100): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+    // per-doc (term, tf) entries replace the per-instance token rows:
+    // the vocab counts sum pre-combined tf (fewer shuffle rows) and
+    // the coverage join fans out per distinct term, not per token —
+    // all-integer weighting, so values are bit-identical
+    val entries = termFrequencyRows(docs, textCol, idCol, idCol)
+      .withColumnRenamed("term", "token")
+    val vocab = entries.groupBy("token").agg(sum(col("tf")).as("_tf"))
       .orderBy(col("_tf").desc, col("token")).limit(vocabSize)
       .select(col("token"), lit(true).as("_inVocab"))
-    toks
+    entries
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("nTokens"), count(col("_inVocab")).as("_inV"))
+      .agg(sum(col("tf")).as("nTokens"),
+        sum(when(col("_inVocab"), col("tf")).otherwise(0L)).as("_inV"))
       .select(col(idCol), col("nTokens"),
         (lit(1.0) - col("_inV").cast("double") / col("nTokens")).as("oovFrac"))
   }
@@ -520,26 +526,34 @@ object TextAnalysis {
   def bigramLogProbScores(docs: DataFrame, textCol: String,
                           idCol: String, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0.0, "alpha must be positive")
-    def bigramRows = docs.select(col(idCol),
-        explode(bigrams(tokens(col(textCol)))).as("_bg"))
-    val c12 = bigramRows.groupBy("_bg").agg(count(lit(1)).as("_c12"))
-    val c1 = bigramRows
-      .select(col(idCol), substring_index(col("_bg"), " ", 1).as("_w1"))
-      .groupBy("_w1").agg(count(lit(1)).as("_c1"))
-    val vocab = docs
-      .select(explode(tokens(col(textCol))).as("token"))
-      .agg(count_distinct(col("token")).as("_v"))
-    val summed = bigramRows
+    // per-doc pre-combined (bigram, n) entries from the native
+    // one-pass [[graft.plans.BigramCounts]]: the old shape re-ran the
+    // tokenise+explode THREE times (c12, c1, scoring) plus a fourth
+    // token pass for V. Each bigram's quantised log-prob is weighted
+    // by its in-doc count — integer multiplication of integer
+    // nano-nats, so per-doc sums are bit-identical to the
+    // per-instance formulation
+    def bg = docs.select(col(idCol),
+        explode(graft.plans.SketchFunctions.bigramCounts(col(textCol)))
+          .as("_bc"))
+      .select(col(idCol), col("_bc.term").as("_bg"), col("_bc.tf").as("_n"))
+    val c12 = bg.groupBy("_bg").agg(sum("_n").as("_c12"))
+    val c1 = bg
+      .select(substring_index(col("_bg"), " ", 1).as("_w1"), col("_n"))
+      .groupBy("_w1").agg(sum("_n").as("_c1"))
+    val vocab = termFrequencyRows(docs, textCol, idCol, idCol)
+      .agg(count_distinct(col("term")).as("_v"))
+    val summed = bg
       .withColumn("_w1", substring_index(col("_bg"), " ", 1))
       .join(c12, Seq("_bg"))
       .join(c1, Seq("_w1"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
-        round((log(col("_c12") + alpha) -
-               log(col("_c1") + col("_v") * alpha)) * 1e9)
-          .cast("long").as("_lp"))
+      .select(col(idCol), col("_n"),
+        (round((log(col("_c12") + alpha) -
+                log(col("_c1") + col("_v") * alpha)) * 1e9)
+          .cast("long") * col("_n")).as("_lp"))
       .groupBy(idCol)
-      .agg(sum("_lp").as("lp_nano"), count(lit(1)).as("n_bigrams"))
+      .agg(sum("_lp").as("lp_nano"), sum("_n").as("n_bigrams"))
     docs.select(col(idCol))
       .join(summed, Seq(idCol), "left")
       .select(col(idCol),

@@ -526,6 +526,43 @@ case class TermCounts(child: Expression)
     copy(child = c)
 }
 
+/** Per-document BIGRAM frequencies in one pass — [[TermCounts]] over
+  * space-joined adjacent token pairs: tokenize once, count pairs in
+  * the row, emit pre-combined array<struct<term, tf>> entries. Same
+  * output columns as TermCounts so consumers share the explode
+  * shape; same one-row-per-id caller contract. */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_counts"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length - 1) {
+      counts.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramCounts =
+    copy(child = c)
+}
+
 /** One-pass hashed n-gram feature buckets for DSIR: tokenize once,
   * md5-bucket each unigram and space-joined bigram — one long per
   * gram, multiplicity preserved. Byte-identical to the Column
@@ -582,6 +619,9 @@ object SketchFunctions {
 
   def termCounts(text: Column): Column =
     Bridge.column(TermCounts(Bridge.expression(text)))
+
+  def bigramCounts(text: Column): Column =
+    Bridge.column(BigramCounts(Bridge.expression(text)))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

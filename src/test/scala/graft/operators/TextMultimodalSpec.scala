@@ -257,6 +257,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("native bigramCounts is multiset-identical to the HOF " +
+    "bigrams(tokens) formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b a b a"), (2L, "one"), (3L, ""),
+      (4L, "  X  y x Y ")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        explode(graft.plans.SketchFunctions.bigramCounts(col("text")))
+          .as("_bc"))
+      .select(col("doc_id"), col("_bc.term"), col("_bc.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val hof = docs.select(col("doc_id"),
+        explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text"))))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == hof)
+    assert(native.contains((1L, "a b", 2L)) && native.contains((4L, "x y", 2L)))
+  }
+
   test("bigramLogProbScores: hand-computed add-alpha bigram LM; " +
     "scrambled word salad scores below the prose it permutes") {
     import spark.implicits._
