@@ -492,7 +492,12 @@ object TextAnalysis {
   def unigramLogProbScores(docs: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+    // the count table sums pre-combined per-doc entries (fewer shuffle
+    // rows, same integers); the SCORING side stays per-instance so the
+    // per-doc avg keeps its float summation order (oracle-matched)
+    val counts = termFrequencyRows(docs, textCol, idCol, idCol)
+      .groupBy(col("term").as("token"))
+      .agg(sum(col("tf")).as("_tf"))
     val total = counts.agg(sum("_tf").as("_n"))
     toks
       .join(counts, Seq("token"))
