@@ -404,51 +404,23 @@ object TextAnalysis {
     * Both null when the document is too short to form the n-gram.
     * Documents with fewer than two tokens are absent from the output.
     *
-    * Shape at 100 TB: explode both gram families once (tagged with n so
-    * a bigram can never cross-count against a trigram), ONE
-    * combiner-friendly shuffle to per-(doc, gram) counts, ONE shuffle
-    * to the per-doc signals — no per-doc quadratic array scan, bounded
-    * state per key. Two details carry the constant factor: the token
-    * array is materialised through its OWN projection so the gram
-    * builders index an attribute — higher-order lambdas are
-    * interpreted with no subexpression elimination, so inlining
-    * `tokens(text)` would re-run the tokenizer for EVERY element
-    * access (measured 17 s → 1.6 s at sf0.1); and the corpus is
-    * repartitioned first so a few-file source does not serialise the
-    * CPU-bound gram pass onto one core. Grams stay (n, w1, w2, w3)
-    * structs — no per-gram string concat; the struct IS the group key.
-    */
+    * Shape at 100 TB: the signals are strictly per-document, so the
+    * whole computation runs inside the scan through the native
+    * one-pass [[graft.plans.RepetitionStats]] expression — ZERO
+    * shuffles (the earlier explode → per-(doc, gram) aggregate →
+    * per-doc aggregate pipeline cost two), exact integer counts, and
+    * no per-gram rows ever materialise. */
   def ngramRepetitionSignals(docs: DataFrame, textCol: String,
-                             idCol: String): DataFrame = {
-    val toked = docs.repartition(col(idCol))
-      .select(col(idCol), tokens(col(textCol)).as("_t"))
-    val t = col("_t")
-    def gramStructs(n: Int) =
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => struct(
-            lit(n).as("n"),
-            element_at(t, i).as("w1"),
-            element_at(t, i + lit(1)).as("w2"),
-            (if (n >= 3) element_at(t, i + lit(2))
-             else lit(null).cast("string")).as("w3"))))
-        .otherwise(array().cast("array<struct<n:int,w1:string,w2:string,w3:string>>"))
-    toked.select(col(idCol),
-        explode(concat(gramStructs(2), gramStructs(3))).as("g"))
-      .groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("n", col("g.n"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("n") === 2, col("cnt"))).as("nBigrams"),
-        max(when(col("n") === 2, col("cnt"))).as("_topBigram"),
-        sum(when(col("n") === 3, col("cnt"))).as("_nTrigrams"),
-        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("_dupTri"))
-      .select(col(idCol), col("nBigrams"),
-        (col("_topBigram").cast("double") / col("nBigrams")).as("topBigramFrac"),
-        (coalesce(col("_dupTri"), lit(0L)).cast("double") / col("_nTrigrams"))
+                             idCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.plans.SketchFunctions.repetitionStats(col(textCol)).as("_r"))
+      .filter(col("_r").isNotNull)
+      .select(col(idCol), col("_r.nBigrams").as("nBigrams"),
+        (col("_r.topBigram").cast("double") / col("_r.nBigrams"))
+          .as("topBigramFrac"),
+        when(col("_r.nTrigrams") > 0,
+          col("_r.dupTri").cast("double") / col("_r.nTrigrams"))
           .as("dupTrigramFrac"))
-  }
 
   /** Out-of-vocabulary rate per document against the corpus' own
     * top-`vocabSize` token vocabulary (tokenizer-coverage analysis).

@@ -563,6 +563,61 @@ case class BigramCounts(child: Expression)
     copy(child = c)
 }
 
+/** Per-document n-gram repetition statistics in ONE pass — the Gopher
+  * repetition signals need no cross-document state at all, so the
+  * explode → per-(doc, gram) aggregate → per-doc aggregate pipeline
+  * (two corpus shuffles) collapses to a scan: tokenize once, count
+  * bigrams and trigrams in two in-row maps, emit
+  * struct<nBigrams, topBigram, nTrigrams, dupTri> (all exact integer
+  * counts — downstream fractions are unchanged). Null when the
+  * document has fewer than two tokens (absent from the operator's
+  * output, as before). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nBigrams", LongType, nullable = false),
+    StructField("topBigram", LongType, nullable = false),
+    StructField("nTrigrams", LongType, nullable = false),
+    StructField("dupTri", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+    val n = toks.length
+    if (n < 2) return null
+    val bi = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n - 1) {
+      bi.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var topBigram = 0L
+    val bit = bi.values().iterator()
+    while (bit.hasNext) { val c = bit.next(); if (c > topBigram) topBigram = c }
+    var nTrigrams = 0L
+    var dupTri = 0L
+    if (n >= 3) {
+      nTrigrams = n - 2L
+      val tri = new java.util.HashMap[String, Long](n * 2)
+      i = 0
+      while (i < n - 2) {
+        tri.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 1L,
+          (a, b) => a + b)
+        i += 1
+      }
+      val tit = tri.values().iterator()
+      while (tit.hasNext) { val c = tit.next(); if (c > 1) dupTri += c }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n - 1L, topBigram, nTrigrams, dupTri)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 /** One-pass hashed n-gram feature buckets for DSIR: tokenize once,
   * md5-bucket each unigram and space-joined bigram — one long per
   * gram, multiplicity preserved. Byte-identical to the Column
@@ -622,6 +677,9 @@ object SketchFunctions {
 
   def bigramCounts(text: Column): Column =
     Bridge.column(BigramCounts(Bridge.expression(text)))
+
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(

@@ -30,6 +30,11 @@ class TextRepetitionPiiSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0.5, 0.0)))
     assert(out(3L) == ((1L, 1.0, -1.0))) // too short for trigrams -> null
     assert(!out.contains(4L)) // <2 tokens: absent
+    // per-document stats compute inside the scan: zero shuffles
+    val plan = TextAnalysis.ngramRepetitionSignals(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("aggregate"),
+      plan)
   }
 
   test("oovRates: top-K vocabulary with deterministic ties") {
