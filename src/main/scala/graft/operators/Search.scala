@@ -76,12 +76,27 @@ object Search {
     * postings/lengths union the standing frames, and the corpus
     * constants merge in closed form (n' = n + n_b, avgdl' =
     * (n·avgdl + Σ_b dl) / n'). Batch ids must be new; re-ingesting an
-    * id would double its postings (dedup arrivals first). */
+    * id would double its postings (dedup arrivals first), with no
+    * runtime symptom until scores drift — set `assertNewIds` to pay
+    * one narrow semi-join (batch doc ids vs standing doc lengths,
+    * batch-sized) and fail loudly instead. Persisting the result:
+    * the output path must NOT be the standing index path — the
+    * standing frames are read lazily, so overwrite-in-place corrupts
+    * the index mid-write (the Steps wrapper enforces this). */
   def bm25IndexAppend(index: Bm25Index, batch: DataFrame, textCol: String,
                       idCol: String,
+                      assertNewIds: Boolean = false,
                       cache: graft.core.CacheHandle =
                         graft.core.CacheHandle()): Bm25Index = {
     val tfB = cache.persist(termFrequencies(batch, textCol, idCol))
+    if (assertNewIds) {
+      val clash = tfB.select("id").distinct()
+        .join(index.docLengths.select("id"), Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"bm25IndexAppend: batch re-ingests already-indexed id " +
+          s"'${clash.headOption.map(_.get(0)).orNull}' — dedup arrivals first")
+    }
     val dlB = tfB.groupBy("id").agg(sum("tf").as("dl"))
     val st = dlB.agg(count(lit(1)).as("n"), sum("dl").as("s")).head()
     val nB = st.getLong(0)

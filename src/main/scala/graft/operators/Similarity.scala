@@ -288,11 +288,18 @@ object Similarity {
             .getItem(0).as("cell"),
           posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        // nano-unit integer addends (the repo's integer-quantised-sums
+        // pattern): long sums are order-independent, so the fitted
+        // centroids are BIT-DETERMINISTIC across partitionings — a
+        // float sum here could flip near-tie cell assignments between
+        // otherwise-identical runs
+        .agg(sum(round(col("v") * 1e9).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone)
       upd.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / 1e9 / r.getLong(3)
       }
       shift = cents.indices.map { i =>
         var s = 0.0

@@ -155,7 +155,16 @@ object TopK {
     * path (batch only: window ranks are unsupported over streams, so
     * a streaming frame requires an integral id). NaN scores never
     * rank on either path: the heap rejects them ([[TopKIdsAgg]]) and
-    * the window variant filters them, so both paths agree. */
+    * the window variant filters them, so both paths agree.
+    *
+    * Precision note: the heap path carries the score as a Double
+    * (`0.0 - score`, cast back on the way out), so a LongType score
+    * with |value| > 2^53 loses low bits and can misrank or alias
+    * near-ties. Long scores that large are outside every registered
+    * use (counts, nano-quantised sums ≪ 9.2e15 stay exact); when a
+    * full-64-bit-exact long ranking matters, rank on a non-integral
+    * id (string) to take the window path, which compares longs
+    * natively. */
   def rankBy(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
              scoreCol: String, idCol: String, k: Int,
              rankCol: String = "rank"): org.apache.spark.sql.DataFrame = {

@@ -49,7 +49,14 @@ case class VectorOuterSumAgg(child: Expression, d: Int,
       val n = math.min(arr.numElements(), d)
       val x = new Array[Double](n)
       var i = 0
-      while (i < n) { x(i) = arr.getDouble(i); i += 1 }
+      // a vector with ANY null element is dropped whole: element-wise
+      // skipping would make the count/sums/outer-sums inconsistent
+      // (covariance over mismatched divisors), and getDouble on a null
+      // slot reads garbage
+      while (i < n) {
+        if (arr.isNullAt(i)) return buf
+        x(i) = arr.getDouble(i); i += 1
+      }
       buf(0) += 1.0
       i = 0
       while (i < n) { buf(1 + i) += x(i); i += 1 }
@@ -116,7 +123,13 @@ case class MatVecCentered(child: Expression, w: Array[Array[Double]],
     val d = math.min(arr.numElements(), center.length)
     val x = new Array[Double](d)
     var i = 0
-    while (i < d) { x(i) = arr.getDouble(i) - center(i); i += 1 }
+    // a null element projects as the center (zero contribution) —
+    // same "contributes nothing" stance as VectorPoolAgg, and safe
+    // against getDouble reading garbage from a null slot
+    while (i < d) {
+      x(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i) - center(i)
+      i += 1
+    }
     val out = new Array[Any](w.length)
     var r = 0
     while (r < w.length) {

@@ -642,8 +642,9 @@ object Oracles {
 
   /** Mirrors Q.searchRrf + Search.rrfFuse: reciprocal-rank fusion
     * (1/(60+rank) summed) of the [[searchBm25]] scorer and a
-    * (k1=0.5, b=0) variant, top-10 per query, ties toward the smaller
-    * doc_id. */
+    * (k1=0.5, b=0.35) variant, top-10 per query, ties toward the
+    * smaller doc_id (b kept > 0 so dl-independent exact score ties
+    * cannot arise — see the determinism note in Q.searchRrf). */
   val searchRrf: String =
     raw"""WITH toks AS (
       |  SELECT doc_id,

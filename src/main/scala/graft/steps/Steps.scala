@@ -481,13 +481,22 @@ object Steps {
       }),
 
     Step("bm25_index_append",
-      "Fold an arrival batch into a persisted BM25 index (no corpus re-scan)",
+      "Fold an arrival batch into a persisted BM25 index (no corpus " +
+        "re-scan); out must differ from index (lazy reads — in-place " +
+        "overwrite corrupts); assert_new_ids=true rejects re-ingested ids",
       (s, a) => {
+        // the standing frames are read lazily: writing over the same
+        // path would delete the files the append is still reading
+        require(java.nio.file.Paths.get(a("out")).toAbsolutePath.normalize !=
+          java.nio.file.Paths.get(a("index")).toAbsolutePath.normalize,
+          "bm25_index_append: out must not equal index (write to a new " +
+            "generation dir, then swap)")
         val h = graft.core.CacheHandle()
         try Search.bm25IndexWrite(Search.bm25IndexAppend(
           Search.bm25IndexRead(s, a("index")), read(s, a("in")),
           a.get("text_col").getOrElse("text"),
-          a.get("id_col").getOrElse("doc_id"), cache = h), a("out"))
+          a.get("id_col").getOrElse("doc_id"),
+          assertNewIds = a.bool("assert_new_ids", true), cache = h), a("out"))
         finally h.release()
       }),
 
