@@ -20,11 +20,53 @@ object Verify {
     // the driver sets no filter and dumps everything
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // engine-side golden digests for the no-DuckDB-oracle queries:
+    // enforced (loud marker on mismatch) only at the driver's 4-CPU
+    // config — see Goldens.expected for the partition-count caveat
+    val sfTag = new java.io.File(sfDir).getName
+    val enforceGoldens = cpus == "4"
+    val goldenRows = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        for {
+          bySf <- queries.Goldens.expected.get(name)
+          if !SparkEntry.oracleSql.contains(name)
+          exp <- bySf.get(sfTag)
+        } {
+          val got = queries.Goldens.canonicalDigest(
+            spark.read.parquet(s"$outDir/$name"))
+          val ok = got == exp
+          goldenRows += s"""{"query": ${jq(name)}, "expected": ${jq(exp)},
+            | "actual": ${jq(got)}, "match": $ok,
+            | "enforced": $enforceGoldens}""".stripMargin.replace("\n", "")
+          if (!ok && enforceGoldens) {
+            System.err.println(
+              s"[verify] $name GOLDEN MISMATCH: expected $exp got $got")
+            import spark.implicits._
+            Seq(s"golden digest mismatch: expected $exp got $got")
+              .toDF("__verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } else if (!ok)
+            System.err.println(s"[verify] $name golden differs (UNENFORCED" +
+              s" at $cpus cpus): expected $exp got $got")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // still write a marker result so the driver's dir enumeration
@@ -42,21 +84,13 @@ object Verify {
       // operators leave unpersist to the caller — drop per-query caches
       spark.sharedState.cacheManager.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // golden digest report — the engine-side correctness record for
+    // the no-oracle queries (the driver's check on those is rows-only)
+    Files.writeString(Paths.get(s"$outDir/goldens.json"),
+      goldenRows.mkString("[", ",", "]"))
     spark.stop()
   }
 }
