@@ -207,8 +207,14 @@ object Dedup {
     * rows — the hot-bucket quadratic that kills this plan at corpus
     * scale. Shingles above the cap are treated as stopwords (removed
     * from both the index and the per-document sizes, so Jaccard is
-    * computed over the informative shingle space). The sf0.1 testdata
-    * has no shingle anywhere near the default cap, so output there is
+    * computed over the informative shingle space). The default
+    * ([[AdaptiveShingleDF]]) derives the cap from the corpus size via
+    * [[adaptiveShingleCap]] — a FIXED default is a 100 TB foot-gun
+    * (one df=99k shingle under a 100k cap still yields ~4.9e9
+    * candidate pairs); pass an explicit positive cap to override.
+    * Dropped shingles are counted and reported on stderr (`[dedup]`)
+    * so truncation is never silent. The sf0.1 testdata's max shingle
+    * df is 25 — far under either cap form, so output there is
     * identical with or without it.
     *
     * The stop-shingle set is derived with a groupBy (map-side partial
@@ -222,7 +228,7 @@ object Dedup {
     * memory). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8,
-                        maxShingleDF: Int = 100000,
+                        maxShingleDF: Int = AdaptiveShingleDF,
                         cache: graft.core.CacheHandle =
                           graft.core.CacheHandle()): DataFrame =
     shinglePairStats(df, textCol, idCol, shingleSize, maxShingleDF, cache)
@@ -249,7 +255,7 @@ object Dedup {
     * informative (capped) shingle space. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleSize: Int = 3, threshold: Double = 0.9,
-                       maxShingleDF: Int = 100000,
+                       maxShingleDF: Int = AdaptiveShingleDF,
                        cache: graft.core.CacheHandle =
                          graft.core.CacheHandle()): DataFrame =
     shinglePairStats(df, textCol, idCol, shingleSize, maxShingleDF, cache)
@@ -263,27 +269,53 @@ object Dedup {
         col("_d.containment").as("containment"))
       .filter(col("containment") >= threshold)
 
+  /** Sentinel default for `maxShingleDF`: derive the stop-shingle cap
+    * from the corpus size via [[adaptiveShingleCap]]. */
+  val AdaptiveShingleDF: Int = 0
+
+  /** Corpus-size-derived stop-shingle DF cap: max(1000, nDocs/10⁴).
+    * Bounds the hot-bucket quadratic RELATIVE to scale — at 1e9 docs
+    * the cap is 1e5 (a df-at-cap shingle is 0.01% of the corpus: a
+    * genuine stop-phrase), while a fixed 1e5 cap at a 1e6-doc corpus
+    * would admit a shingle shared by 10% of all documents
+    * (~5e9 candidate pairs from one bucket). The 1000 floor keeps
+    * small/test corpora exact: at sf0.1 the max observed df is 25. */
+  def adaptiveShingleCap(nDocs: Long): Int =
+    math.min(math.max(1000L, nDocs / 10000L), Int.MaxValue.toLong).toInt
+
   /** Per undirected candidate pair (docs sharing ≥1 surviving
     * shingle): (idA, idB, common, nA, nB) with idA < idB — the shared
     * inverted-index core of [[ngramJaccardPairs]] and
-    * [[containmentPairs]]. Shingles above `maxShingleDF` documents are
-    * stop-phrases: dropped from the index AND the per-doc sizes, so
-    * every downstream measure is over the informative shingle space
-    * and the m²/2 hot-bucket join blow-up is structurally bounded. */
+    * [[containmentPairs]]. Shingles above the resolved DF cap
+    * (`maxShingleDF`, or [[adaptiveShingleCap]] when left at the
+    * [[AdaptiveShingleDF]] sentinel) are stop-phrases: dropped from
+    * the index AND the per-doc sizes, so every downstream measure is
+    * over the informative shingle space and the m²/2 hot-bucket join
+    * blow-up is structurally bounded. The dropped-shingle count is
+    * computed on the (tiny) stop set and reported on stderr — silent
+    * truncation would read as "covered everything" when it didn't. */
   private def shinglePairStats(df: DataFrame, textCol: String,
                                idCol: String, shingleSize: Int,
                                maxShingleDF: Int,
                                cache: graft.core.CacheHandle): DataFrame = {
+    val cap =
+      if (maxShingleDF > 0) maxShingleDF
+      else adaptiveShingleCap(df.count())
     // native one-pass shingle set (the HOF formulation re-slices the
     // token array per position through the interpreter — it was more
     // than half the query's cost at sf0.1)
     val sh0 = spread(df, idCol).select(col(idCol).as("id"),
       explode(graft.plans.SketchFunctions
         .distinctShingles(col(textCol), shingleSize)).as("shingle"))
-    val stopShingles = sh0
+    val stopShingles = cache.persist(sh0
       .groupBy("shingle").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxShingleDF)
-      .select("shingle")
+      .filter(col("_df") > cap)
+      .select("shingle"))
+    val nStop = stopShingles.count()
+    if (nStop > 0)
+      System.err.println(s"[dedup] shingle DF cap $cap dropped $nStop " +
+        s"stop-shingle(s) from the inverted index (similarity is over " +
+        s"the informative shingle space)")
     val sh = cache.persist(
       sh0.join(broadcast(stopShingles), Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))

@@ -127,6 +127,27 @@ class DedupSpec extends SparkSpec {
     assert(withDefault == withHugeCap && withDefault == Set((1L, 2L)))
   }
 
+  test("adaptive shingle cap: formula pins, and the default drops a " +
+    "planted stop-phrase at >1000 DF") {
+    // cap = max(1000, nDocs/1e4), saturating at Int.MaxValue
+    assert(Dedup.adaptiveShingleCap(0L) == 1000)
+    assert(Dedup.adaptiveShingleCap(10_000_000L) == 1000)
+    assert(Dedup.adaptiveShingleCap(100_000_000L) == 10000)
+    assert(Dedup.adaptiveShingleCap(1_000_000_000L) == 100000)
+    assert(Dedup.adaptiveShingleCap(Long.MaxValue) == Int.MaxValue)
+    // 1100 docs share one boilerplate shingle and are otherwise unique:
+    // under the adaptive default (cap=1000 here) the boilerplate is a
+    // stop-phrase — zero candidate pairs reach the join, vs the
+    // 1100·1099/2 hot-bucket rows a fixed 1e5 cap would admit
+    val big = (0 until 1100)
+      .map(i => (i.toLong, s"lorem ipsum dolor unique$i token$i word$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(big, "text", "doc_id",
+      threshold = 0.0).count() == 0)
+    assert(Dedup.ngramJaccardPairs(big, "text", "doc_id",
+      threshold = 0.0, maxShingleDF = 100000).count() == 1100L * 1099 / 2)
+  }
+
   test("native sketch expressions match the HOF formulations exactly") {
     val hof = docs.select(col("doc_id"),
       Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 64).as("sig"),
