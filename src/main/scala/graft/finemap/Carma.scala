@@ -285,12 +285,18 @@ object Carma {
           gi += 1
         }
 
-        if (workingS.isEmpty) {
+        if (workingS.isEmpty && groupMargins(1).isEmpty) {
+          // nothing addable (every variant already conditioned on):
+          // the chain has no move — keep the (empty) working model
+          s = conditionalS
+        } else if (workingS.isEmpty) {
           // cold start: sample an add-one model among the top half
           val aa0 = groupMargins(1)
           val mx = aa0.max
           val aa = aa0.map(_ - mx)
-          val minHalfLen = math.min(aa.length, p / 2)
+          // floor 1: at p=1 the integer half is 0 and take(0) would
+          // leave the cold-start sampler with no candidate to index
+          val minHalfLen = math.min(aa.length, math.max(1, p / 2))
           val topIdx = aa.indices.sortBy(i => -math.exp(aa(i))).take(minHalfLen)
           val probs = topIdx.map(i => math.exp(aa(i)))
           val total = probs.sum
@@ -309,8 +315,14 @@ object Carma {
             if (m.length > 1) {
               val idx = softmaxSample(m.toIndexedSeq, rng)
               starIdx(i) = idx; starMargin(i) = m(idx)
-            } else {
+            } else if (m.length == 1) {
               starIdx(i) = 0; starMargin(i) = m(0)
+            } else {
+              // empty candidate group (tiny p: e.g. the swap group
+              // when the model already holds the only variant) — no
+              // candidate to stand for this star; the null margin
+              // keeps the group from ever being chosen
+              starIdx(i) = 0; starMargin(i) = nullMargin
             }
             i += 1
           }
@@ -359,20 +371,29 @@ object Carma {
             }
           }
 
+          // degenerate-group guard (tiny p): a group may be defined
+          // but EMPTY (e.g. nothing to add/swap when the model holds
+          // every variant) — indexing it would throw. When the chosen
+          // group is empty, fall to the other candidate group; when no
+          // group has a candidate, the chain has no move and s stays
+          // (the convergence check then ends the loop). The rng draw
+          // sequence on healthy loci is unchanged.
+          def pickIfAny(g: Int): Boolean =
+            if (setGamma(g).isDefined && setGamma(g).get.nonEmpty) {
+              s = setGamma(g).get(starIdx(g)).toList; true
+            } else false
           if (workingS.length == numCausal) {
             // saturated: choose between remove-one and swap-one
             val margins2 = IndexedSeq(starMargin(0), starMargin(2))
             val pick = if (softmaxSample(margins2, rng) == 0) 0 else 2
-            s = setGamma(pick).get(starIdx(pick)).toList
+            if (!pickIfAny(pick)) pickIfAny(2 - pick)
           } else {
             val margins3 = IndexedSeq(starMargin(0), starMargin(1), starMargin(2))
             val pick = softmaxSample(margins3, rng)
-            if (setGamma(pick).isDefined && setGamma(pick).get.nonEmpty) {
-              s = setGamma(pick).get(starIdx(pick)).toList
-            } else {
+            if (!pickIfAny(pick)) {
               val margins23 = IndexedSeq(starMargin(1), starMargin(2))
               val pick2 = softmaxSample(margins23, rng) + 1
-              s = setGamma(pick2).get(starIdx(pick2)).toList
+              if (!pickIfAny(pick2)) pickIfAny(3 - pick2)
             }
           }
         }

@@ -89,6 +89,9 @@ object Goldens {
     "q_dedup_simhash" -> Map(
       "sf0.01" -> "17:aeedfc3f10c7a084:-10740014342736616752",
       "sf0.001" -> "27:67bec6f937edd3a8:7705187185958012492"),
+    "q_gx_finemap_e2e" -> Map(
+      "sf0.01" -> "275:21abc0acc6757df0:77834240016629439932",
+      "sf0.001" -> "36:d609648cb770530c:3841804710836459826"),
     "q_gx_pics" -> Map(
       "sf0.01" -> "32905:d27602edce554bd6:-761620942296608021500",
       "sf0.001" -> "3367:288b44feae1f95af:101712457955559769567"),

@@ -896,6 +896,78 @@ object Q {
         col("posteriorProbability"))
   }
 
+  /** CARMA→RAISS→SuSiE-inf fine-mapping chain end-to-end (no SQL
+    * oracle — iterative per-locus numerics; locked by a committed
+    * golden digest instead, and each kernel by its own golden spec).
+    * Mirrors the reference's chained run
+    * (reference: src/gentropy/susie_finemapper.py:546-611): per locus,
+    * CARMA expels LD-discordant outliers, RAISS imputes NULL-z
+    * variants from the observed set, SuSiE-inf fine-maps the result —
+    * all inside one executor task per locus via the cogroup mapper
+    * (the reference's per-locus driver toPandas loop never exists
+    * here).
+    *
+    * Inputs are synthesised deterministically from lineitem: 24 loci
+    * over a bounded orderkey slice; every 7th variant carries a NULL z
+    * (the imputation candidates); LD is the Ornstein-Uhlenbeck kernel
+    * exp(-|Δpos|/2e5) over synthetic positions — positive-definite by
+    * construction, so the per-locus numerics are well-posed. Each
+    * locus computes in ONE task: results are independent of
+    * partitioning and partition count (probed: digests identical at 4
+    * and 8 CPUs). */
+  def finemapE2e(s: SparkSession, dir: String): DataFrame = {
+    val vars = spread(s, t(s, dir, "lineitem"))
+      // fixed orderkey slice: the workload is CONSTANT across scale
+      // factors (a correctness anchor for the per-locus numerics, not
+      // a scan benchmark — the scan cost is negligible either way)
+      .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1 &&
+        col("l_orderkey") <= 12000)
+      .select(
+        concat(lit("L"), col("l_orderkey") % 16).as("locusId"),
+        concat(lit("v"), col("l_orderkey")).as("variantId"),
+        ((col("l_orderkey") * 37) % 1000000).cast("double").as("pos"),
+        col("l_partkey"), col("l_extendedprice"))
+    // marginal z consistent with the LD kernel by construction
+    // (z = R·λ for two planted causal variants per locus — the
+    // GWAS-marginal structure CARMA's discordance test expects): two
+    // causal sites at the locus' min/max position with effects 6 and
+    // 4, tiny deterministic noise, and a strong contradictory spike
+    // on every 23rd variant — the planted outliers CARMA must expel
+    val wl = Window.partitionBy("locusId")
+    val withZ = vars
+      .withColumn("c1", min("pos").over(wl))
+      .withColumn("c2", max("pos").over(wl))
+      .withColumn("z",
+        when(col("l_partkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(
+            lit(6.0) * exp(-abs(col("pos") - col("c1")) / 200000.0) +
+              lit(4.0) * exp(-abs(col("pos") - col("c2")) / 200000.0) +
+              lit(0.3) * sin(col("pos") / 50000.0) +
+              when(col("l_partkey") % 23 === 0, lit(-8.0))
+                .otherwise(lit(0.0))))
+      .select("locusId", "variantId", "pos", "z")
+    // the mapper's idx contract: row_number over (locusId, variantId)
+    val w = Window.partitionBy("locusId").orderBy("variantId")
+    val indexed = withZ.withColumn("idx",
+      (row_number().over(w) - 1).cast("int"))
+    val ld = indexed.select(col("locusId"), col("idx").as("i"),
+        col("pos").as("pi"))
+      .join(indexed.select(col("locusId"), col("idx").as("j"),
+        col("pos").as("pj")), Seq("locusId"))
+      .filter(col("i") < col("j"))
+      .select(col("locusId"), col("i"), col("j"),
+        exp(-abs(col("pi") - col("pj")) / 200000.0).as("r"))
+    graft.finemap.DistributedFineMapper
+      .finemapAll(s, withZ.select("locusId", "variantId", "z"), ld,
+        n = 100000, L = 5, coverage = 0.95,
+        runCarma = true, imputeMissing = true,
+        imputedR2Threshold = 0.5, ldScoreThreshold = 0.5)
+      .toDF()
+      .select(col("locusId").as("locus_id"), col("variantId").as("variant_id"),
+        q(col("pip"), 6).as("pip_q6"), q(col("logBF"), 6).as("log_bf_q6"),
+        col("inCredibleSet").cast("int").as("in_credible_set"))
+  }
+
   /** Embedding cosine near-dup pairs, exact (oracle-checked baseline
     * of the LSH-blocked embeddingDupPairs path). */
   def embeddingDup(s: SparkSession, dir: String): DataFrame =

@@ -62,6 +62,27 @@ class DistributedFineMapperSpec extends SparkSpec {
     assert(pips("v08") + pips("v09") > 0.8, s"pips=$pips")
   }
 
+  test("tiny loci survive the CARMA chain: p=1 and p=2 groups don't " +
+    "crash the sampler") {
+    // regression: CARMA's neighbour-group sampler indexed empty
+    // candidate groups (nothing to add/swap once the model holds the
+    // only variant) and the cold-start top-half take(p/2) was empty
+    // at p=1
+    val variants = Seq(
+      ("P1", "v00", Some(3.0)),
+      ("P2", "v00", Some(4.0)), ("P2", "v01", Some(0.1)),
+      ("P3", "v00", None: Option[Double])
+    ).toDF("locusId", "variantId", "z")
+    val ld = Seq(("P2", 0, 1, 0.4)).toDF("locusId", "i", "j", "r")
+    val out = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3, runCarma = true, imputeMissing = true).collect()
+    // P1 and P2 fine-map; P3 (single all-null locus) drops entirely
+    assert(out.count(_.locusId == "P1") == 1)
+    assert(out.count(_.locusId == "P2") == 2)
+    assert(!out.exists(_.locusId == "P3"))
+    assert(out.filter(_.locusId == "P1").head.pip > 0.0)
+  }
+
   test("RAISS imputation admits well-tagged null-z variants before SuSiE") {
     // v05's z is missing but it is in near-perfect LD with observed
     // variants → imputable; v11 is missing AND untagged → dropped

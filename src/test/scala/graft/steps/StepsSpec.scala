@@ -432,6 +432,43 @@ class StepsSpec extends SparkSpec {
     assert(flagged == Seq("s2"))
   }
 
+  test("susie_finemapping step drives the CARMA->RAISS->SuSiE chain " +
+    "off parquet") {
+    val varsIn = tmp("fm_vars")
+    val ldIn = tmp("fm_ld")
+    val out = tmp("fm_out")
+    // one locus: causal v04/v06 pair, v05 null-z but well tagged
+    // (imputable), and v09 carrying z=-9 while its 0.95-LD partners
+    // v08/v10 sit at z≈0 — the LD discordance CARMA's ridge test
+    // resolves by expelling the contradicting null partners (the
+    // strong candidate itself survives, as in the operator spec)
+    (0 until 12).map { i =>
+      val z: Option[Double] =
+        if (i == 5) None
+        else if (i == 4) Some(7.2) else if (i == 6) Some(7.0)
+        else if (i == 9) Some(-9.0) else Some(0.1)
+      ("A", f"v$i%02d", z)
+    }.toDF("locusId", "variantId", "z").write.parquet(varsIn)
+    (Seq(("A", 4, 5, 0.97), ("A", 5, 6, 0.97), ("A", 4, 6, 0.95),
+      ("A", 8, 9, 0.95), ("A", 9, 10, 0.95)) ++
+      (for (i <- 0 until 12; j <- (i + 1) until 12
+            if Set(i, j).intersect(Set(4, 5, 6, 8, 9, 10)).isEmpty)
+        yield ("A", i, j, 0.3)))
+      .toDF("locusId", "i", "j", "r").write.parquet(ldIn)
+    Steps.runFromArgs(spark, Seq("susie_finemapping",
+      s"in=$varsIn", s"ld=$ldIn", s"out=$out", "n=10000", "l=3",
+      "run_carma=true", "run_sumstat_imputation=true",
+      "ld_score_threshold=1.0"))
+    val got = spark.read.parquet(out)
+    val ids = got.select("variantId").collect().map(_.getString(0)).toSet
+    assert(ids.contains("v05"), s"imputed variant missing: $ids") // RAISS
+    assert(!ids.contains("v08") && !ids.contains("v10"),          // CARMA
+      s"discordant partners not expelled: $ids")
+    val pips = got.select("variantId", "pip").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pips("v04") + pips("v05") + pips("v06") > 0.8, s"pips=$pips")
+  }
+
   test("genetics lifecycle chain: sumstats -> clump -> LD -> PICS -> coloc -> L2G score") {
     import StepsSpecFixtures._
     // 40 independent GWAS loci (s1) + one eQTL locus (s2) overlapping
