@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * ever materialises a dense matrix outside a per-locus executor task.
   *
   * One-time export recipe for users holding raw Hail-format LD (run
-  * wherever Hail is installed; public Hail API only):
+  * wherever Hail is installed; public Hail API only). A complete,
+  * banded/prefiltered version of this recipe ships as
+  * `tools/hail_export_ld.py` (sparsify_band before entries() — the
+  * full 14M×14M GnomAD triangle is ~1e14 cells without it):
   * {{{
   *   import hail as hl
   *   hl.init()
