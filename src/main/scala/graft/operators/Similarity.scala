@@ -912,24 +912,45 @@ object Similarity {
     * anti-join — tiny by construction, so the cap adds no shuffle to
     * the candidate join itself. The assignment frame is persisted via
     * `cache` (it feeds the cell counts and both self-join sides); call
-    * `cache.release()` after consuming. */
+    * `cache.release()` after consuming.
+    *
+    * Assignment is one tight in-row argmax over the collected
+    * (KB-scale, id-ordered) centroid matrix via
+    * [[graft.plans.NearestCells]] on UNIT-NORMALISED centroids:
+    * argmin ‖x−ĉ‖² ≡ argmax x·ĉ ≡ argmax cos(x, c), with equal-cosine
+    * ties resolving to the lower centroid id on both formulations.
+    * The r9 sf10 scale rehearsal killed the previous formulation
+    * (corpus × centroids crossJoin + per-id window top-1): with seed
+    * counts proportional to the corpus it materialised N²/100
+    * embedding-carrying rows through a spilling sort — 15+ min at
+    * 200k×2000 where this path takes seconds. */
   def semanticDupPairs(embeddings: DataFrame, centroids: DataFrame,
                        threshold: Double = 0.9,
                        maxCellSize: Long = 100000L,
                        cache: graft.core.CacheHandle =
                          graft.core.CacheHandle()): DataFrame = {
-    val cents = centroids.select(col("id").as("centId"),
-      col("embedding").as("cv"), norm(col("embedding")).as("_ncv"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("csim").desc_nulls_last, col("centId"))
+    // bounded by contract: the seed frame is small (it previously
+    // broadcast); id-ascending order makes NearestCells' ties-by-index
+    // equal ties-by-smaller-centId
+    val centRows = centroids
+      .select(col("id").cast("long").as("centId"),
+        col("embedding").cast("array<double>").as("cv"))
+      .orderBy("centId").collect()
+    require(centRows.nonEmpty, "semanticDupPairs needs >= 1 centroid")
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
     val assigned = cache.persist(embeddings
       .select(col("id"), col("embedding"), norm(col("embedding")).as("_n"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        cosineWithNorms(dot(col("embedding"), col("cv")), col("_n"), col("_ncv")))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col("id"), col("embedding"), col("_n"), col("centId").as("cell")))
+      .withColumn("cell",
+        element_at(
+          typedLit(centIds.toSeq),
+          graft.plans.SketchFunctions
+            .nearestCells(col("embedding").cast("array<double>"), centVecs, 1)
+            .getItem(0) + 1)))
     val hotCells = assigned
       .groupBy("cell").agg(count(lit(1)).as("_m"))
       .filter(col("_m") > maxCellSize)
