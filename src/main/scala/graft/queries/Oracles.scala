@@ -587,7 +587,8 @@ object Oracles {
     * update. */
   val kmeansStep: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c0 AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % 100 = 0),
+      |c0 AS (SELECT id AS cent_id, v AS cv FROM e
+      |       WHERE id % 100 = 0 AND id < 2000),
       |c AS (SELECT cent_id, cv,
       |             row_number() OVER (ORDER BY cent_id) - 1 AS cell FROM c0),
       |sim AS (
