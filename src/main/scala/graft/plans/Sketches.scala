@@ -301,26 +301,40 @@ case class DistinctShingles(child: Expression, shingleSize: Int)
 /** Native dot product of two double arrays: one tight loop per row.
   * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
   * allocates an intermediate array and interprets 2 lambdas per
-  * element — measured ~50× slower across a 12.5M-pair join. */
+  * element — measured ~50× slower across a 12.5M-pair join. Generates
+  * a static-kernel call instead of falling back (a fallback breaks
+  * the surrounding WholeStageCodegen span and boxes through the eval
+  * path — this expression runs once per CANDIDATE PAIR, the hottest
+  * site in every similarity join). */
 case class DotProduct(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.DotProduct.kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+object DotProduct {
+  /** Static kernel, callable from generated code. */
+  def kernel(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
-
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
 }
 
 /** Indices of the `nProbe` centroids nearest to the embedding
@@ -328,17 +342,38 @@ case class DotProduct(left: Expression, right: Expression)
   * coarse-quantiser cell assignment as one tight loop per row over
   * the (tiny, plan-embedded) centroid matrix. Replaces the per-row
   * Scala UDF over a broadcast model: same arithmetic, no
-  * serialisation boundary, composes with codegen like [[DotProduct]].
-  */
+  * serialisation boundary. Generates a static-kernel call with the
+  * centroid matrix passed as a codegen reference object — this runs
+  * N×k multiply-adds per corpus scan (SemDeDup/IVF/k-means
+  * assignment, the dominant FLOP term at scale), where a fallback
+  * would box every row out of the WholeStageCodegen span. */
 case class NearestCells(child: Expression, centroids: Array[Array[Double]],
                         nProbe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
-  override protected def nullSafeEval(emb: Any): Any = {
-    val arr = emb.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(emb: Any): Any =
+    NearestCells.kernel(emb.asInstanceOf[ArrayData], centroids, nProbe)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.NearestCells.kernel($c, $ref, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+object NearestCells {
+  /** Static kernel, callable from generated code. */
+  def kernel(arr: ArrayData, centroids: Array[Array[Double]],
+             nProbe: Int): ArrayData = {
     val dims = arr.numElements()
     val x = new Array[Double](dims)
     var i = 0
@@ -361,9 +396,6 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     while (i < take) { out(i) = order(i); i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): NearestCells =
-    copy(child = c)
 }
 
 /** Product-quantisation codes, PACKED TO BINARY (m bytes per vector —
