@@ -62,8 +62,55 @@ object ScaleUp {
     }.reduce(_ unionByName _)
   }
 
+  /** Key-shifted N× clone of a table: listed key columns are offset by
+    * copy × stride so every copy occupies a disjoint key range. Used
+    * for the genetics-family rehearsal, whose queries derive their
+    * group keys (study-locus ids, tag-variant ids) from RAW
+    * lineitem/orders/part keys — so a shifted clone scales the number
+    * of loci / tags / variants exactly N× while per-group density
+    * (tags per locus, loci per tag bucket) stays O(1), the 100 TB
+    * shape. Moduli-derived metadata dimensions (studyId = key % 5,
+    * the 50-gene universe, the 500-QTL-locus space) stay fixed by
+    * construction — deliberately: genomes don't grow with data volume.
+    * Strides are passed in (not per-table maxima) so foreign keys stay
+    * consistent across tables (lineitem.l_partkey ↔ part.p_partkey). */
+  def shiftClone(df: DataFrame, factor: Int, shifts: Map[String, Long]): DataFrame =
+    (0 until factor).map { i =>
+      if (i == 0) df
+      else shifts.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(i * stride))
+      }
+    }.reduce(_ unionByName _)
+
+  /** Clone the three TPC-H tables the genetics queries read. */
+  def scaleTpch(spark: SparkSession, srcDir: String, destDir: String,
+                factor: Int, cpus: Int): Unit = {
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    val strideO = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val strideP = part.agg(max("p_partkey")).head().getLong(0) + 1L
+    val strideC = orders.agg(max("o_custkey")).head().getLong(0) + 1L
+    shiftClone(lineitem, factor,
+      Map("l_orderkey" -> strideO, "l_partkey" -> strideP))
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
+    shiftClone(orders, factor,
+      Map("o_orderkey" -> strideO, "o_custkey" -> strideC))
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
+    shiftClone(part, factor, Map("p_partkey" -> strideP))
+      .repartition(cpus)
+      .write.mode("overwrite").parquet(s"$destDir/part.parquet")
+    println(s"SCALEUP done: $destDir at $factor x " +
+      s"lineitem=${spark.read.parquet(s"$destDir/lineitem.parquet").count()} " +
+      s"orders=${spark.read.parquet(s"$destDir/orders.parquet").count()} " +
+      s"part=${spark.read.parquet(s"$destDir/part.parquet").count()}")
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, destDir, factorS) = args
+    val (srcDir, destDir, factorS) = (args(0), args(1), args(2))
+    val tpch = args.length > 3 && args(3) == "tpch"
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -72,6 +119,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (tpch) {
+      scaleTpch(spark, srcDir, destDir, factor, cpus.toInt)
+      spark.stop()
+      return
+    }
     scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")

@@ -47,12 +47,21 @@ object WindowBasedClumping {
 
   /** Greedy lead selection over positions sorted by ascending p-value:
     * 1.0 = lead, 0.0 = clumped into an earlier lead.
-    * reference: src/gentropy/method/window_based_clumping.py:114-153 */
+    * reference: src/gentropy/method/window_based_clumping.py:114-153
+    *
+    * A lead within `window` of candidate p can only be the nearest
+    * lead below or above it, so an ordered set with floor/ceiling
+    * lookups decides each candidate in O(log leads) — O(n log L) per
+    * cluster instead of the naive O(n·L) scan, which at dense
+    * positions (one mega-cluster per chromosome, ~10⁴ leads) is the
+    * difference between milliseconds and minutes in a single task. */
   private[operators] def pruneLeads(positions: Seq[Long], window: Long): Seq[Double] = {
-    val leads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val leads = new java.util.TreeSet[java.lang.Long]()
     positions.map { p =>
-      if (leads.exists(l => math.abs(l - p) < window)) 0.0
-      else { leads += p; 1.0 }
+      val lo = leads.floor(p)
+      val hi = leads.ceiling(p)
+      if ((lo != null && p - lo < window) || (hi != null && hi - p < window)) 0.0
+      else { leads.add(p); 1.0 }
     }
   }
 
@@ -79,41 +88,44 @@ object WindowBasedClumping {
     * flagged as leads too (deterministic; the reference breaks such
     * ties arbitrarily by row order). */
   def clump(df: DataFrame, distance: Int = 500000): DataFrame = {
-    // Single-pass shape: the sessionisation window shuffles once on
-    // (studyId, chromosome); every later step is a window over
-    // (studyId, chromosome, cluster_id), whose ClusteredDistribution is
-    // already satisfied by that partitioning — in-partition sorts only,
-    // no join-back, no second execution of the sessionisation (the old
-    // groupBy+join formulation ran the full (studyId, chromosome)
-    // shuffle+sort twice: once for the aggregate, once for the probe).
+    // The sessionisation window shuffles once on (studyId, chromosome);
+    // everything else keys on (studyId, chromosome, cluster_id).
     val withCluster = df.withColumn("cluster_id",
       clusterPeaks(col("studyId"), col("chromosome"), col("position"), distance))
 
-    val byCluster =
-      Window.partitionBy(col("studyId"), col("chromosome"), col("cluster_id"))
-    // Whole-partition frames: Spark evaluates each aggregate ONCE per
-    // cluster (UnboundedWindowFunctionFrame). Order matters for row
-    // width: the collect_list array is born inside the same projection
-    // that consumes it (`when(rn=1, udf(...))` — CaseWhen branches are
-    // lazy, so the greedy kernel runs once per cluster), so no later
-    // sort or window ever carries an O(cluster)-wide row. A first
-    // attempt that kept `_tags` as a column pushed the fat arrays
-    // through two window sorts and was 7× slower than the join it
-    // replaced.
+    // Lead membership via a join against the exploded per-cluster lead
+    // set, computed by a groupBy AGGREGATE — deliberately NOT by a
+    // window. Two earlier window shapes died at mega-cluster density
+    // (dense positions fusing a chromosome into one 400k-row cluster,
+    // caught by the 100× scale rehearsal): (1) `first(leads).over`
+    // carried the ~10⁴-element lead array on every row and probed it
+    // with a per-row O(L) array_contains; (2) even computing
+    // `collect_list(...).over(unbounded)` once per frame, WindowExec's
+    // output projection WRITES the result array into every output row
+    // — stack-sampled at UnsafeWriter.writeAlignedBytes, O(cluster²)
+    // bytes, unbenchable. The aggregate materialises each cluster's
+    // array exactly once, the greedy kernel explodes it into one slim
+    // row per lead (bounded by cluster span / distance), and the
+    // marker join is an equi-join the planner broadcasts while the
+    // lead set is small — AQE falls back to a shuffled join past the
+    // broadcast threshold. Cost vs the old single-pass: one extra
+    // (well-distributed, cluster-keyed) shuffle of 3 numeric columns.
+    val clusterLeads = withCluster
+      .groupBy(col("studyId"), col("chromosome"), col("cluster_id"))
+      .agg(array_sort(collect_list(struct(
+        col("pValueExponent"), col("pValueMantissa"),
+        col("position").cast("long").as("position")))).as("_sorted"))
+      .select(col("studyId"), col("chromosome"), col("cluster_id"),
+        explode(leadPositionsUdf(
+          transform(col("_sorted"), t => t.getField("position")),
+          lit(distance.toLong))).as("_posL"))
+      .withColumn("_isLead", lit(true))
     val joined = withCluster
-      .withColumn("_rn",
-        row_number().over(byCluster.orderBy(col("position"))))
-      .withColumn("_leadsOnFirst",
-        when(col("_rn") === 1, leadPositionsUdf(
-          transform(array_sort(collect_list(struct(
-            col("pValueExponent"), col("pValueMantissa"),
-            col("position").cast("long").as("position"))).over(byCluster)),
-            t => t.getField("position")),
-          lit(distance.toLong))))
-      .withColumn("leadPositions",
-        first(col("_leadsOnFirst"), ignoreNulls = true).over(byCluster))
-      .drop("_rn", "_leadsOnFirst")
-    val notLead = !array_contains(col("leadPositions"), col("position").cast("long"))
+      .withColumn("_posL", col("position").cast("long"))
+      .join(clusterLeads,
+        Seq("studyId", "chromosome", "cluster_id", "_posL"), "left")
+      .drop("_posL")
+    val notLead = col("_isLead").isNull
     val qc =
       if (df.columns.contains("qualityControls"))
         ArrayFns.updateQualityFlag(col("qualityControls"), notLead, WindowClumpedFlag)
@@ -125,7 +137,7 @@ object WindowBasedClumping {
       .withColumn("studyLocusId",
         ArrayFns.generateIdentifier(Seq(col("studyId"), col("variantId"))))
       .withColumn("qualityControls", qc)
-      .drop("cluster_id", "leadPositions")
+      .drop("cluster_id", "_isLead")
   }
 
   /** Leads only — rows that survived clumping. */

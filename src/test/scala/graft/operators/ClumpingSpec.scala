@@ -12,6 +12,22 @@ class ClumpingSpec extends SparkSpec {
       Seq(1.0, 1.0, 0.0, 0.0, 1.0))
   }
 
+  test("pruneLeads floor/ceiling kernel is equivalent to the naive scan") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 100) {
+      val n = 1 + rnd.nextInt(300)
+      val window = 1L + rnd.nextInt(50)
+      val positions = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      val leads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val naive = positions.map { p =>
+        if (leads.exists(l => math.abs(l - p) < window)) 0.0
+        else { leads += p; 1.0 }
+      }
+      assert(WindowBasedClumping.pruneLeads(positions, window) == naive,
+        s"window=$window positions=$positions")
+    }
+  }
+
   private def sumstats = Seq(
     // s1 chr1: cluster [100, 300] (gap 200 <= 500), then far cluster [5000]
     ("s1", "1", 100, "1_100_A_T", 1.0f, -10),
