@@ -9,73 +9,115 @@ import org.apache.spark.sql.functions._
   * the ldSet) to a more significant lead in the same study/chromosome.
   *
   * Semantics match the reference (reference:
-  * src/gentropy/method/clump.py:19-80): running collect_set of
-  * stronger leads ordered by p-value; a lead is linked when more than
-  * one of {lead} ∪ ldSet tags appears among the stronger leads
-  * (itself included).
+  * src/gentropy/method/clump.py:19-64): a lead is linked when more
+  * than one of {lead} ∪ ldSet tags appears among the leads at equal or
+  * stronger p-value. Since the lead itself always counts once, this is
+  * equivalent to: ∃ tag t ≠ variantId in the row's ldSet such that t
+  * is some row's lead variant with strictly-stronger
+  * (pValueExponent, pValueMantissa) in the same (studyId, chromosome).
   *
-  * Scale design: the running collect_set grows with the partition —
-  * fine for per-(study, chromosome) lead counts (thousands), which is
-  * the bound the reference relies on. Against degenerate inputs (raw
-  * variants fed in as "leads"), [[clump]] caps the running state: a
-  * cheap groupBy count finds partitions with more than
-  * `maxLeadsPerPartition` leads (broadcast back — the same
-  * groupBy-derived stop-set pattern as the dedup hot-bucket caps), and
-  * leads ranked past the cap in those partitions contribute null to
-  * the collect_set (collect_set drops nulls, so window state stays
-  * ≤ cap) and are themselves conservatively flagged as clumped.
-  * Partitions under the cap are byte-identical to the uncapped path.
+  * Scale design — the reference shape (running `collect_set` window,
+  * kept verbatim in [[isLeadLinked]] for parity testing) materialises
+  * an O(rank)-sized array into EVERY output row: O(partition²) element
+  * copies on a mega partition, the exact WindowExec shape the 100×
+  * rehearsal proved unbenchable for window clumping. [[clump]] instead
+  * uses the equivalent aggregate/explode/equi-join plan:
+  *
+  *  1. `leadBest`: groupBy (studyId, chromosome, variantId) → min
+  *     (exponent, mantissa) struct — the strongest appearance of each
+  *     lead (map-side combinable, O(1) state per key).
+  *  2. explode each row's tag set (tags ≠ own lead), equi-join on
+  *     (studyId, chromosome, tag = lead) — ≤ 1 match per exploded tag,
+  *     so output is bounded by Σ|ldSet|, never by partition².
+  *  3. keep pairs where the matched lead is strictly stronger; distinct
+  *     row keys; left-join the flag back.
+  *
+  * Every stage is a linear shuffle on real keys; no per-row growing
+  * state, so no degenerate-partition cap is needed (the previous
+  * `maxLeadsPerPartition` guard existed only to bound the window
+  * state and is gone with the window).
+  *
+  * Tie handling: the reference's ROWS-frame window makes ties in
+  * (exponent, mantissa) order-dependent (whichever tied row is
+  * physically later sees the other). Here ties break deterministically
+  * by lead variantId ascending — identical to the reference whenever
+  * p-values are injective within a partition. Null p-value components
+  * are not compared (rows with null exponent/mantissa neither link nor
+  * get linked through the comparison), matching the non-null p-value
+  * contract of the reference StudyLocus schema.
   */
 object LDClumping {
 
   val LdClumpedFlag = "LD_CLUMPED"
 
-  /** `overflow`: rows excluded from the running set (and flagged);
-    * pass `lit(false)` for the uncapped reference semantics. */
+  /** Reference-shape kernel (running collect_set window), verbatim
+    * from reference clump.py:41-64. O(partition²) on degenerate
+    * partitions — kept ONLY as the parity baseline for
+    * LDClumpingL2GSpec; production path is [[clump]]'s join shape. */
   def isLeadLinked(studyId: Column, chromosome: Column, variantId: Column,
                    pValueExponent: Column, pValueMantissa: Column,
-                   ldSet: Column, overflow: Column = lit(false)): Column = {
+                   ldSet: Column): Column = {
     val w = Window.partitionBy(studyId, chromosome)
       .orderBy(pValueExponent.asc, pValueMantissa.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // overflow rows contribute null -> dropped by collect_set -> the
-    // running state never exceeds the cap rank
-    val strongerLeads =
-      collect_set(when(overflow, lit(null)).otherwise(variantId)).over(w)
+    val strongerLeads = collect_set(variantId).over(w)
     val tagsInLocus = array_distinct(array_union(
       array(variantId),
       transform(coalesce(ldSet, array().cast("array<struct<tagVariantId:string,r2Overall:double>>")),
         t => t.getField("tagVariantId"))))
     when(variantId.isNull, lit(false))
-      .when(overflow, lit(true))
       .otherwise(size(array_intersect(strongerLeads, tagsInLocus)) > 1)
   }
 
   /** Flag LD-clumped rows and null out their locus. */
-  def clump(associations: DataFrame,
-            maxLeadsPerPartition: Int = 100000): DataFrame = {
-    // stop-set of degenerate (study, chromosome) partitions; empty (and
-    // the broadcast trivial) on any sane input
-    val hot = associations
-      .groupBy("studyId", "chromosome").count()
-      .filter(col("count") > maxLeadsPerPartition)
-      .select(col("studyId"), col("chromosome"), lit(true).as("_hot"))
-    val rankW = Window.partitionBy(col("studyId"), col("chromosome"))
-      .orderBy(col("pValueExponent").asc, col("pValueMantissa").asc)
-    val overflow = coalesce(col("_hot"), lit(false)) &&
-      row_number().over(rankW) > maxLeadsPerPartition
-    val linked = isLeadLinked(col("studyId"), col("chromosome"),
-      col("variantId"), col("pValueExponent"), col("pValueMantissa"),
-      col("ldSet"), col("_overflow"))
+  def clump(associations: DataFrame): DataFrame = {
+    val rowKey = Seq("studyId", "chromosome", "variantId",
+      "pValueExponent", "pValueMantissa")
+    // strongest appearance of each lead variant per (study, chromosome)
+    val leadBest = associations
+      .filter(col("variantId").isNotNull)
+      .groupBy(col("studyId").as("_lb_study"),
+        col("chromosome").as("_lb_chrom"),
+        col("variantId").as("_lb_lead"))
+      .agg(min(struct(col("pValueExponent").as("e"),
+        col("pValueMantissa").as("m"))).as("_lb_best"))
+    // (row, tag) pairs for tags other than the row's own lead
+    val tagPairs = associations
+      .filter(col("variantId").isNotNull)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        col("pValueExponent"), col("pValueMantissa"),
+        explode(array_distinct(transform(
+          coalesce(col("ldSet"),
+            array().cast("array<struct<tagVariantId:string,r2Overall:double>>")),
+          t => t.getField("tagVariantId")))).as("_tag"))
+      .filter(col("_tag").isNotNull && col("_tag") =!= col("variantId"))
+    // linked ⇔ the tag is a lead with strictly-stronger p-value
+    // (ties broken by lead id ascending — see scaladoc)
+    val own = struct(col("pValueExponent").as("e"),
+      col("pValueMantissa").as("m"))
+    val linkedKeys = tagPairs
+      .join(leadBest,
+        col("studyId") <=> col("_lb_study") &&
+          col("chromosome") <=> col("_lb_chrom") &&
+          col("_tag") === col("_lb_lead"))
+      .filter(col("_lb_best") < own ||
+        (col("_lb_best") === own && col("_lb_lead") < col("variantId")))
+      .select(rowKey.zip(rowKey.map("_lk_" + _)).map {
+        case (c, a) => col(c).as(a) }: _*)
+      .distinct()
+      .withColumn("_linked", lit(true))
+    // null-safe back-join so null studyId/chromosome partitions (a
+    // partition of their own in the reference window) keep their flag
     associations
-      .join(broadcast(hot), Seq("studyId", "chromosome"), "left")
-      .withColumn("_overflow", overflow)
-      .withColumn("_linked", linked)
+      .join(linkedKeys,
+        rowKey.map(c => col(c) <=> col("_lk_" + c)).reduce(_ && _), "left")
+      .withColumn("_linked", coalesce(col("_linked"), lit(false)))
+      .drop(rowKey.map("_lk_" + _): _*)
       .withColumn("qualityControls",
         ArrayFns.updateQualityFlag(col("qualityControls"), col("_linked"),
           LdClumpedFlag))
       .withColumn("locus",
         when(col("_linked"), lit(null)).otherwise(col("locus")))
-      .drop("_linked", "_overflow", "_hot")
+      .drop("_linked")
   }
 }

@@ -1914,8 +1914,12 @@ object Oracles {
       |SELECT a."rowId", b."variantId", b.position
       |FROM assoc a LEFT JOIN best b USING ("rowId")""".stripMargin
 
-  /** Mirrors Q.ldClump + LDClumping.isLeadLinked (running collect_set
-    * window intersected with {lead} ∪ ldSet tags). */
+  /** Mirrors Q.ldClump + LDClumping.clump. The oracle keeps the
+    * reference's declarative window shape (running collect_set
+    * intersected with {lead} ∪ ldSet tags); the engine computes the
+    * same relation with the linear aggregate/explode/equi-join plan —
+    * equivalence is exactly what the hash compare certifies (p-values
+    * are injective in the synthesis, so ties cannot split them). */
   val ldClump: String =
     """WITH grouped AS (
       |  SELECT l_partkey % 2000 AS vkey, 's' || (l_orderkey % 5) AS "studyId",

@@ -34,31 +34,60 @@ class LDClumpingL2GSpec extends SparkSpec {
       ("2", "v1", false, false)))
   }
 
-  test("LD clumping caps running state on a degenerate partition") {
-    // 500 mutually-unlinked leads in ONE (study, chromosome): with the
-    // cap at 50, ranks 1-50 are evaluated against a running set that
-    // never exceeds 50 entries (overflow rows contribute null to the
-    // collect_set) and stay unflagged; ranks 51+ are conservatively
-    // flagged instead of growing the window state.
-    val df = (1 to 500).map { i =>
-      ("s1", "1", f"v$i%04d", 1.0f, -100 + i,
-        Some(Seq(Ld2(s"x$i", Some(0.9)))),
-        Some(Seq(Tag2(f"v$i%04d", Some(1.0)))))
+  test("LD clumping join shape matches the reference window shape") {
+    // randomized parity: injective p-values (the reference's ROWS-frame
+    // window is order-dependent under ties), dense tag overlap so both
+    // linked and unlinked rows occur, several (study, chromosome)
+    // partitions, some empty/absent-tag ldSets and null variantIds
+    val rnd = new scala.util.Random(20260814)
+    val rows = (0 until 400).map { i =>
+      val vid = if (i % 97 == 0) null else s"v${rnd.nextInt(60)}_${i % 3}"
+      val tags = Seq.fill(rnd.nextInt(4))(Ld2(s"v${rnd.nextInt(60)}_${i % 3}",
+        Some(rnd.nextDouble())))
+      (s"s${i % 2}", s"${i % 3}", vid,
+        (1.0f + rnd.nextInt(899) / 100.0f), -4 - rnd.nextInt(12),
+        Some(tags), Some(Seq(Tag2(s"t$i", Some(1.0)))))
+    }
+    // injective order key: perturb mantissa by a unique epsilon
+    val df = rows.zipWithIndex.map { case ((s, c, v, m, e, ld, lo), i) =>
+      (s, c, v, m + i * 1e-4f, e, ld, lo)
     }.toDF("studyId", "chromosome", "variantId", "pValueMantissa",
       "pValueExponent", "ldSet", "locus")
       .withColumn("qualityControls", lit(null).cast("array<string>"))
-    val out = LDClumping.clump(df, maxLeadsPerPartition = 50)
-      .select(col("pValueExponent"),
+    val joined = LDClumping.clump(df)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        col("pValueMantissa"),
         array_contains(coalesce(col("qualityControls"), array()),
           LDClumping.LdClumpedFlag).as("clumped"))
-      .as[(Int, Boolean)].collect()
-    assert(out.count(!_._2) == 50)
-    assert(out.filter(_._2).map(_._1).min == -100 + 51)
-    // under the cap the guarded path is byte-identical to the plain one
-    val capped = LDClumping.clump(df).select("variantId", "qualityControls")
-    val plain = LDClumping.clump(df, maxLeadsPerPartition = Int.MaxValue)
-      .select("variantId", "qualityControls")
-    assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
+    val windowed = df.select(col("studyId"), col("chromosome"),
+      col("variantId"), col("pValueMantissa"),
+      LDClumping.isLeadLinked(col("studyId"), col("chromosome"),
+        col("variantId"), col("pValueExponent"), col("pValueMantissa"),
+        col("ldSet")).as("clumped"))
+    assert(joined.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(joined).isEmpty)
+    assert(joined.filter(col("clumped")).count() > 10) // non-trivial
+  }
+
+  test("LD clumping is linear on a degenerate mega-partition") {
+    // 50k leads in ONE (study, chromosome) — the shape that made the
+    // old running-collect_set window O(partition²). The join shape's
+    // work is bounded by Σ|ldSet|; every even rank links to the
+    // adjacent stronger odd rank, odd ranks stay independent.
+    val df = (1 to 50000).map { i =>
+      val partner = if (i % 2 == 0) s"v${i - 1}" else s"x$i"
+      (s"s1", "1", s"v$i", 1.0f, -200000 + i,
+        Some(Seq(Ld2(partner, Some(0.9)))),
+        Some(Seq(Tag2(s"v$i", Some(1.0)))))
+    }.toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+      "pValueExponent", "ldSet", "locus")
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    val flagged = LDClumping.clump(df)
+      .filter(array_contains(coalesce(col("qualityControls"), array()),
+        LDClumping.LdClumpedFlag))
+      .select("variantId").as[String].collect()
+    assert(flagged.length == 25000 &&
+      flagged.forall(_.stripPrefix("v").toInt % 2 == 0))
   }
 
   test("L2G distance features: mean weighted, sentinel, neighbourhood") {
