@@ -33,10 +33,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // engine-side golden digests for the no-DuckDB-oracle queries:
-    // enforced (loud marker on mismatch) only at the driver's 4-CPU
-    // config — see Goldens.expected for the partition-count caveat
+    // enforced unconditionally (every digest is partition-count
+    // invariant — see Goldens.expected)
     val sfTag = new java.io.File(sfDir).getName
-    val enforceGoldens = cpus == "4"
+    val enforceGoldens = true
     val goldenRows = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -88,9 +88,13 @@ object Verify {
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // golden digest report — the engine-side correctness record for
-    // the no-oracle queries (the driver's check on those is rows-only)
+    // the no-oracle queries (the driver's check on those is rows-only).
+    // Also echoed to stdout so the value check is visible in the
+    // driver's log even when only artifacts are read; a per-round
+    // snapshot of this file is committed as GOLDENS_r{N}.json.
     Files.writeString(Paths.get(s"$outDir/goldens.json"),
       goldenRows.mkString("[", ",", "]"))
+    goldenRows.foreach(r => println(s"[verify] golden $r"))
     spark.stop()
   }
 }

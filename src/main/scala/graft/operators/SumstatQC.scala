@@ -36,13 +36,23 @@ object SumstatQC {
         mean("diffpval").as("mean_diff_pz"),
         stddev("diffpval").as("se_diff_pz"))
 
-  /** Genomic-control lambda: median Z² over the χ²(1) median. */
-  def gcLambdaCheck(gwas: DataFrame): DataFrame =
+  /** Genomic-control lambda: median Z² over the χ²(1) median.
+    *
+    * `exact = false` (default) matches the reference's
+    * `percentile_approx` (sumstat_quality_controls.py:160-165) — the
+    * scale-correct choice (O(1) sketch per group), but its sketch
+    * merges are partition-count-sensitive at the ulp level. `exact =
+    * true` uses Spark's exact `percentile` (O(distinct z² per study)
+    * memory — fine per study, and the partition-invariant choice for
+    * golden-digest-locked outputs). */
+  def gcLambdaCheck(gwas: DataFrame, exact: Boolean = false): DataFrame =
     gwas
       .select(col("studyId"),
         pow(col("beta") / col("standardError"), 2).as("z2"))
       .groupBy("studyId")
-      .agg(percentile_approx(col("z2"), lit(0.5), lit(10000)).as("gc_lambda"))
+      .agg((if (exact) expr("percentile(z2, 0.5)")
+            else percentile_approx(col("z2"), lit(0.5), lit(10000)))
+        .as("gc_lambda"))
       .withColumn("gc_lambda", col("gc_lambda") / StatMath.chi2Ppf(0.5, 1.0))
 
   /** Effective-sample-size ratio spread (needs allele frequencies). */
@@ -78,10 +88,11 @@ object SumstatQC {
         math.log10(pValThreshold)).cast("int")).as("n_variants_sig"))
 
   /** Full battery assembled with outer joins on studyId. */
-  def qualityControlMetrics(gwas: DataFrame, pValThreshold: Double = 1e-8): DataFrame =
+  def qualityControlMetrics(gwas: DataFrame, pValThreshold: Double = 1e-8,
+                            exactPercentiles: Boolean = false): DataFrame =
     betaCheck(gwas)
       .join(pzCheck(gwas), Seq("studyId"), "outer")
-      .join(gcLambdaCheck(gwas), Seq("studyId"), "outer")
+      .join(gcLambdaCheck(gwas, exactPercentiles), Seq("studyId"), "outer")
       .join(numberOfSnps(gwas, pValThreshold), Seq("studyId"), "outer")
 
   /** Row-level sanity filter: drop malformed sumstat rows.

@@ -64,15 +64,12 @@ object Goldens {
     * the driver runs; sf0.001 documents cross-scale stability and
     * feeds the fast spec.
     *
-    * Digests are defined AT THE VERIFY CONFIG (4 shuffle partitions —
-    * the driver leaves SPARK_GRAFT_CPUS unset): 7 of the 8 queries
-    * were probed digest-identical at 4 and 8 CPUs, but
-    * q_gx_qc_battery_full's gc_lambda rides `percentile_approx`,
-    * whose sketch merges shift with partition count (measured 24352
-    * vs 24343 on s3 at sf0.01 — intrinsic to the approx sketch, and
-    * the scale-correct choice for the operator). Verify therefore
-    * enforces only when running with 4 partitions and records
-    * observed digests without failing otherwise. */
+    * Every digest is partition-count invariant (probed identical at
+    * 4/8/16 shuffle partitions), so Verify enforces unconditionally.
+    * q_gx_qc_battery_full achieves this by computing gc_lambda with
+    * the exact `percentile` (the library default stays the reference's
+    * `percentile_approx`, whose sketch merges shift with partition
+    * count — see SumstatQC.gcLambdaCheck for the trade). */
   val expected: Map[String, Map[String, String]] = Map(
     "q_ann_ivf" -> Map(
       "sf0.01" -> "25:e0bd9bfc6018179c:-7127861899810715140",
@@ -95,9 +92,12 @@ object Goldens {
     "q_gx_pics" -> Map(
       "sf0.01" -> "32905:d27602edce554bd6:-761620942296608021500",
       "sf0.001" -> "3367:288b44feae1f95af:101712457955559769567"),
+    // recomputed 2026-08-14: gc_lambda moved to exact percentile for
+    // partition invariance (intentional semantic change; probed
+    // identical at 4/8/16 partitions at both SFs)
     "q_gx_qc_battery_full" -> Map(
-      "sf0.01" -> "5:60c23d42e7621c3e:-4555279585385701380",
-      "sf0.001" -> "5:7f0cbfe8a20f0992:-11599651893684597850"),
+      "sf0.01" -> "5:8a6115cf6f912b74:4928578267978518548",
+      "sf0.001" -> "5:5f0e33cb55a5dc1b:-9294244444966264803"),
     "q_text_bpe" -> Map(
       "sf0.01" -> "500:539a93538473be52:-17779145021201719100",
       "sf0.001" -> "500:03a350d772bedabc:13038663880689326822")

@@ -1375,9 +1375,13 @@ object Q {
         q(col("similarity"), 6).as("sim_q6"))
   }
 
-  /** Full QC battery incl. approx percentiles + chi2 (no SQL oracle). */
+  /** Full QC battery incl. chi2 (no SQL oracle). Exact percentiles so
+    * the committed golden digest is partition-count-invariant (the
+    * library default is the reference's percentile_approx; see
+    * SumstatQC.gcLambdaCheck). */
   def qcBatteryFull(s: SparkSession, dir: String): DataFrame =
-    SumstatQC.qualityControlMetrics(synthSumstats(s, dir))
+    SumstatQC.qualityControlMetrics(synthSumstats(s, dir),
+      exactPercentiles = true)
 
   /** Locus-breaker clumping (no SQL oracle; overlapping window specs). */
   def locusBreaker(s: SparkSession, dir: String): DataFrame =
