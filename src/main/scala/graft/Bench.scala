@@ -93,7 +93,8 @@ object Bench {
         var go = true
         while (go) {
           val t0 = System.nanoTime()
-          n = SparkEntry.queries(name)(spark, sfDir).count()
+          n = SparkEntry.queries.getOrElse(name,
+            SparkEntry.rehearsalQueries(name))(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           rep += 1
           // keep repeating while a heavy query is still JIT-warming
@@ -128,10 +129,33 @@ object Bench {
     sys.exit(0)
   }
 
+  /** Queries whose steady-state cost exceeds ~1.5 s at sf0.1 (per the
+    * r9 full map). Each runs in its OWN child JVM: sharing a fork with
+    * 6 neighbours measured +6..30% suite-context drift on these
+    * (broadcast/code-cache accumulation — q_ml_l2g_features 8.82 s in
+    * the r9 suite vs 7.9±5% standalone), and any name added to the
+    * registry reshuffled every positional batch, moving numbers with
+    * no code change. Solo forks make the recorded number identical to
+    * a standalone replay by construction; sub-1.5 s queries stay
+    * batched (drift there is bounded by their own size). */
+  private val heavySolo: Set[String] = Set(
+    "q_ml_l2g_features", "q_gx_finemap_e2e", "q_gx_overlaps_coloc_e2e",
+    "q_ml_l2g_gold_standard", "q_gx_coloc", "q_gx_window_clump",
+    "q_gx_rsid_gnomad_map", "q_gx_ecaviar", "q_gx_cluster_top1",
+    "q_gx_intra_overlaps", "q_ml_l2g_distance", "q_dedup_keep_best",
+    "q_search_rrf", "q_search_hybrid", "q_gx_pics", "q_text_cooccurrence",
+    "q_gx_locus_breaker", "q_dedup_decontaminate_bloom",
+    "q_dedup_containment", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+    "q_gx_ancestry_agg", "q_j4_interval_band_join", "q_dsir_select")
+
   private def runSuite(): Unit = {
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // rehearsal-only names (r_*) run ONLY when explicitly requested —
+    // the default suite stays exactly the registered driver contract
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.contains(n))) ++
+      only.toSeq.flatMap(_.toSeq)
+        .filter(SparkEntry.rehearsalQueries.contains).sorted
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     val classpath = sys.props("java.class.path")
@@ -161,7 +185,9 @@ object Bench {
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", classpath, "graft.Bench", "--single")
 
-    val fromForks: Map[String, Double] = names.grouped(batchSize).flatMap { batch =>
+    val (heavy, light) = names.partition(heavySolo.contains)
+    val batches = heavy.map(Seq(_)) ++ light.grouped(batchSize).toSeq
+    val fromForks: Map[String, Double] = batches.flatMap { batch =>
       runForked(base :+ batch.mkString(","))
     }.toMap
     fromForks.toSeq.sortBy(_._1).foreach { case (n, s) =>

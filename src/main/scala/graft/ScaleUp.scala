@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *    across copies, no shingle is shared — so pair counts and
   *    component sizes scale exactly N×.
   *  - embeddings: dimensions are rotated by a copy-specific offset
-  *    (an orthogonal permutation): norms, inner products, and hence
-  *    the entire within-copy cosine structure are preserved exactly,
-  *    while cross-copy cosine decorrelates to noise.
+  *    composed with a copy-specific diagonal ±1 sign mask (together a
+  *    distinct orthogonal transform per copy — the rotation alone has
+  *    period d): norms, inner products, and hence the entire
+  *    within-copy cosine structure are preserved exactly, while
+  *    cross-copy cosine decorrelates to noise.
   *
   * ids are offset by copy × (max id + 1); copy 0 is byte-identical to
   * the source. Usage:
@@ -35,6 +37,14 @@ object ScaleUp {
 
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    // the copy suffix separator must not occur in the source text:
+    // a source token that already ends in "~3" would alias copy 3's
+    // suffixed tokens, sharing shingles across copies and breaking the
+    // exact-Nx pair-count invariant data-dependently
+    require(docs.filter(col("text").contains("~")).limit(1).count() == 0,
+      "ScaleUp.scaleDocuments: source text contains '~' (the copy " +
+        "suffix separator) — cross-copy token aliasing would break " +
+        "the Nx-isomorphism invariant")
     (0 until factor).map { i =>
       if (i == 0) docs
       else docs
@@ -51,14 +61,32 @@ object ScaleUp {
   def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
     val stride = emb.agg(max("vec_id")).head().getLong(0) + 1L
     val d = emb.select(size(col("embedding"))).head().getInt(0)
+    // every copy must be a DISTINCT orthogonal transform. The rotation
+    // alone has period d (copy d is byte-identical to copy 0 — at
+    // d=64, factor=100 the r9 sf10 dedup bench ran on a contaminated
+    // workload with cross-copy exact dups). Composing each rotation
+    // with a copy-specific diagonal ±1 sign mask (flip dim j iff bit
+    // (j mod 31) of i is set) keeps intra-copy geometry exact (both
+    // vectors of any within-copy pair get the same mask: norms and
+    // inner products unchanged) while making the (rotation, mask) pair
+    // injective in i for factor ≤ 2^min(d,30).
+    require(factor <= (1 << math.min(d, 30)),
+      s"ScaleUp.scaleEmbeddings: factor $factor exceeds the $d-dim " +
+        "distinct-transform budget")
     (0 until factor).map { i =>
-      val k = (i * 7) % d
-      if (k == 0) emb.withColumn("vec_id", col("vec_id") + lit(i * stride))
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(i * stride))
-        .withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, d - k),
-            slice(col("embedding"), 1, k)))
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * stride))
+      if (i == 0) shifted
+      else {
+        val k = (i * 7) % d
+        val rotated =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, d - k),
+            slice(col("embedding"), 1, k))
+        val signs = Seq.tabulate(d)(j =>
+          if (((i >> (j % 31)) & 1) == 1) -1.0f else 1.0f)
+        shifted.withColumn("embedding",
+          zip_with(rotated, typedlit(signs), (x, s) => x * s))
+      }
     }.reduce(_ unionByName _)
   }
 

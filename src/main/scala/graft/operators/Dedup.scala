@@ -270,7 +270,15 @@ object Dedup {
       .filter(col("containment") >= threshold)
 
   /** Sentinel default for `maxShingleDF`: derive the stop-shingle cap
-    * from the corpus size via [[adaptiveShingleCap]]. */
+    * from the corpus size via [[adaptiveShingleCap]].
+    *
+    * BREAKING default change (was a fixed 100000 before r9): a corpus
+    * whose shingle DFs fall between the adaptive cap and 1e5 (e.g. a
+    * 1M-doc corpus now drops shingles at df > 1000) gets different —
+    * deliberately stop-phrase-free — similarity scores, and the
+    * default path adds one corpus count() to resolve the cap. Pass an
+    * explicit `maxShingleDF = 100000` to recover the old behaviour;
+    * the resolved cap is always logged (`[dedup]`). */
   val AdaptiveShingleDF: Int = 0
 
   /** Corpus-size-derived stop-shingle DF cap: max(1000, nDocs/10⁴).
@@ -300,7 +308,14 @@ object Dedup {
                                cache: graft.core.CacheHandle): DataFrame = {
     val cap =
       if (maxShingleDF > 0) maxShingleDF
-      else adaptiveShingleCap(df.count())
+      else {
+        val resolved = adaptiveShingleCap(df.count())
+        // always announce the resolved adaptive cap (not only when it
+        // drops something): callers should see which threshold applied
+        System.err.println(s"[dedup] adaptive stop-shingle DF cap " +
+          s"resolved to $resolved")
+        resolved
+      }
     // native one-pass shingle set (the HOF formulation re-slices the
     // token array per position through the interpreter — it was more
     // than half the query's cost at sf0.1)

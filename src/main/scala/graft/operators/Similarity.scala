@@ -931,17 +931,22 @@ object Similarity {
                          graft.core.CacheHandle()): DataFrame = {
     // bounded by contract: the seed frame is small (it previously
     // broadcast); id-ascending order makes NearestCells' ties-by-index
-    // equal ties-by-smaller-centId
+    // equal ties-by-smaller-centId. Zero-norm centroids are dropped:
+    // under argmin-L2 a zero vector would compete (d² = ‖x‖²) and
+    // capture low-norm embeddings, whereas the cosine formulation this
+    // kernel mirrors ranked a null-cosine centroid last (never wins).
     val centRows = centroids
       .select(col("id").cast("long").as("centId"),
         col("embedding").cast("array<double>").as("cv"))
       .orderBy("centId").collect()
-    require(centRows.nonEmpty, "semanticDupPairs needs >= 1 centroid")
+      .filter(_.getSeq[Double](1).exists(_ != 0.0))
+    require(centRows.nonEmpty,
+      "semanticDupPairs needs >= 1 non-zero-norm centroid")
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map { r =>
       val v = r.getSeq[Double](1).toArray
       val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
+      v.map(_ / n)
     }
     val assigned = cache.persist(embeddings
       .select(col("id"), col("embedding"), norm(col("embedding")).as("_n"))

@@ -911,8 +911,9 @@ object Q {
     * (the reference's per-locus driver toPandas loop never exists
     * here).
     *
-    * Inputs are synthesised deterministically from lineitem: 24 loci
-    * over a bounded orderkey slice; every 7th variant carries a NULL z
+    * Inputs are synthesised deterministically from lineitem: 16 loci
+    * (locusId = l_orderkey % 16) over a bounded orderkey slice; every
+    * 7th variant carries a NULL z
     * (the imputation candidates); LD is the Ornstein-Uhlenbeck kernel
     * exp(-|Δpos|/2e5) over synthetic positions — positive-definite by
     * construction, so the per-locus numerics are well-posed. Each
@@ -1810,4 +1811,113 @@ object Q {
       .withColumn("qualityControls",
         concat_ws(",", array_sort(coalesce(col("qualityControls"),
           array().cast("array<string>")))))
+
+  // --------------------------------------- scale-rehearsal variants
+  // Rehearsal-only (registered in SparkEntry.rehearsalQueries, never
+  // run by Verify): scaled-workload versions of registered queries
+  // whose synthesis moduli PIN the group space — on key-shifted clones
+  // those queries only grow per-group row counts, so they cannot
+  // answer "does the operator scale with group COUNT". These variants
+  // derive their keys from RAW (shifted) columns instead.
+
+  /** LD clumping with raw part keys: leads scale with the clones while
+    * the 15 (study, chromosome) partitions stay fixed — every
+    * partition becomes a mega-partition at 100x, the worst case for
+    * the clump join (and the shape that killed the old running
+    * collect_set window). */
+  def ldClumpScaled(s: SparkSession, dir: String): DataFrame = {
+    val assoc = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("vKey"),
+        concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
+        (col("l_suppkey") % 3).cast("string").as("chromosome"))
+      .agg(max(col("l_discount") * 10).as("maxR2"))
+      .select(
+        concat(lit("v"), col("vKey")).as("variantId"),
+        col("studyId"), col("chromosome"),
+        // double (not the registered float) so mantissa stays
+        // injective in vKey at any clone factor
+        (col("vKey") / 2000.0 + 1.0).as("pValueMantissa"),
+        (-(col("vKey") % 12) - 4).cast("int").as("pValueExponent"),
+        array(struct(concat(lit("v"), col("vKey") + 1).as("tagVariantId"),
+          col("maxR2").as("r2Overall"))).as("ldSet"))
+      .withColumn("locus", array(struct(col("variantId"),
+        lit(1.0).as("posteriorProbability"))))
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    LDClumping.clump(assoc)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        array_contains(coalesce(col("qualityControls"), array()),
+          LDClumping.LdClumpedFlag).as("ldClumped"))
+  }
+
+  /** Overlaps whose locus-pair count scales with RAW order keys (the
+    * registered synthesis pins 20×10 pairs); each GWAS locus pairs
+    * with one QTL locus and carries the order's 1–7 line tags —
+    * N pairs × O(1) tags, the 100 TB COLOC shape. */
+  private def synthOverlapsScaled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      concat(lit("L"), col("l_orderkey")).as("leftStudyLocusId"),
+      concat(lit("R"), col("l_orderkey")).as("rightStudyLocusId"),
+      lit("eqtl").as("rightStudyType"),
+      (col("l_suppkey") % 3).cast("string").as("chromosome"),
+      concat(lit("v"), col("l_linenumber")).as("tagVariantId"),
+      struct(
+        (col("l_extendedprice") / 5000).as("left_logBF"),
+        (col("l_quantity") / 10).as("right_logBF"),
+        (col("l_discount") * 9).as("left_posteriorProbability"),
+        (col("l_tax") * 10).as("right_posteriorProbability"),
+        (col("l_extendedprice") / 10000 - 2).as("left_beta"),
+        (col("l_tax") * 10 - 0.4).as("right_beta")).as("statistics"))
+
+  /** Classic (non-fused) COLOC over N-scaling locus pairs. */
+  def colocClassicScaled(s: SparkSession, dir: String): DataFrame =
+    Coloc.colocalise(synthOverlapsScaled(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("chromosome"), col("numberColocalisingVariants"),
+        q(col("h4"), 4).as("h4_q4"))
+
+  /** Classic eCAVIAR over N-scaling locus pairs. */
+  def ecaviarClassicScaled(s: SparkSession, dir: String): DataFrame =
+    Coloc.eCaviar(synthOverlapsScaled(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("chromosome"), col("numberColocalisingVariants"),
+        q(col("clpp"), 6).as("clpp_q6"))
+
+  /** rsID↔GnomAD mapping with position/rs spaces proportional to the
+    * key space, keeping per-position candidate density CONSTANT across
+    * clone factors (genomes grow with the variant universe, not with
+    * row count — a fixed 1e5 position space at 100x would measure a
+    * quadratically-degenerate join, not the operator). */
+  def rsidGnomadMapScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GwasCatalogAssociations
+    val maxKey = t(s, dir, "orders").agg(max("o_orderkey")).head().getLong(0)
+    val f = math.max(1L, (maxKey + 60000L) / 60001L) // clone factor
+    val posSpace = 100000L * f
+    val rsSpace = 5000L * f
+    val alleles = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val assoc = spread(s, t(s, dir, "orders")).select(
+      concat(lit("a"), col("o_orderkey")).as("rowId"),
+      (col("o_custkey") % 3).cast("string").as("CHR_ID"),
+      ((col("o_orderkey") * 61) % posSpace).cast("string").as("CHR_POS"),
+      concat(lit("rs"), col("o_orderkey") % rsSpace).as("SNPS"),
+      (col("o_orderkey") % rsSpace).cast("string").as("SNP_ID_CURRENT"),
+      concat(lit("rs"), col("o_orderkey") % rsSpace, lit("-"),
+        element_at(alleles, (col("o_orderkey") % 4 + 1).cast("int")))
+        .as("STRONGEST SNP-RISK ALLELE"))
+    val vi = spread(s, t(s, dir, "lineitem")).select(
+      concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
+        .as("variantId"),
+      (col("l_suppkey") % 3).cast("string").as("chromosome"),
+      ((col("l_orderkey") * 61) % posSpace).cast("int").as("position"),
+      when(col("l_partkey") % 7 === 0, lit("AT"))
+        .otherwise(element_at(alleles, (col("l_partkey") % 4 + 1).cast("int")))
+        .as("referenceAllele"),
+      element_at(alleles, (col("l_partkey") % 3 + 1).cast("int"))
+        .as("alternateAllele"),
+      array(concat(lit("rs"), col("l_partkey") % rsSpace)).as("rsIds"),
+      array(struct(((col("l_orderkey") * 8 + col("l_linenumber")) / 1e9)
+        .as("alleleFrequency"))).as("alleleFrequencies"))
+    GwasCatalogAssociations.mapVariantsToGnomadVariants(assoc, vi)
+      .select(col("rowId"), col("variantId"),
+        col("position").cast("long").as("position"))
+  }
 }
