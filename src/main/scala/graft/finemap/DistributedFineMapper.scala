@@ -23,6 +23,51 @@ object DistributedFineMapper {
   case class FineMapped(locusId: String, variantId: String, pip: Double,
     logBF: Double, inCredibleSet: Boolean)
 
+  /** One locus bundled into one slim row for the kernel stage. */
+  case class LocusBundle(locusId: String, vs: Seq[LocusVariant],
+                         lds: Seq[LdCell])
+  case class LdCell(i: Int, j: Int, r: Double)
+
+  /** Bundle (variants, LD entries) into ONE row per locus and
+    * redistribute with an EXPLICIT repartition before the kernel runs.
+    *
+    * Why not cogroup: the per-locus kernel is CPU-bound per KEY, but
+    * AQE's partition coalescing reasons in BYTES — a fine-mapping
+    * shuffle is tiny (KBs of z/LD per locus), so the cogroup exchange
+    * coalesced below `minPartitionSize` into ONE task and the whole
+    * chain ran serial (measured: 16 loci, 1 task, 7.7 s wall ≈ CPU,
+    * vs 3.9× speedup for the same kernels on 16 threads).
+    * `repartition(n)` is a user-specified (REPARTITION_BY_NUM)
+    * exchange, which AQE never coalesces; round-robin also spreads
+    * loci 1-per-task instead of hash balls-in-bins. 2× parallelism
+    * partitions let the scheduler smooth heterogeneous locus costs.
+    * Memory: the bundled LD list is O(p²) per locus — the same order
+    * the kernel's dense block materialises anyway. */
+  private def bundleLoci(spark: SparkSession, variants: DataFrame,
+                         ld: DataFrame): Dataset[LocusBundle] = {
+    import spark.implicits._
+    val indexed = variants
+      .withColumn("idx",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("locusId").orderBy("variantId")) - 1).cast("int"))
+      .groupBy(col("locusId").cast("string").as("locusId"))
+      .agg(collect_list(struct(
+        col("locusId").cast("string").as("locusId"),
+        col("variantId").cast("string").as("variantId"),
+        col("z").cast("double").as("z"), col("idx"))).as("vs"))
+    val ldRows = ld
+      .groupBy(col("locusId").cast("string").as("locusId"))
+      .agg(collect_list(struct(col("i").cast("int").as("i"),
+        col("j").cast("int").as("j"),
+        col("r").cast("double").as("r"))).as("lds"))
+    indexed.join(ldRows, Seq("locusId"), "left")
+      .withColumn("lds",
+        coalesce(col("lds"), array().cast("array<struct<i:int,j:int,r:double>>")))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[LocusBundle]
+  }
+
   /** Fine-map every locus. `variants` must carry locusId, variantId, z
     * (idx assigned here); `ld` is long-format (locusId, i, j, r) over
     * those indices.
@@ -49,40 +94,23 @@ object DistributedFineMapper {
                  imputedR2Threshold: Double = 0.9,
                  ldScoreThreshold: Double = 5.0): Dataset[FineMapped] = {
     import spark.implicits._
-
-    val indexed = variants
-      .withColumn("idx",
-        (row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("locusId").orderBy("variantId")) - 1).cast("int"))
-      .select(col("locusId").cast("string"), col("variantId").cast("string"),
-        col("z").cast("double"), col("idx"))
-      .as[LocusVariant]
-
-    val ldTyped = ld.select(col("locusId").cast("string"),
-      col("i").cast("int"), col("j").cast("int"), col("r").cast("double"))
-      .as[LdEntry]
-
-    // one shuffle each on locusId; groups co-locate
-    val grouped = indexed.groupByKey(_.locusId)
-    val ldGrouped = ldTyped.groupByKey(_.locusId)
-
-    grouped
-      .cogroup(ldGrouped) { (locusId, vs, ldEntries) =>
-        prepareLocus(vs, ldEntries, runCarma, carmaTimeLimitSec, carmaTau,
-          imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
-          case None => Iterator.empty
-          case Some((variantsArr, ldM, z)) =>
-            val res = SusieInf.susieInf(z, ldM, n = n, L = L)
-            val marginal = SusieInf.marginalPip(res)
-            val cred = SusieInf.credInf(res.pip, ldM, coverage = coverage)
-            val inCs = cred.flatten.toSet
-            variantsArr.iterator.zipWithIndex.map { case (v0, i) =>
-              FineMapped(locusId, v0.variantId, marginal(i),
-                res.lbfVariable(i, ::).t.toArray.max, inCs.contains(i))
-            }
-        }
+    bundleLoci(spark, variants, ld).flatMap { b =>
+      prepareLocus(b.vs.iterator,
+        b.lds.iterator.map(c => LdEntry(b.locusId, c.i, c.j, c.r)),
+        runCarma, carmaTimeLimitSec, carmaTau,
+        imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+        case None => Iterator.empty
+        case Some((variantsArr, ldM, z)) =>
+          val res = SusieInf.susieInf(z, ldM, n = n, L = L)
+          val marginal = SusieInf.marginalPip(res)
+          val cred = SusieInf.credInf(res.pip, ldM, coverage = coverage)
+          val inCs = cred.flatten.toSet
+          variantsArr.iterator.zipWithIndex.map { case (v0, i) =>
+            FineMapped(b.locusId, v0.variantId, marginal(i),
+              res.lbfVariable(i, ::).t.toArray.max, inCs.contains(i))
+          }
       }
+    }
   }
 
   /** Per-locus CARMA outlier expulsion + optional RAISS imputation:
@@ -273,29 +301,19 @@ object DistributedFineMapper {
       imputedR2Threshold: Double = 0.9,
       ldScoreThreshold: Double = 5.0): Dataset[CredibleSetRow] = {
     import spark.implicits._
-    val indexed = variants
-      .withColumn("idx",
-        (row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("locusId").orderBy("variantId")) - 1).cast("int"))
-      .select(col("locusId").cast("string"), col("variantId").cast("string"),
-        col("z").cast("double"), col("idx"))
-      .as[LocusVariant]
-    val ldTyped = ld.select(col("locusId").cast("string"),
-      col("i").cast("int"), col("j").cast("int"), col("r").cast("double"))
-      .as[LdEntry]
-    indexed.groupByKey(_.locusId)
-      .cogroup(ldTyped.groupByKey(_.locusId)) { (locusId, vs, ldEntries) =>
-        prepareLocus(vs, ldEntries, runCarma, carmaTimeLimitSec, carmaTau,
-          imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
-          case None => Iterator.empty
-          case Some((variantsArr, ldM, z)) =>
-            val res = SusieInf.susieInf(z, ldM, n = n, L = L)
-            assembleCredibleSets(locusId, variantsArr, z, ldM, res,
-              csLbfThr, sumPips, leadPvalThreshold,
-              purityMeanR2Threshold, purityMinR2Threshold,
-              ldMinR2).iterator
-        }
+    bundleLoci(spark, variants, ld).flatMap { b =>
+      prepareLocus(b.vs.iterator,
+        b.lds.iterator.map(c => LdEntry(b.locusId, c.i, c.j, c.r)),
+        runCarma, carmaTimeLimitSec, carmaTau,
+        imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+        case None => Iterator.empty
+        case Some((variantsArr, ldM, z)) =>
+          val res = SusieInf.susieInf(z, ldM, n = n, L = L)
+          assembleCredibleSets(b.locusId, variantsArr, z, ldM, res,
+            csLbfThr, sumPips, leadPvalThreshold,
+            purityMeanR2Threshold, purityMinR2Threshold,
+            ldMinR2).iterator
       }
+    }
   }
 }
