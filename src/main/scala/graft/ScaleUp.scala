@@ -73,6 +73,14 @@ object ScaleUp {
     require(factor <= (1 << math.min(d, 30)),
       s"ScaleUp.scaleEmbeddings: factor $factor exceeds the $d-dim " +
         "distinct-transform budget")
+    // a 0.0 component defeats the sign mask pointwise (±0 coincide, and
+    // Spark normalises -0.0 to 0.0), so two same-rotation copies whose
+    // masks differ only on zero dims would emit byte-identical vectors
+    require(emb.filter(exists(col("embedding"), x => x === 0.0f))
+      .limit(1).count() == 0,
+      "ScaleUp.scaleEmbeddings: source embeddings contain a 0.0 " +
+        "component — the sign-mask distinctness guarantee needs " +
+        "zero-free vectors")
     (0 until factor).map { i =>
       val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * stride))
       if (i == 0) shifted

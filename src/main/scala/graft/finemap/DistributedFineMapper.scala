@@ -4,16 +4,19 @@ import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Executor-parallel fine-mapping: loci fine-map inside `mapGroups`,
-  * replacing the reference's per-locus driver loop
-  * (reference: src/gentropy/susie_finemapper.py:461-691, which moves
-  * each locus to the driver via `toPandas` and runs NumPy there).
+/** Executor-parallel fine-mapping: loci fine-map inside a `flatMap`
+  * over one-row-per-locus bundles, replacing the reference's per-locus
+  * driver loop (reference: src/gentropy/susie_finemapper.py:461-691,
+  * which moves each locus to the driver via `toPandas` and runs NumPy
+  * there).
   *
   * Input grain: one row per (locusId, variantId) with a z-score, plus
   * long-format LD `(locusId, i, j, r)` — the Hail-free LD
-  * representation recommended in SURVEY §7. Both sides shuffle once on
-  * locusId; each group materialises its dense LD block only inside the
-  * executor task, bounded by the locus size.
+  * representation recommended in SURVEY §7. Both sides aggregate once
+  * on locusId into a [[LocusBundle]]; each task materialises its dense
+  * LD block only inside the executor, bounded by the locus size. See
+  * [[bundleLoci]] for why the kernel stage sits behind an explicit
+  * repartition instead of a cogroup.
   */
 object DistributedFineMapper {
 

@@ -15,7 +15,8 @@ import breeze.numerics.{abs, exp, log}
   * the prior-variance MLE.
   *
   * This kernel is driver-free: [[DistributedFineMapper]] invokes it
-  * inside `mapGroups` so loci fine-map in parallel on executors —
+  * inside a per-locus-bundle `flatMap` so loci fine-map in parallel
+  * on executors —
   * the reference's biggest scalability weakness (a driver-side
   * `toPandas` loop per locus) removed by construction.
   */

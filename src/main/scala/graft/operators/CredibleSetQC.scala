@@ -23,7 +23,8 @@ object CredibleSetQC {
       clump: Boolean = false,
       ldIndex: Option[DataFrame] = None,
       studyIndex: Option[DataFrame] = None,
-      ldMinR2: Double = 0.8): DataFrame = {
+      ldMinR2: Double = 0.8,
+      cache: graft.core.CacheHandle = graft.core.CacheHandle()): DataFrame = {
     val filtered = credSets
       .withColumn("_p",
         col("pValueMantissa") * pow(lit(10.0), col("pValueExponent")))
@@ -40,7 +41,8 @@ object CredibleSetQC {
       require(ldIndex.nonEmpty && studyIndex.nonEmpty,
         "clump mode requires ldIndex and studyIndex")
       LDClumping.clump(
-        LDAnnotator.ldAnnotate(filtered, studyIndex.get, ldIndex.get, ldMinR2))
+        LDAnnotator.ldAnnotate(filtered, studyIndex.get, ldIndex.get, ldMinR2),
+        cache = cache)
         .filter(!array_contains(coalesce(col("qualityControls"),
           array().cast("array<string>")), LDClumping.LdClumpedFlag))
     }

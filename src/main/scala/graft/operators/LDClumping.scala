@@ -69,27 +69,42 @@ object LDClumping {
       .otherwise(size(array_intersect(strongerLeads, tagsInLocus)) > 1)
   }
 
-  /** Flag LD-clumped rows and null out their locus. */
-  def clump(associations: DataFrame): DataFrame = {
+  /** Flag LD-clumped rows and null out their locus.
+    *
+    * `cache`: the slim (5 key columns + exploded tag) frame feeds two
+    * consumers (lead dedup + the candidate join); persisting it keeps
+    * the pass count over `associations` at two — one to build the tag
+    * frame, one for the output back-join. Without a handle each
+    * consumer re-evaluates the upstream (column pruning makes the
+    * branches' exchanges non-identical, so ReuseExchange cannot
+    * dedupe them — measured 3 full upstream scans). Pass
+    * `CacheHandle.disabled` to trade recompute for storage memory. */
+  def clump(associations: DataFrame,
+            cache: graft.core.CacheHandle =
+              graft.core.CacheHandle()): DataFrame = {
     val rowKey = Seq("studyId", "chromosome", "variantId",
       "pValueExponent", "pValueMantissa")
-    // strongest appearance of each lead variant per (study, chromosome)
-    val leadBest = associations
+    // one slim pass: row keys + exploded tags (explode_outer keeps
+    // tag-less rows so leadBest sees every lead)
+    val tagged = cache.persist(associations
       .filter(col("variantId").isNotNull)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        col("pValueExponent"), col("pValueMantissa"),
+        explode_outer(array_distinct(transform(
+          coalesce(col("ldSet"),
+            array().cast("array<struct<tagVariantId:string,r2Overall:double>>")),
+          t => t.getField("tagVariantId")))).as("_tag")))
+    // strongest appearance of each lead variant per (study, chromosome)
+    // — derived from the tagged frame (groupBy dedups the per-tag
+    // repetition of each row's key)
+    val leadBest = tagged
       .groupBy(col("studyId").as("_lb_study"),
         col("chromosome").as("_lb_chrom"),
         col("variantId").as("_lb_lead"))
       .agg(min(struct(col("pValueExponent").as("e"),
         col("pValueMantissa").as("m"))).as("_lb_best"))
     // (row, tag) pairs for tags other than the row's own lead
-    val tagPairs = associations
-      .filter(col("variantId").isNotNull)
-      .select(col("studyId"), col("chromosome"), col("variantId"),
-        col("pValueExponent"), col("pValueMantissa"),
-        explode(array_distinct(transform(
-          coalesce(col("ldSet"),
-            array().cast("array<struct<tagVariantId:string,r2Overall:double>>")),
-          t => t.getField("tagVariantId")))).as("_tag"))
+    val tagPairs = tagged
       .filter(col("_tag").isNotNull && col("_tag") =!= col("variantId"))
     // linked ⇔ the tag is a lead with strictly-stronger p-value
     // (ties broken by lead id ascending — see scaladoc)

@@ -907,9 +907,9 @@ object Q {
     * (reference: src/gentropy/susie_finemapper.py:546-611): per locus,
     * CARMA expels LD-discordant outliers, RAISS imputes NULL-z
     * variants from the observed set, SuSiE-inf fine-maps the result —
-    * all inside one executor task per locus via the cogroup mapper
-    * (the reference's per-locus driver toPandas loop never exists
-    * here).
+    * all inside one executor task per locus via the bundled flatMap
+    * mapper (the reference's per-locus driver toPandas loop never
+    * exists here).
     *
     * Inputs are synthesised deterministically from lineitem: 16 loci
     * (locusId = l_orderkey % 16) over a bounded orderkey slice; every

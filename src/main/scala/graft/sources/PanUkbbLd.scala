@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * pipeline is DataFrame-native: the index is an exported table
   * (contig, position, alleles, idx), the block matrix is its exported
   * upper-triangular entry list (i, j, r), and the per-locus dense
-  * materialisation happens executor-side in the fine-mapping cogroup
+  * materialisation happens executor-side in the fine-mapping bundle flatMap
   * ([[GnomadLd.longFormatForLoci]] contract) instead of NumPy on the
   * driver.
   */

@@ -72,7 +72,8 @@ object Steps {
 
     Step("ld_based_clumping",
       "Flag leads explained by a stronger lead in high LD",
-      (s, a) => write(LDClumping.clump(read(s, a("in"))), a("out"))),
+      (s, a) => writeReleasing(a("out"))(h =>
+        LDClumping.clump(read(s, a("in")), cache = h))),
 
     Step("colocalisation",
       "COLOC + eCAVIAR over credible-set overlaps",
