@@ -222,14 +222,17 @@ object Bench {
     // The driver records only a ~2000-char stdout tail; the 80+-query
     // map stopped fitting on one line in round 7 (the artifact's
     // "parsed" went null). Best-effort: never fail the bench over it.
+    // Only the FULL suite writes it — a SPARK_GRAFT_QUERIES-filtered
+    // run (rehearsal probes) must not clobber the committed artifact.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
-    }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+      }
 
     // Stdout line, budgeted to survive the tail capture: queries in
     // descending cost (the expensive ones are what gets graded), values
