@@ -144,7 +144,7 @@ object Bench {
     "q_gx_rsid_gnomad_map", "q_gx_ecaviar", "q_gx_cluster_top1",
     "q_gx_intra_overlaps", "q_ml_l2g_distance", "q_dedup_keep_best",
     "q_search_rrf", "q_search_hybrid", "q_gx_pics", "q_text_cooccurrence",
-    "q_gx_locus_breaker", "q_dedup_decontaminate_bloom",
+    "q_gx_locus_breaker", "q_gx_ld_clump", "q_dedup_decontaminate_bloom",
     "q_dedup_containment", "q_dedup_minhash", "q_dedup_ngram_jaccard",
     "q_gx_ancestry_agg", "q_j4_interval_band_join", "q_dsir_select")
 
