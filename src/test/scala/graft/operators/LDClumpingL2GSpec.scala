@@ -69,6 +69,46 @@ class LDClumpingL2GSpec extends SparkSpec {
     assert(joined.filter(col("clumped")).count() > 10) // non-trivial
   }
 
+  test("LD clumping breaks p-value ties deterministically (lead id asc)") {
+    // two mutually-tagged leads tied on (exponent, mantissa): the
+    // reference's ROWS-frame window flags whichever row is physically
+    // later (partitioning-dependent); the join shape pins lead-id
+    // ascending — vB links to vA, never the reverse, at any layout
+    def run(parts: Int) = {
+      val df = Seq(
+        ("s1", "1", "vA", 1.0f, -8, Some(Seq(Ld2("vB", Some(0.9)))),
+          Some(Seq(Tag2("vA", Some(1.0))))),
+        ("s1", "1", "vB", 1.0f, -8, Some(Seq(Ld2("vA", Some(0.9)))),
+          Some(Seq(Tag2("vB", Some(1.0))))))
+        .toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+          "pValueExponent", "ldSet", "locus")
+        .withColumn("qualityControls", lit(null).cast("array<string>"))
+        .repartition(parts)
+      LDClumping.clump(df)
+        .select(col("variantId"),
+          array_contains(coalesce(col("qualityControls"), array()),
+            LDClumping.LdClumpedFlag).as("clumped"))
+        .as[(String, Boolean)].collect().toSet
+    }
+    val expected = Set(("vA", false), ("vB", true))
+    assert(run(1) == expected && run(7) == expected)
+  }
+
+  test("LD clumping with caching disabled matches the cached path") {
+    val df = Seq(
+      ("s1", "1", "v1", 1.0f, -12, Some(Seq(Ld2("v2", Some(0.9)))),
+        Some(Seq(Tag2("v1", Some(1.0))))),
+      ("s1", "1", "v2", 1.0f, -8, Some(Seq(Ld2("v1", Some(0.9)))),
+        Some(Seq(Tag2("v2", Some(1.0))))))
+      .toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+        "pValueExponent", "ldSet", "locus")
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    val cached = LDClumping.clump(df).select("variantId", "qualityControls")
+    val plain = LDClumping.clump(df, cache = graft.core.CacheHandle.disabled)
+      .select("variantId", "qualityControls")
+    assert(cached.exceptAll(plain).isEmpty && plain.exceptAll(cached).isEmpty)
+  }
+
   test("LD clumping is linear on a degenerate mega-partition") {
     // 50k leads in ONE (study, chromosome) — the shape that made the
     // old running-collect_set window O(partition²). The join shape's
