@@ -32,15 +32,20 @@ object LDAnnotator {
   }
 
   /** r² of the major population for every tag in an LDIndex ldSet
-    * (array<struct<tagVariantId, rValues: array<struct<population,r>>>>). */
+    * (array<struct<tagVariantId, rValues: array<struct<population,r>>>>).
+    * `get` (not `getItem`) tolerates a tag carrying no rValue for the
+    * major population — under ANSI mode (the Spark 4 default) an
+    * out-of-bounds getItem THROWS instead of yielding the null this
+    * coalesce expects; such tags score r² = 0 (reference ld.py:150-168
+    * semantics: missing population ⇒ no LD evidence). */
   def r2Major(ldSet: Column, majorPop: Column): Column =
     transform(ldSet, x =>
       struct(
         x.getField("tagVariantId").as("tagVariantId"),
         coalesce(
-          pow(filter(x.getField("rValues"),
+          pow(get(filter(x.getField("rValues"),
             y => y.getField("population") === majorPop)
-            .getField("r").getItem(0), 2),
+            .getField("r"), lit(0)), 2),
           lit(0.0)).as("r2Overall")))
 
   /** Keep tags at or above the r² threshold. */

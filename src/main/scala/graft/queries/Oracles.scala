@@ -1914,6 +1914,65 @@ object Oracles {
       |SELECT a."rowId", b."variantId", b.position
       |FROM assoc a LEFT JOIN best b USING ("rowId")""".stripMargin
 
+  /** Mirrors Q.ldAnnotateQuery + LDAnnotator.ldAnnotate. The engine
+    * resolves the major population by sorting the (unsorted) literal
+    * population arrays with the nfe tie rule; the oracle hard-codes
+    * the independently-computed expected majors (s0 nfe, s1 afr,
+    * s2 tie→nfe, s3 eas, s4 afr) and replays the per-tag r² scoring,
+    * threshold filter, self-tag force-1.0 and the unresolved/rescue
+    * branch relationally on the flattened output. */
+  val ldAnnotate: String =
+    s"""WITH base AS (
+      |  SELECT DISTINCT l_partkey % 500 AS vkey,
+      |         's' || (l_orderkey % 5) AS "studyId",
+      |         CAST(l_suppkey % 3 AS VARCHAR) AS chromosome
+      |  FROM lineitem),
+      |major AS (
+      |  SELECT * FROM (VALUES ('s0','nfe'),('s1','afr'),('s2','nfe'),
+      |                        ('s3','eas'),('s4','afr')) AS m("studyId", pop)),
+      |ldvar AS (
+      |  SELECT DISTINCT vkey, chromosome FROM base WHERE vkey % 11 <> 0),
+      |tags AS (
+      |  SELECT vkey, chromosome,
+      |         CASE WHEN vkey % 7 = 0 THEN 'v' || vkey
+      |              ELSE 'v' || (vkey + 1) END AS tag,
+      |         (vkey*7 % 100)/100.0 AS r_nfe,
+      |         (vkey*13 % 100)/100.0 AS r_afr
+      |  FROM ldvar
+      |  UNION ALL
+      |  SELECT vkey, chromosome, 'v' || (vkey + 2),
+      |         CASE WHEN vkey % 5 = 0 THEN NULL
+      |              ELSE (vkey*17 % 100)/100.0 END,
+      |         CASE WHEN vkey % 5 = 0 THEN (vkey*17 % 100)/100.0
+      |              ELSE (vkey*19 % 100)/100.0 END
+      |  FROM ldvar),
+      |scored AS (
+      |  SELECT b."studyId", b.chromosome, b.vkey, t.tag,
+      |         coalesce(CASE m.pop WHEN 'nfe' THEN t.r_nfe * t.r_nfe
+      |                             WHEN 'afr' THEN t.r_afr * t.r_afr
+      |                             ELSE NULL END, 0.0) AS r2
+      |  FROM base b
+      |  JOIN major m USING ("studyId")
+      |  JOIN tags t ON t.vkey = b.vkey AND t.chromosome = b.chromosome),
+      |resolved AS (
+      |  SELECT "studyId", chromosome, vkey, tag,
+      |         CASE WHEN tag = 'v' || vkey THEN 1.0 ELSE r2 END AS r2
+      |  FROM scored WHERE r2 >= 0.5),
+      |cnt AS (
+      |  SELECT "studyId", chromosome, vkey, count(*) AS n
+      |  FROM resolved GROUP BY 1, 2, 3)
+      |SELECT b."studyId", b.chromosome, 'v' || b.vkey AS "variantId",
+      |       TRUE AS unresolved, 'v' || b.vkey AS "tagVariantId",
+      |       ${q("1.0", 6)} AS r2_q6
+      |FROM base b LEFT JOIN cnt c
+      |  ON c."studyId" = b."studyId" AND c.chromosome = b.chromosome
+      |     AND c.vkey = b.vkey
+      |WHERE coalesce(c.n, 0) = 0
+      |UNION ALL
+      |SELECT r."studyId", r.chromosome, 'v' || r.vkey, FALSE, r.tag,
+      |       ${q("r.r2", 6)}
+      |FROM resolved r""".stripMargin
+
   /** Mirrors Q.ldClump + LDClumping.clump. The oracle keeps the
     * reference's declarative window shape (running collect_set
     * intersected with {lead} ∪ ldSet tags); the engine computes the
@@ -2654,6 +2713,7 @@ object Oracles {
     "q_j_skew_salted" -> skewJoin,
     "q_a11_rollup" -> rollupStats,
     "q_j5_semi_join" -> semiJoin,
+    "q_j6_ld_annotate" -> ldAnnotate,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,
     "q_a1_collect_sorted" -> collectSorted,

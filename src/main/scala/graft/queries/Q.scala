@@ -1767,6 +1767,71 @@ object Q {
         col("position").cast("long").as("position"))
   }
 
+  /** J6: LD annotation over synthesised associations, a 5-study
+    * population-structure table (unsorted arrays — exercises the
+    * desc sort + nfe tie rule: s2 ties {eas, nfe} at 0.5), and an LD
+    * index whose tags carry per-population r values. Covered cases:
+    * missing variants (vKey % 11 = 0 → UNRESOLVED + lead rescue),
+    * tags missing the major population (vKey % 5 = 0 drops nfe →
+    * r2 = 0, filtered), self-tags (vKey % 7 = 0 → forced r² = 1 when
+    * they survive the threshold), and studies whose major population
+    * (eas, s3) no tag carries → whole set filtered → rescue. Output
+    * flattened (explode) for the driver's row-sorter; all r values are
+    * 2-decimal rationals so r² stays q6-safe across engines. */
+  def ldAnnotateQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 500).as("vKey"),
+        concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
+        (col("l_suppkey") % 3).cast("string").as("chromosome"))
+      .distinct()
+    val assoc = base.select(
+      concat(lit("v"), col("vKey")).as("variantId"),
+      col("studyId"), col("chromosome"))
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    val studies = Seq(
+      ("s0", Seq(("afr", 0.4), ("nfe", 0.6))),
+      ("s1", Seq(("nfe", 0.3), ("afr", 0.7))),
+      ("s2", Seq(("eas", 0.5), ("nfe", 0.5))),
+      ("s3", Seq(("csa", 0.2), ("eas", 0.8))),
+      ("s4", Seq(("nfe", 0.25), ("afr", 0.5), ("eas", 0.25)))
+    ).toDF("studyId", "pops")
+      .select(col("studyId"), transform(col("pops"),
+        p => struct(p.getField("_1").as("ldPopulation"),
+          p.getField("_2").as("relativeSampleSize")))
+        .as("ldPopulationStructure"))
+    val r = (m: Int) => ((col("vKey") * m) % 100) / 100.0
+    val ldIdx = base.select("vKey", "chromosome").distinct()
+      .filter(col("vKey") % 11 =!= 0)
+      .select(
+        concat(lit("v"), col("vKey")).as("variantId"),
+        col("chromosome"),
+        array(
+          struct(
+            when(col("vKey") % 7 === 0, concat(lit("v"), col("vKey")))
+              .otherwise(concat(lit("v"), col("vKey") + 1)).as("tagVariantId"),
+            array(
+              struct(lit("nfe").as("population"), r(7).as("r")),
+              struct(lit("afr").as("population"), r(13).as("r"))).as("rValues")),
+          struct(
+            concat(lit("v"), col("vKey") + 2).as("tagVariantId"),
+            when(col("vKey") % 5 === 0,
+              array(struct(lit("afr").as("population"), r(17).as("r"))))
+              .otherwise(array(
+                struct(lit("nfe").as("population"), r(17).as("r")),
+                struct(lit("afr").as("population"), r(19).as("r"))))
+              .as("rValues"))).as("ldSet"))
+    LDAnnotator.ldAnnotate(assoc, studies, ldIdx, r2Threshold = 0.5)
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        array_contains(coalesce(col("qualityControls"), array()),
+          LDAnnotator.UnresolvedLdFlag).as("unresolved"),
+        explode_outer(col("ldSet")).as("tag"))
+      .select(col("studyId"), col("chromosome"), col("variantId"),
+        col("unresolved"),
+        col("tag.tagVariantId").as("tagVariantId"),
+        q(col("tag.r2Overall"), 6).as("r2_q6"))
+  }
+
   /** Study-index validation battery: unique-id, study-type, target and
     * biosample validators chained, flags serialised sorted. */
   def studyValidation(s: SparkSession, dir: String): DataFrame = {
