@@ -1973,6 +1973,50 @@ object Oracles {
       |       ${q("r.r2", 6)}
       |FROM resolved r""".stripMargin
 
+  /** Mirrors Q.variantMergeQuery + VariantOps.mergeAnnotations.
+    * safeArrayUnion's ordered dedup is replayed as a relational
+    * DISTINCT union (the engine explodes the merged array, so only
+    * set content is compared); a side whose array was nulled (%11 /
+    * %13) contributes nothing, and a variant with no contributing
+    * side yields the single (NULL src, NULL n_src) row explode_outer
+    * emits. */
+  val variantMerge: String =
+    s"""WITH lrows AS (
+      |  SELECT l_partkey % 800 AS vkey,
+      |         'src' || (l_suppkey % 10) AS src, l_quantity
+      |  FROM lineitem WHERE (l_partkey % 800) % 3 <> 0),
+      |lagg AS (
+      |  SELECT vkey,
+      |         CASE WHEN vkey % 5 = 0 THEN NULL
+      |              ELSE max(l_quantity) END AS maf
+      |  FROM lrows GROUP BY vkey),
+      |lpairs AS (
+      |  SELECT DISTINCT vkey, src FROM lrows WHERE vkey % 11 <> 0),
+      |rrows AS (
+      |  SELECT p_partkey % 800 AS vkey, 'src' || (p_size % 13) AS src
+      |  FROM part WHERE (p_partkey % 800) % 2 = 0),
+      |ragg AS (
+      |  SELECT vkey,
+      |         CASE WHEN vkey % 7 = 0 THEN NULL
+      |              ELSE vkey / 1000.0 END AS maf
+      |  FROM rrows GROUP BY vkey),
+      |rpairs AS (
+      |  SELECT DISTINCT vkey, src FROM rrows WHERE vkey % 13 <> 0),
+      |allv AS (
+      |  SELECT vkey FROM lagg UNION SELECT vkey FROM ragg),
+      |pairs AS (
+      |  SELECT vkey, src FROM lpairs UNION SELECT vkey, src FROM rpairs),
+      |cnt AS (SELECT vkey, count(*) AS n FROM pairs GROUP BY vkey),
+      |merged AS (
+      |  SELECT a.vkey, coalesce(l.maf, r.maf) AS maf, c.n
+      |  FROM allv a
+      |  LEFT JOIN lagg l ON l.vkey = a.vkey
+      |  LEFT JOIN ragg r ON r.vkey = a.vkey
+      |  LEFT JOIN cnt c ON c.vkey = a.vkey)
+      |SELECT 'v' || m.vkey AS "variantId", ${q("m.maf", 3)} AS maf_q3,
+      |       m.n AS n_src, p.src
+      |FROM merged m LEFT JOIN pairs p ON p.vkey = m.vkey""".stripMargin
+
   /** Mirrors Q.ldClump + LDClumping.clump. The oracle keeps the
     * reference's declarative window shape (running collect_set
     * intersected with {lead} ∪ ldSet tags); the engine computes the
@@ -2714,6 +2758,7 @@ object Oracles {
     "q_a11_rollup" -> rollupStats,
     "q_j5_semi_join" -> semiJoin,
     "q_j6_ld_annotate" -> ldAnnotate,
+    "q_j9_variant_merge" -> variantMerge,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,
     "q_a1_collect_sorted" -> collectSorted,

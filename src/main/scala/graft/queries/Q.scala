@@ -1832,6 +1832,45 @@ object Q {
         q(col("tag.r2Overall"), 6).as("r2_q6"))
   }
 
+  /** J9: variant-annotation merge over two synthesised VariantIndex
+    * sides (lineitem- and part-derived) with deliberately overlapping
+    * variant ranges and source vocabularies. Covers every
+    * safeArrayUnion branch (both arrays, left-only, right-only, both
+    * null via the % 11 / % 13 nulling) and the scalar coalesce
+    * (left-null % 5, right-null % 7, absent rows). Output flattened:
+    * one row per merged source (array_union dedups; the exploded SET
+    * is order-free, so the oracle replays it as a relational DISTINCT
+    * union), plus the merged-set size and coalesced scalar. */
+  def variantMergeQuery(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 800).as("vKey"),
+        concat(lit("src"), col("l_suppkey") % 10).as("src"),
+        col("l_quantity"))
+      .filter(col("vKey") % 3 =!= 0)
+      .groupBy("vKey")
+      .agg(collect_set(col("src")).as("srcs"), max(col("l_quantity")).as("qty"))
+      .select(concat(lit("v"), col("vKey")).as("variantId"),
+        when(col("vKey") % 5 === 0, lit(null))
+          .otherwise(col("qty")).cast("double").as("maf"),
+        when(col("vKey") % 11 === 0, lit(null).cast("array<string>"))
+          .otherwise(col("srcs")).as("sources"))
+    val right = t(s, dir, "part")
+      .select((col("p_partkey") % 800).as("vKey"),
+        concat(lit("src"), col("p_size") % 13).as("src"))
+      .filter(col("vKey") % 2 === 0)
+      .groupBy("vKey")
+      .agg(collect_set(col("src")).as("srcs"))
+      .select(concat(lit("v"), col("vKey")).as("variantId"),
+        when(col("vKey") % 7 === 0, lit(null))
+          .otherwise(col("vKey") / 1000.0).cast("double").as("maf"),
+        when(col("vKey") % 13 === 0, lit(null).cast("array<string>"))
+          .otherwise(col("srcs")).as("sources"))
+    VariantOps.mergeAnnotations(left, right, Seq("sources"))
+      .select(col("variantId"), q(col("maf"), 3).as("maf_q3"),
+        size(col("sources")).cast("long").as("n_src"),
+        explode_outer(col("sources")).as("src"))
+  }
+
   /** Study-index validation battery: unique-id, study-type, target and
     * biosample validators chained, flags serialised sorted. */
   def studyValidation(s: SparkSession, dir: String): DataFrame = {
