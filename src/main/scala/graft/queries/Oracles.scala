@@ -1973,6 +1973,26 @@ object Oracles {
       |       ${q("r.r2", 6)}
       |FROM resolved r""".stripMargin
 
+  /** Mirrors Q.ontologyClosureQuery + BiosampleOntology.graphTraversal:
+    * the engine's broadcast-adjacency DFS closure replayed as a
+    * recursive CTE; roots surface as the (node, NULL) row
+    * explode_outer emits for their empty ancestor set. */
+  val ontologyClosure: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT DISTINCT l_partkey % 300 AS k FROM lineitem),
+      |edges AS (
+      |  SELECT k AS child, CAST(floor(k/3.0) AS INT) AS parent
+      |  FROM nodes WHERE k > 0
+      |  UNION
+      |  SELECT k, CAST(floor(k/3.0) AS INT) + 1
+      |  FROM nodes WHERE k % 4 = 0 AND k >= 2),
+      |anc AS (
+      |  SELECT child AS node, parent AS anc FROM edges
+      |  UNION
+      |  SELECT a.node, e.parent FROM anc a JOIN edges e ON e.child = a.anc)
+      |SELECT 'n' || n.k AS "biosampleId", 'n' || a.anc AS "ancestorId"
+      |FROM nodes n LEFT JOIN anc a ON a.node = n.k""".stripMargin
+
   /** Mirrors Q.variantMergeQuery + VariantOps.mergeAnnotations.
     * safeArrayUnion's ordered dedup is replayed as a relational
     * DISTINCT union (the engine explodes the merged array, so only
@@ -2759,6 +2779,7 @@ object Oracles {
     "q_j5_semi_join" -> semiJoin,
     "q_j6_ld_annotate" -> ldAnnotate,
     "q_j9_variant_merge" -> variantMerge,
+    "q_s14_ontology_closure" -> ontologyClosure,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,
     "q_a1_collect_sorted" -> collectSorted,

@@ -1871,6 +1871,33 @@ object Q {
         explode_outer(col("sources")).as("src"))
   }
 
+  /** S14: ontology ancestor closure over a synthesised DAG (node k
+    * links to k/3, plus a second parent k/3+1 for k % 4 = 0 — parents
+    * always have smaller ids, so the graph is acyclic with genuine
+    * multi-parent diamonds). Exercises the broadcast-adjacency DFS
+    * closure; the oracle replays it with a recursive CTE. Output
+    * flattened to (node, ancestor) set rows; roots emit the single
+    * null row explode_outer produces. */
+  def ontologyClosureQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BiosampleOntology
+    val nodes = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 300).as("k")).distinct()
+    val p1 = nodes.filter(col("k") > 0)
+      .select(col("k").as("child"), floor(col("k") / 3).cast("int").as("parent"))
+    val p2 = nodes.filter(col("k") % 4 === 0 && col("k") >= 2)
+      .select(col("k").as("child"),
+        (floor(col("k") / 3) + 1).cast("int").as("parent"))
+    val parents = p1.union(p2)
+      .groupBy("child")
+      .agg(collect_set(concat(lit("n"), col("parent"))).as("parents"))
+    val df = nodes
+      .select(concat(lit("n"), col("k")).as("biosampleId"), col("k"))
+      .join(parents, col("k") === col("child"), "left")
+      .select(col("biosampleId"), coalesce(col("parents"), array()).as("parents"))
+    BiosampleOntology.graphTraversal(s, df, "biosampleId", "parents", "ancestors")
+      .select(col("biosampleId"), explode_outer(col("ancestors")).as("ancestorId"))
+  }
+
   /** Study-index validation battery: unique-id, study-type, target and
     * biosample validators chained, flags serialised sorted. */
   def studyValidation(s: SparkSession, dir: String): DataFrame = {
