@@ -34,6 +34,7 @@ object SparkEntry {
     "q_j6_ld_annotate" -> (Q.ldAnnotateQuery _),
     "q_j9_variant_merge" -> (Q.variantMergeQuery _),
     "q_s14_ontology_closure" -> (Q.ontologyClosureQuery _),
+    "q_f23_liftover" -> (Q.liftoverQuery _),
     "q_j7_star_join" -> (Q.starJoin _),
     "q_j8_validation_join" -> (Q.validationJoin _),
     // aggregations

@@ -1973,6 +1973,33 @@ object Oracles {
       |       ${q("r.r2", 6)}
       |FROM resolved r""".stripMargin
 
+  /** Mirrors Q.liftoverQuery + Liftover.liftPositions: the broadcast
+    * binary-search conversion replayed as a block-containment join
+    * (blocks are sorted and non-overlapping, so "last srcStart ≤ pos,
+    * then pos < srcEnd" ≡ containment) with the 1→0-based shift and
+    * the strand-flip arithmetic inline. Unindexed chromosomes and gap
+    * positions drop on both engines. */
+  val liftover: String =
+    """WITH blocks(src_chrom, src_start, src_end, tgt_start, tgt_chrom,
+      |            flipped, tgt_size) AS (
+      |  VALUES ('1', 0, 1000, 10000, '1', FALSE, 50000),
+      |         ('1', 2000, 3000, 500, '5', FALSE, 50000),
+      |         ('1', 5000, 8000, 20000, '1', TRUE, 50000),
+      |         ('2', 100, 4000, 7, '2', FALSE, 100000)),
+      |rows AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |         CAST(l_suppkey % 3 AS VARCHAR) AS chrom,
+      |         (l_partkey * 37) % 10000 AS p0
+      |  FROM lineitem)
+      |SELECT r.l_orderkey, r.l_linenumber, b.tgt_chrom AS chromosome,
+      |       CAST(CASE WHEN b.flipped
+      |              THEN b.tgt_size - 1 - (b.tgt_start + (r.p0 - b.src_start))
+      |              ELSE b.tgt_start + (r.p0 - b.src_start) END
+      |            + 1 AS BIGINT) AS position
+      |FROM rows r
+      |JOIN blocks b ON b.src_chrom = r.chrom
+      |  AND r.p0 >= b.src_start AND r.p0 < b.src_end""".stripMargin
+
   /** Mirrors Q.ontologyClosureQuery + BiosampleOntology.graphTraversal:
     * the engine's broadcast-adjacency DFS closure replayed as a
     * recursive CTE; roots surface as the (node, NULL) row
@@ -2780,6 +2807,7 @@ object Oracles {
     "q_j6_ld_annotate" -> ldAnnotate,
     "q_j9_variant_merge" -> variantMerge,
     "q_s14_ontology_closure" -> ontologyClosure,
+    "q_f23_liftover" -> liftover,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,
     "q_a1_collect_sorted" -> collectSorted,

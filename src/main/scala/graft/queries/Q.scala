@@ -1898,6 +1898,30 @@ object Q {
       .select(col("biosampleId"), explode_outer(col("ancestors")).as("ancestorId"))
   }
 
+  /** F23: chain-file liftover over a literal block index — forward
+    * blocks, a cross-chromosome block, a strand-flipped block, gap
+    * regions and an unindexed chromosome (dropped). The engine runs
+    * the broadcast binary-search UDF; the oracle replays the (sorted,
+    * non-overlapping) blocks as a containment join with the same
+    * 0-based shift and flip arithmetic. */
+  def liftoverQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Liftover
+    val index: Liftover.ChainIndex = Map(
+      "1" -> Array(
+        Liftover.Block(0, 1000, 10000, "1", flipped = false, 50000),
+        Liftover.Block(2000, 3000, 500, "5", flipped = false, 50000),
+        Liftover.Block(5000, 8000, 20000, "1", flipped = true, 50000)),
+      "2" -> Array(
+        Liftover.Block(100, 4000, 7, "2", flipped = false, 100000)))
+    val df = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      (col("l_suppkey") % 3).cast("string").as("chromosome"),
+      ((col("l_partkey") * 37) % 10000 + 1).cast("int").as("position"))
+    Liftover.liftPositions(s, df, index)
+      .select(col("l_orderkey"), col("l_linenumber"), col("chromosome"),
+        col("position").cast("long").as("position"))
+  }
+
   /** Study-index validation battery: unique-id, study-type, target and
     * biosample validators chained, flags serialised sorted. */
   def studyValidation(s: SparkSession, dir: String): DataFrame = {
