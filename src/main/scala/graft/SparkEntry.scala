@@ -35,6 +35,7 @@ object SparkEntry {
     "q_j9_variant_merge" -> (Q.variantMergeQuery _),
     "q_s14_ontology_closure" -> (Q.ontologyClosureQuery _),
     "q_f23_liftover" -> (Q.liftoverQuery _),
+    "q_f25_effect_norm" -> (Q.effectNormQuery _),
     "q_j7_star_join" -> (Q.starJoin _),
     "q_j8_validation_join" -> (Q.validationJoin _),
     // aggregations

@@ -1973,6 +1973,50 @@ object Oracles {
       |       ${q("r.r2", 6)}
       |FROM resolved r""".stripMargin
 
+  /** Mirrors Q.effectNormQuery + VariantOps.normalisedEffectScore /
+    * mostSevereConsequence. The scale arithmetic is written op-for-op
+    * (e.g. GERP's divisor as 6.17 - (-3.0)) so both engines evaluate
+    * identical doubles; severities are injective per variant so the
+    * argmax needs no tie rule. */
+  val effectNorm: String =
+    s"""WITH base AS (
+      |  SELECT p_partkey,
+      |         ['AlphaMissense','CADD','SIFT','PolyPhen','GERP','FoldX',
+      |          'Pangolin','LOFTEE','NoSuchMethod'
+      |         ][CAST(p_partkey % 9 + 1 AS INT)] AS method,
+      |         ((p_partkey % 47) - 5.0) / 10.0 AS s
+      |  FROM part),
+      |norm AS (
+      |  SELECT p_partkey, method,
+      |         CASE method
+      |           WHEN 'AlphaMissense' THEN least(greatest((s - 0.0) / (1.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'CADD' THEN least(greatest((s - 0.0) / (40.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'SIFT' THEN 1.0 - least(greatest((s - 0.0) / (1.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'PolyPhen' THEN least(greatest((s - 0.0) / (1.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'GERP' THEN least(greatest((s - (-3.0)) / (6.17 - (-3.0)), 0.0), 1.0)
+      |           WHEN 'FoldX' THEN least(greatest((s - 0.0) / (10.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'Pangolin' THEN least(greatest((s - 0.0) / (1.0 - 0.0), 0.0), 1.0)
+      |           WHEN 'LOFTEE' THEN CASE WHEN s >= 1.0 THEN 1.0 ELSE 0.0 END
+      |           ELSE NULL END AS n
+      |  FROM base),
+      |tr AS (
+      |  SELECT p_partkey, i,
+      |         ['missense_variant','stop_gained','synonymous_variant',
+      |          'intron_variant'][CAST((p_partkey + i) % 4 + 1 AS INT)] AS term
+      |  FROM part, UNNEST(generate_series(1, CAST(p_partkey % 3 + 1 AS INT))) AS u(i)),
+      |worst AS (
+      |  SELECT p_partkey, term
+      |  FROM (SELECT p_partkey, term,
+      |               CASE term WHEN 'stop_gained' THEN 4.0
+      |                         WHEN 'missense_variant' THEN 3.0
+      |                         WHEN 'synonymous_variant' THEN 2.0
+      |                         ELSE 1.0 END AS sev
+      |        FROM tr)
+      |  QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY sev DESC) = 1)
+      |SELECT n.p_partkey, n.method, ${q("n.n", 6)} AS norm_q6,
+      |       w.term AS worst_term
+      |FROM norm n JOIN worst w USING (p_partkey)""".stripMargin
+
   /** Mirrors Q.liftoverQuery + Liftover.liftPositions: the broadcast
     * binary-search conversion replayed as a block-containment join
     * (blocks are sorted and non-overlapping, so "last srcStart ≤ pos,
@@ -2808,6 +2852,7 @@ object Oracles {
     "q_j9_variant_merge" -> variantMerge,
     "q_s14_ontology_closure" -> ontologyClosure,
     "q_f23_liftover" -> liftover,
+    "q_f25_effect_norm" -> effectNorm,
     "q_j7_star_join" -> starJoin,
     "q_j8_validation_join" -> validationJoin,
     "q_a1_collect_sorted" -> collectSorted,

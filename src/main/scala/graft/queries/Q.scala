@@ -1922,6 +1922,41 @@ object Q {
         col("position").cast("long").as("position"))
   }
 
+  /** F25 + F24: in-silico predictor score normalisation (per-method
+    * piecewise-linear maps incl. the SIFT inversion and the LOFTEE
+    * step) and most-severe-consequence selection over synthesised
+    * transcript arrays (severity ranks injective per variant — the
+    * stable-sort tie rule never engages, so the oracle's argmax is
+    * exact). */
+  def effectNormQuery(s: SparkSession, dir: String): DataFrame = {
+    val methods = array(lit("AlphaMissense"), lit("CADD"), lit("SIFT"),
+      lit("PolyPhen"), lit("GERP"), lit("FoldX"), lit("Pangolin"),
+      lit("LOFTEE"), lit("NoSuchMethod"))
+    val terms = array(lit("missense_variant"), lit("stop_gained"),
+      lit("synonymous_variant"), lit("intron_variant"))
+    val severity = map(
+      lit("stop_gained"), lit(4.0), lit("missense_variant"), lit(3.0),
+      lit("synonymous_variant"), lit(2.0), lit("intron_variant"), lit(1.0))
+    val base = t(s, dir, "part").select(
+      col("p_partkey"),
+      element_at(methods, (col("p_partkey") % 9 + 1).cast("int")).as("method"),
+      // raw scores straddle each method's range (negatives for GERP,
+      // >1 overflow clamps, exact rationals for q6 safety)
+      ((col("p_partkey") % 47) - 5.0).as("score"),
+      transform(sequence(lit(1), (col("p_partkey") % 3 + 1).cast("int")),
+        i => struct(
+          element_at(terms, ((col("p_partkey") + i) % 4 + 1).cast("int"))
+            .as("consequenceTerm"),
+          concat(lit("t"), i).as("transcriptId"))).as("transcripts"))
+    base.select(
+      col("p_partkey"),
+      col("method"),
+      q(VariantOps.normalisedEffectScore(col("method"), col("score") / 10.0), 6)
+        .as("norm_q6"),
+      VariantOps.mostSevereConsequence(col("transcripts"), severity)
+        .getField("consequenceTerm").as("worst_term"))
+  }
+
   /** Study-index validation battery: unique-id, study-type, target and
     * biosample validators chained, flags serialised sorted. */
   def studyValidation(s: SparkSession, dir: String): DataFrame = {
