@@ -141,14 +141,20 @@ object Similarity {
     (h.cast("double") / lit(Long.MaxValue.toDouble))
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed to long. */
+  /** Random-hyperplane signature: `planes` sign bits packed to long.
+    *
+    * The projection folds integer nano-quantised addends (longs), not
+    * raw doubles — the sign bit is summation-order-exact across
+    * engines/partitionings (see [[graft.plans.RhpTableKeys]], the
+    * native mirror of this formulation). */
   def rhpSignature(embedding: Column, planes: Int, seed: Long = 42L): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
         val proj = aggregate(
           zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-            (x, i) => x * planeComponent(p, i, seed)),
-          lit(0.0), (acc, v) => acc + v)
+            (x, i) => floor(x * planeComponent(p, i, seed) * 1e9 + 0.5)
+              .cast("long")),
+          lit(0L), (acc, v) => acc + v)
         when(proj > 0, lit(1L)).otherwise(lit(0L))
       }),
       lit(0L), (acc, b) => acc * 2 + b)
@@ -163,8 +169,9 @@ object Similarity {
     val sigBits = transform(sequence(lit(0), lit(tables * planesPerTable - 1)), p => {
       val proj = aggregate(
         zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (x, i) => x * planeComponent(p, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
+          (x, i) => floor(x * planeComponent(p, i, seed) * 1e9 + 0.5)
+            .cast("long")),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L)).otherwise(lit(0L))
     })
     transform(sequence(lit(0), lit(tables - 1)), t =>

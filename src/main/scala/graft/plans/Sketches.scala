@@ -222,7 +222,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * each packing `planesPerTable` sign bits (plane components derived
   * from xxhash64(p·131071 + i, seed), mirroring
   * [[graft.operators.Similarity.lshTableKeys]]). One pass over
-  * (planes × dims). */
+  * (planes × dims).
+  *
+  * The projection folds integer nano-quantised addends
+  * (`floor(xᵢ·compᵢ·1e9 + 0.5)` summed as longs) instead of raw
+  * doubles: the sign bit is then exact and order-independent — the
+  * same engine everywhere, and DuckDB-replayable, so the LSH tier is
+  * hash-checked end to end instead of golden-locked. The planes are
+  * this library's own pseudo-random construction (no reference
+  * fidelity constraint); a 1e-9 grid on unit-scale components does
+  * not change their geometry. */
 case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
                         seed: Long) extends UnaryExpression with CodegenFallback {
 
@@ -239,14 +248,15 @@ case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
     val bits = new Array[Long](planes)
     var p = 0
     while (p < planes) {
-      var proj = 0.0
+      var projN = 0L
       i = 0
       while (i < dims) {
         val h = Sketches.hashTwoLongs(p.toLong * 131071 + i, seed)
-        proj += x(i) * (h.toDouble / Long.MaxValue.toDouble)
+        val comp = h.toDouble / Long.MaxValue.toDouble
+        projN += math.floor(x(i) * comp * 1e9 + 0.5).toLong
         i += 1
       }
-      bits(p) = if (proj > 0) 1L else 0L
+      bits(p) = if (projN > 0) 1L else 0L
       p += 1
     }
     val keys = new Array[Any](tables)

@@ -74,9 +74,6 @@ object Goldens {
     "q_ann_ivf" -> Map(
       "sf0.01" -> "25:e0bd9bfc6018179c:-7127861899810715140",
       "sf0.001" -> "25:66ba81735aad49b7:-35677303946744094735"),
-    "q_ann_lsh" -> Map(
-      "sf0.01" -> "25:6a75c07c72d2d485:1514896303149462435",
-      "sf0.001" -> "25:a7bac5e824a11486:9539868208112445932"),
     "q_ann_pq" -> Map(
       "sf0.01" -> "25:30d9a6d3e2d53b40:-22121167109990344184",
       "sf0.001" -> "25:fdb3a165876b3c99:-20990785776080077259"),

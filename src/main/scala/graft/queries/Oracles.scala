@@ -1316,6 +1316,92 @@ object Oracles {
       |FROM sim
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) <= 5""".stripMargin
 
+  /** CTE chain replaying Spark's `xxhash64(col, lit(42))` — i.e.
+    * XXH64.hashLong(42, XXH64.hashLong(l, 42)) — in HUGEINT mod-2⁶⁴
+    * arithmetic (validated bit-exact against
+    * o.a.s.sql.catalyst.expressions.XXH64 on long inputs). 64-bit
+    * unsigned multiply splits the left operand at 2³²
+    * (al·b + ((ah·b) mod 2³²)·2³² keeps every intermediate < 2⁹⁷,
+    * inside signed int128); rotations are shift-sums of disjoint bit
+    * ranges; the second round's data word is the CONSTANT seed 42, so
+    * its first three steps fold to the literal 1279370338401826588.
+    *
+    * `src` must expose the non-negative HUGEINT input as `l` plus the
+    * `keep` columns; the emitted fragment (to be spliced into a WITH
+    * list) ends with CTE `out`(keep, h) where h is the SIGNED 64-bit
+    * hash as HUGEINT. CTE names are prefixed with `out` for
+    * uniqueness. */
+  private def xxh64Seed42(src: String, keep: String, out: String): String = {
+    def mul(a: String, b: String) =
+      s"(($a % 4294967296) * $b + (($a // 4294967296) * $b % 4294967296)" +
+        s" * 4294967296) % 18446744073709551616"
+    val p = out
+    s"""${p}_s1 AS (SELECT $keep, ${mul("l", "14029467366897019727")} AS t1 FROM $src),
+      |${p}_s2 AS (SELECT $keep, (t1 * 2147483648) % 18446744073709551616 + t1 // 8589934592 AS t2 FROM ${p}_s1),
+      |${p}_s3 AS (SELECT $keep, xor(2870177450012600311::HUGEINT, ${mul("t2", "11400714785074694791")}) AS h1 FROM ${p}_s2),
+      |${p}_s4 AS (SELECT $keep, (h1 * 134217728) % 18446744073709551616 + h1 // 137438953472 AS t4 FROM ${p}_s3),
+      |${p}_s5 AS (SELECT $keep, (${mul("t4", "11400714785074694791")} + 9650029242287828579) % 18446744073709551616 AS h2 FROM ${p}_s4),
+      |${p}_s6 AS (SELECT $keep, xor(h2, h2 // 8589934592) AS f1 FROM ${p}_s5),
+      |${p}_s7 AS (SELECT $keep, ${mul("f1", "14029467366897019727")} AS f2 FROM ${p}_s6),
+      |${p}_s8 AS (SELECT $keep, xor(f2, f2 // 536870912) AS f3 FROM ${p}_s7),
+      |${p}_s9 AS (SELECT $keep, ${mul("f3", "1609587929392839161")} AS f4 FROM ${p}_s8),
+      |${p}_s10 AS (SELECT $keep, xor(f4, f4 // 4294967296) AS f5 FROM ${p}_s9),
+      |${p}_r1 AS (SELECT $keep, xor((f5 + 2870177450012600269) % 18446744073709551616, 1279370338401826588::HUGEINT) AS g1 FROM ${p}_s10),
+      |${p}_r2 AS (SELECT $keep, (g1 * 134217728) % 18446744073709551616 + g1 // 137438953472 AS t4b FROM ${p}_r1),
+      |${p}_r3 AS (SELECT $keep, (${mul("t4b", "11400714785074694791")} + 9650029242287828579) % 18446744073709551616 AS g2 FROM ${p}_r2),
+      |${p}_r4 AS (SELECT $keep, xor(g2, g2 // 8589934592) AS e1 FROM ${p}_r3),
+      |${p}_r5 AS (SELECT $keep, ${mul("e1", "14029467366897019727")} AS e2 FROM ${p}_r4),
+      |${p}_r6 AS (SELECT $keep, xor(e2, e2 // 536870912) AS e3 FROM ${p}_r5),
+      |${p}_r7 AS (SELECT $keep, ${mul("e3", "1609587929392839161")} AS e4 FROM ${p}_r6),
+      |${p}_r8 AS (SELECT $keep, xor(e4, e4 // 4294967296) AS e5 FROM ${p}_r7),
+      |$out AS (SELECT $keep,
+      |  CASE WHEN e5 >= 9223372036854775808::HUGEINT
+      |       THEN e5 - 18446744073709551616 ELSE e5 END AS h FROM ${p}_r8)""".stripMargin
+  }
+
+  /** Mirrors Q.annLsh / Similarity.lshTopK + plans.RhpTableKeys:
+    * plane component c(p,i) = xxhash64(p·131071+i, 42) / 2⁶³−1 as
+    * DOUBLE; sign projections fold integer nano-quantised addends
+    * (floor(x·c·1e9 + 0.5) summed as BIGINT — order-free, so exact
+    * across engines); per-table 3-bit keys; candidates share any
+    * table key; cosine re-rank to top-5. 16 tables × 3 planes. */
+  val annLsh: String = {
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings),
+      |pi AS (
+      |  SELECT p, i, (p * 131071 + i)::HUGEINT AS l
+      |  FROM (SELECT unnest(range(48)) AS p), (SELECT DISTINCT i FROM e)),
+      |${xxh64Seed42("pi", "p, i", "ph")},
+      |comp AS (
+      |  SELECT p, i,
+      |         CAST(h AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE) AS c
+      |  FROM ph),
+      |bits AS (
+      |  SELECT e.vec_id, comp.p,
+      |         CASE WHEN sum(CAST(floor(e.x * comp.c * 1e9 + 0.5) AS BIGINT)) > 0
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM e JOIN comp ON e.i = comp.i GROUP BY 1, 2),
+      |tkeys AS (
+      |  SELECT vec_id, p // 3 AS tbl,
+      |         sum(b * CASE p % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END) AS key
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT tq.vec_id AS qid, tc.vec_id AS nid
+      |  FROM tkeys tq JOIN tkeys tc ON tq.tbl = tc.tbl AND tq.key = tc.key
+      |  WHERE tq.vec_id < 5 AND tq.vec_id <> tc.vec_id),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sim AS (
+      |  SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS s
+      |  FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.nid)
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER w AS BIGINT) AS rank,
+      |       ${q("s", 4)} AS sim_q4
+      |FROM sim WINDOW w AS (PARTITION BY qid ORDER BY s DESC, nid)
+      |QUALIFY row_number() OVER w <= 5""".stripMargin
+  }
+
   /** Mirrors Q.annSq8 / Similarity.sqTrain/sqEncode/sqTopK: unit
     * vectors → per-dim min/max model → uint8 codes → asymmetric
     * score Σ qᵢ·mnᵢ + Σ (qᵢ·scaleᵢ)·cᵢ, replaying the engine's
@@ -2891,6 +2977,7 @@ object Oracles {
     "q_sim_pooled" -> simPooled,
     "q_text_cluster_terms" -> textClusterTerms,
     "q_ann_sq8" -> annSq8,
+    "q_ann_lsh" -> annLsh,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

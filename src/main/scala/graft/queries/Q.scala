@@ -1047,13 +1047,21 @@ object Q {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDupPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
 
-  /** LSH ANN top-k (no SQL oracle). */
+  /** LSH ANN top-k. DuckDB-hash-checked end to end: the plane
+    * components are two xxhash64-of-long rounds (the oracle replays
+    * them with HUGEINT mod-2⁶⁴ arithmetic) and the sign projections
+    * fold integer nano-quantised addends, so bucket keys are
+    * bit-exact across engines; the cosine re-rank quantises to 4 dp
+    * like the other ANN tiers. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("embedding"))
     Similarity.lshTopK(emb, emb.filter(col("id") < 5), 5,
-      tables = 16, planesPerTable = 3)
+        tables = 16, planesPerTable = 3)
+      .select(col("queryId"), col("neighbourId"),
+        col("rank").cast("long").as("rank"),
+        q(col("similarity"), 4).as("sim_q4"))
   }
 
   /** IVF ANN top-k (k-means coarse quantiser — no SQL oracle). */
