@@ -494,43 +494,68 @@ object Similarity {
       .orderBy(col("_h")).limit(maxTrain)
       .collect().map(_.getSeq[Double](0).toArray)
 
+  /** Deterministic uniform in [0, 1] for draw index `j`: the signed
+    * two-round xxhash64 ratio mapped affinely — the same pure
+    * function on every engine (the DuckDB oracle replays it with the
+    * HUGEINT xxhash64 kernel), unlike a java.util.Random stream whose
+    * threaded state and rejection loops resist a SQL replay. */
+  private def hashUniform(j: Long, seed: Long): Double =
+    (graft.plans.Sketches.hashTwoLongs(j, seed).toDouble /
+      Long.MaxValue.toDouble + 1.0) / 2.0
+
   /** Seeded Lloyd iterations on a driver-side sample, k-means++
     * initialisation (next centre drawn ∝ D² — random init costs
     * measurable recall through unbalanced cells); empty clusters
-    * reseed to a random sample point so k centres always come back. */
+    * reseed to a pseudo-random sample point so k centres always come
+    * back.
+    *
+    * Every stochastic draw is a [[hashUniform]] of a disjoint call
+    * index (0 = init pick, 1..k−1 = the D² targets, 1e6 + it·k + c =
+    * empty-cell reseeds), and the D² selection WEIGHTS and centroid
+    * UPDATE sums fold integer nano-quantised addends — so the whole
+    * trainer is a pure function of (sample, k, iters, seed),
+    * bit-identical across engines and replayable by the DuckDB
+    * oracle as unrolled SQL blocks. Assignment argmin distances stay
+    * raw doubles (exact ascending-dim folds on both sides); the 1e-9
+    * grid on the weights only perturbs which near-tied point a D²
+    * draw lands on — statistically immaterial. */
   private def lloydLocal(pts: Array[Array[Double]], k: Int, iters: Int,
                          seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
     val n = pts.length
     val d = pts(0).length
     val kk = math.min(k, n)
+    def pickIdx(j: Long): Int =
+      math.min((hashUniform(j, seed) * n).toInt, n - 1)
     val cents = new Array[Array[Double]](kk)
-    cents(0) = pts(rnd.nextInt(n)).clone
-    val d2 = Array.fill(n)(Double.MaxValue)
+    cents(0) = pts(pickIdx(0L)).clone
+    val d2N = Array.fill(n)(Long.MaxValue)
     var picked = 1
     while (picked < kk) {
       val last = cents(picked - 1)
-      var total = 0.0
+      var total = 0L
       var p = 0
       while (p < n) {
         var dist = 0.0
         var i = 0
         while (i < d) { val df = pts(p)(i) - last(i); dist += df * df; i += 1 }
-        if (dist < d2(p)) d2(p) = dist
-        total += d2(p)
+        val dn = math.floor(dist * 1e9 + 0.5).toLong
+        if (dn < d2N(p)) d2N(p) = dn
+        total += d2N(p)
         p += 1
       }
-      var target = rnd.nextDouble() * total
+      val target = hashUniform(picked.toLong, seed) * total.toDouble
       var pick = 0
       p = 0
-      var acc = 0.0
-      while (p < n && acc + d2(p) < target) { acc += d2(p); pick = p + 1; p += 1 }
+      var acc = 0L
+      while (p < n && (acc + d2N(p)).toDouble < target) {
+        acc += d2N(p); pick = p + 1; p += 1
+      }
       cents(picked) = pts(math.min(pick, n - 1)).clone
       picked += 1
     }
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(kk, d)(0.0)
+      val sums = Array.fill(kk, d)(0L)
       val cnts = new Array[Int](kk)
       var p = 0
       while (p < n) {
@@ -547,15 +572,19 @@ object Similarity {
         }
         cnts(best) += 1
         var i = 0
-        while (i < d) { sums(best)(i) += pt(i); i += 1 }
+        while (i < d) {
+          sums(best)(i) += math.floor(pt(i) * 1e9 + 0.5).toLong; i += 1
+        }
         p += 1
       }
       var c = 0
       while (c < kk) {
         if (cnts(c) > 0) {
           var i = 0
-          while (i < d) { cents(c)(i) = sums(c)(i) / cnts(c); i += 1 }
-        } else cents(c) = pts(rnd.nextInt(n)).clone
+          while (i < d) {
+            cents(c)(i) = (sums(c)(i).toDouble / 1e9) / cnts(c); i += 1
+          }
+        } else cents(c) = pts(pickIdx(1000000L + it.toLong * kk + c)).clone
         c += 1
       }
       it += 1

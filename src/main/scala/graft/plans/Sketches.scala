@@ -32,7 +32,7 @@ object Sketches {
 
   /** Mirror of `xxhash64(longCol, lit(seedVal))`: fold the two longs
     * through XXH64 starting at seed 42. */
-  private[plans] def hashTwoLongs(a: Long, b: Long): Long =
+  private[graft] def hashTwoLongs(a: Long, b: Long): Long =
     XXH64.hashLong(b, XXH64.hashLong(a, Seed))
 
   // EXACT mirror of the Column formulation `split(lower(trim(text)),

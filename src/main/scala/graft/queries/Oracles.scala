@@ -1365,7 +1365,7 @@ object Oracles {
     * (floor(x·c·1e9 + 0.5) summed as BIGINT — order-free, so exact
     * across engines); per-table 3-bit keys; candidates share any
     * table key; cosine re-rank to top-5. 16 tables × 3 planes. */
-  val annLsh: String = {
+  val annLsh: String = mat {
     s"""WITH e AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) - 1 AS i
@@ -1395,6 +1395,132 @@ object Oracles {
       |sim AS (
       |  SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS s
       |  FROM cand JOIN v a ON a.vec_id = cand.qid JOIN v b ON b.vec_id = cand.nid)
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER w AS BIGINT) AS rank,
+      |       ${q("s", 4)} AS sim_q4
+      |FROM sim WINDOW w AS (PARTITION BY qid ORDER BY s DESC, nid)
+      |QUALIFY row_number() OVER w <= 5""".stripMargin
+  }
+
+  /** Force every CTE in a generated WITH-chain to MATERIALIZED:
+    * DuckDB inlines plain CTEs, so a chain like d2₁ → … → d2₁₅ whose
+    * levels are each referenced 3× re-executes the whole prefix
+    * exponentially (observed as a 20k-open-files blowup re-scanning
+    * the parquet). Window clauses (`AS (PARTITION …`) are left
+    * alone. */
+  private def mat(sql: String): String =
+    sql.replaceAll("AS \\((?!PARTITION)", "AS MATERIALIZED (")
+
+  /** Exact squared-L2 between a point list and a centroid list:
+    * list_reduce folds the per-dim squares in ascending order —
+    * the same (0 + t₁) + t₂ + … association as the engine's
+    * `dist += df·df` loop, so the doubles are bit-identical. */
+  private def sqlDist(pv: String, cv: String): String =
+    s"list_reduce(list_transform(range(len($cv)), ki -> " +
+      s"($pv[ki+1] - $cv[ki+1]) * ($pv[ki+1] - $cv[ki+1])), (a, b) -> a + b)"
+
+  /** Mirrors Q.annIvf / Similarity.ivfTopK + lloydLocal +
+    * sampleVectors + plans.NearestCells, end to end. The trainer is
+    * replayed as unrolled SQL blocks: hash-ordered 4096-sample
+    * (xxhash64 kernel), k-means++ init (k − 1 D²-weighted picks with
+    * integer nano-quantised weights: BIGINT prefix sums are
+    * order-free, so the pick index is exact), 5 Lloyd rounds
+    * (assignment argmin on exact double distances via [[sqlDist]];
+    * centroid means from BIGINT nano-sums in the engine's
+    * (sum/1e9)/cnt op order; hash-uniform empty-cell reseeds), then
+    * nProbe cell assignment, bucket join and cosine top-5. */
+  val annIvf: String = mat {
+    val K = 16; val ITERS = 5; val NPROBE = 4
+    val picks = (1 until K).map { c =>
+      s"""tot$c AS (SELECT sum(dn) AS tt FROM d2_$c),
+        |tg$c AS (SELECT u * CAST(tt AS DOUBLE) AS target FROM uj, tot$c WHERE j = $c),
+        |cum$c AS (SELECT p, sum(dn) OVER (ORDER BY p) AS cum FROM d2_$c),
+        |pk$c AS (SELECT LEAST(
+        |  (SELECT count(*) FROM cum$c, tg$c WHERE CAST(cum AS DOUBLE) < target),
+        |  (SELECT n - 1 FROM nn)) AS pick),
+        |cc$c AS (SELECT $c AS cell, sv.v AS cv FROM sv, pk$c WHERE sv.p = pk$c.pick)""".stripMargin +
+      (if (c < K - 1)
+        s""",
+          |d2_${c + 1} AS (SELECT d.p, LEAST(d.dn,
+          |  CAST(floor(${sqlDist("s.v", s"cc$c.cv")} * 1e9 + 0.5) AS BIGINT)) AS dn
+          |  FROM d2_$c d JOIN sv s USING (p), cc$c)""".stripMargin
+      else "")
+    }.mkString(",\n")
+    val lloyd = (0 until ITERS).map { t =>
+      s"""asg$t AS (
+        |  SELECT p, cell FROM (
+        |    SELECT sv.p, ct.cell,
+        |           row_number() OVER (PARTITION BY sv.p
+        |             ORDER BY ${sqlDist("sv.v", "ct.cv")}, ct.cell) AS rk
+        |    FROM sv CROSS JOIN cents$t ct) WHERE rk = 1),
+        |agg$t AS (
+        |  SELECT a.cell, sq.i, sum(sq.xq) AS sq, count(*) AS cnt
+        |  FROM asg$t a JOIN spq sq USING (p) GROUP BY 1, 2),
+        |cm$t AS (
+        |  SELECT cell, list((CAST(sq AS DOUBLE) / 1e9) / cnt ORDER BY i) AS cv
+        |  FROM agg$t GROUP BY cell),
+        |rs$t AS (
+        |  SELECT r.cell, sv.v AS cv
+        |  FROM (SELECT unnest(range($K)) AS cell) r
+        |  JOIN uj ON uj.j = 1000000 + $t * $K + r.cell, nn, sv
+        |  WHERE r.cell NOT IN (SELECT cell FROM cm$t)
+        |    AND sv.p = LEAST(CAST(FLOOR(u * n) AS BIGINT), n - 1)),
+        |cents${t + 1} AS (SELECT * FROM cm$t UNION ALL SELECT * FROM rs$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings),
+      |hin AS (
+      |  SELECT vec_id, CASE WHEN vec_id < 0
+      |    THEN vec_id::HUGEINT + 18446744073709551616
+      |    ELSE vec_id::HUGEINT END AS l FROM ev),
+      |${xxh64Seed42("hin", "vec_id", "sh")},
+      |samp AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS p
+      |  FROM sh QUALIFY row_number() OVER (ORDER BY h) <= 4096),
+      |sv AS (SELECT p, v FROM samp JOIN ev USING (vec_id)),
+      |spq AS (
+      |  SELECT p, i, CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq
+      |  FROM samp JOIN e USING (vec_id)),
+      |nn AS (SELECT count(*) AS n FROM samp),
+      |jd AS (SELECT unnest(range($K)) AS j
+      |       UNION ALL SELECT 1000000 + unnest(range(${ITERS * K})) AS j),
+      |jin AS (SELECT j, j::HUGEINT AS l FROM jd),
+      |${xxh64Seed42("jin", "j", "jh")},
+      |uj AS (SELECT j,
+      |  ((CAST(h AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE)) + 1.0) / 2.0 AS u
+      |  FROM jh),
+      |pk0 AS (SELECT LEAST(CAST(FLOOR(u * n) AS BIGINT), n - 1) AS pick
+      |        FROM uj, nn WHERE j = 0),
+      |cc0 AS (SELECT 0 AS cell, sv.v AS cv FROM sv, pk0 WHERE sv.p = pk0.pick),
+      |d2_1 AS (SELECT sv.p,
+      |  CAST(floor(${sqlDist("sv.v", "cc0.cv")} * 1e9 + 0.5) AS BIGINT) AS dn
+      |  FROM sv, cc0),
+      |$picks,
+      |cents0 AS (${(0 until K).map(c => s"SELECT * FROM cc$c").mkString(" UNION ALL ")}),
+      |$lloyd,
+      |cellc AS (
+      |  SELECT vec_id AS nid, v, cell FROM (
+      |    SELECT ev.vec_id, ev.v, ct.cell,
+      |           row_number() OVER (PARTITION BY ev.vec_id
+      |             ORDER BY ${sqlDist("ev.v", "ct.cv")}, ct.cell) AS rk
+      |    FROM ev CROSS JOIN cents$ITERS ct) WHERE rk = 1),
+      |cellq AS (
+      |  SELECT vec_id AS qid, v, cell FROM (
+      |    SELECT ev.vec_id, ev.v, ct.cell,
+      |           row_number() OVER (PARTITION BY ev.vec_id
+      |             ORDER BY ${sqlDist("ev.v", "ct.cv")}, ct.cell) AS rk
+      |    FROM ev CROSS JOIN cents$ITERS ct WHERE ev.vec_id < 5)
+      |  WHERE rk <= $NPROBE),
+      |cand AS (
+      |  SELECT DISTINCT cellq.qid, cellc.nid
+      |  FROM cellq JOIN cellc USING (cell) WHERE cellq.qid <> cellc.nid),
+      |sim AS (
+      |  SELECT qid, nid, list_cosine_similarity(a.v, b.v) AS s
+      |  FROM cand JOIN ev a ON a.vec_id = cand.qid
+      |            JOIN ev b ON b.vec_id = cand.nid)
       |SELECT qid AS "queryId", nid AS "neighbourId",
       |       CAST(row_number() OVER w AS BIGINT) AS rank,
       |       ${q("s", 4)} AS sim_q4
@@ -2978,6 +3104,7 @@ object Oracles {
     "q_text_cluster_terms" -> textClusterTerms,
     "q_ann_sq8" -> annSq8,
     "q_ann_lsh" -> annLsh,
+    "q_ann_ivf" -> annIvf,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

@@ -1064,13 +1064,22 @@ object Q {
         q(col("similarity"), 4).as("sim_q4"))
   }
 
-  /** IVF ANN top-k (k-means coarse quantiser — no SQL oracle). */
+  /** IVF ANN top-k. DuckDB-hash-checked end to end: the k-means
+    * coarse quantiser is a pure function of (hash-ordered sample,
+    * k, iters, seed) — hash-uniform draws, integer-quantised D²
+    * weights and update sums — so the oracle replays the ENTIRE
+    * trainer (16 k-means++ picks + 5 Lloyd rounds, unrolled SQL
+    * blocks), then the cell assignment, bucket join and cosine
+    * re-rank. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("embedding"))
     Similarity.ivfTopK(emb, emb.filter(col("id") < 5), 5,
-      nLists = 16, nProbe = 4)
+        nLists = 16, nProbe = 4)
+      .select(col("queryId"), col("neighbourId"),
+        col("rank").cast("long").as("rank"),
+        q(col("similarity"), 4).as("sim_q4"))
   }
 
   /** IVF-PQ top-k (residual product quantisation + exact refine):
