@@ -71,13 +71,6 @@ object Goldens {
     * `percentile_approx`, whose sketch merges shift with partition
     * count — see SumstatQC.gcLambdaCheck for the trade). */
   val expected: Map[String, Map[String, String]] = Map(
-    // recomputed 2026-08-15: lloydLocal moved from java.util.Random to
-    // hash-uniform draws + integer-quantised weights/update sums (the
-    // DuckDB-replayable trainer that made q_ann_ivf oracle-checked;
-    // intentional semantic change to the PQ codebook training draws)
-    "q_ann_pq" -> Map(
-      "sf0.01" -> "25:3bfad51d1e1dc21b:-11655985645415869029",
-      "sf0.001" -> "25:5c45f358e937216b:-24846039954728494683"),
     "q_dedup_minhash" -> Map(
       "sf0.01" -> "25:eb5afe26854b3825:-34897433449433312625",
       "sf0.001" -> "28:69a266f2aefd75ca:-49805814628600256362"),

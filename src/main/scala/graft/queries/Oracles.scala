@@ -1330,11 +1330,16 @@ object Oracles {
     * `keep` columns; the emitted fragment (to be spliced into a WITH
     * list) ends with CTE `out`(keep, h) where h is the SIGNED 64-bit
     * hash as HUGEINT. CTE names are prefixed with `out` for
-    * uniqueness. */
-  private def xxh64Seed42(src: String, keep: String, out: String): String = {
-    def mul(a: String, b: String) =
-      s"(($a % 4294967296) * $b + (($a // 4294967296) * $b % 4294967296)" +
-        s" * 4294967296) % 18446744073709551616"
+    * uniqueness.
+    *
+    * `kc` is the second round's folded data-word constant
+    * mulmod(rotl(mulmod(seedWord, P2), 31), P1); the default is the
+    * literal for seed word 42 (Spark's `xxhash64(col, lit(42))`).
+    * Pass [[kcExpr]] of a column expression (resolvable from `keep`)
+    * to replay per-row seed words — e.g. the per-subspace 42+s seeds
+    * of the PQ codebook trainers. */
+  private def xxh64Seed42(src: String, keep: String, out: String,
+                          kc: String = "1279370338401826588::HUGEINT"): String = {
     val p = out
     s"""${p}_s1 AS (SELECT $keep, ${mul("l", "14029467366897019727")} AS t1 FROM $src),
       |${p}_s2 AS (SELECT $keep, (t1 * 2147483648) % 18446744073709551616 + t1 // 8589934592 AS t2 FROM ${p}_s1),
@@ -1346,7 +1351,7 @@ object Oracles {
       |${p}_s8 AS (SELECT $keep, xor(f2, f2 // 536870912) AS f3 FROM ${p}_s7),
       |${p}_s9 AS (SELECT $keep, ${mul("f3", "1609587929392839161")} AS f4 FROM ${p}_s8),
       |${p}_s10 AS (SELECT $keep, xor(f4, f4 // 4294967296) AS f5 FROM ${p}_s9),
-      |${p}_r1 AS (SELECT $keep, xor((f5 + 2870177450012600269) % 18446744073709551616, 1279370338401826588::HUGEINT) AS g1 FROM ${p}_s10),
+      |${p}_r1 AS (SELECT $keep, xor((f5 + 2870177450012600269) % 18446744073709551616, $kc) AS g1 FROM ${p}_s10),
       |${p}_r2 AS (SELECT $keep, (g1 * 134217728) % 18446744073709551616 + g1 // 137438953472 AS t4b FROM ${p}_r1),
       |${p}_r3 AS (SELECT $keep, (${mul("t4b", "11400714785074694791")} + 9650029242287828579) % 18446744073709551616 AS g2 FROM ${p}_r2),
       |${p}_r4 AS (SELECT $keep, xor(g2, g2 // 8589934592) AS e1 FROM ${p}_r3),
@@ -1411,6 +1416,22 @@ object Oracles {
   private def mat(sql: String): String =
     sql.replaceAll("AS \\((?!PARTITION)", "AS MATERIALIZED (")
 
+  /** 64-bit unsigned multiply mod 2⁶⁴ in HUGEINT: split the left
+    * operand at 2³² so every intermediate stays under 2⁹⁷ (signed
+    * int128 overflows at (2⁶⁴−1)² otherwise). */
+  private def mul(a: String, b: String) =
+    s"(($a % 4294967296) * $b + (($a // 4294967296) * $b % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616"
+
+  /** SQL for mulmod(rotl(mulmod(sw, P2), 31), P1) — the xxhash64
+    * second-round folded constant for seed word `sw` (a non-negative
+    * HUGEINT column expression). */
+  private def kcExpr(sw: String): String = {
+    val m1 = s"(${mul(sw, "14029467366897019727")})"
+    val r = s"($m1 * 2147483648 % 18446744073709551616 + $m1 // 8589934592)"
+    mul(r, "11400714785074694791")
+  }
+
   /** Exact squared-L2 between a point list and a centroid list:
     * list_reduce folds the per-dim squares in ascending order —
     * the same (0 + t₁) + t₂ + … association as the engine's
@@ -1418,6 +1439,99 @@ object Oracles {
   private def sqlDist(pv: String, cv: String): String =
     s"list_reduce(list_transform(range(len($cv)), ki -> " +
       s"($pv[ki+1] - $cv[ki+1]) * ($pv[ki+1] - $cv[ki+1])), (a, b) -> a + b)"
+
+  /** Exact inner product of two lists — the engine's ascending
+    * DotProduct fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($b)), ki -> " +
+      s"$a[ki+1] * $b[ki+1]), (x, y) -> x + y)"
+
+  /** Unrolled SQL replay of Similarity.lloydLocal, GROUPED by an `s`
+    * column so independent trainers (the m PQ subspace codebooks, or
+    * a single coarse quantiser with s = 0) run data-parallel in one
+    * CTE chain instead of m unrolled copies. Expects input CTEs:
+    * `sv`(s, p, v DOUBLE[]) sample vectors ordered by the hash rank
+    * p; `spq`(s, p, i, xq) nano-quantised coords; `uj`(s, j, u)
+    * hash-uniform draws (j = 0 init, 1..k−1 targets, 1e6 + it·k + c
+    * reseeds); `nn`(n) sample size. Emits `${pfx}cents$iters`
+    * (s, cell, cv). All arithmetic mirrors the engine exactly:
+    * BIGINT D² weights and prefix sums (order-free), exact double
+    * argmin distances via [[sqlDist]], centroid means in the
+    * (sum/1e9)/cnt op order, LEAST-clamped hash picks. Assumes
+    * n ≥ k (the engine's kk = min(k, n) truncation is not
+    * replayed). */
+  private def lloydSql(pfx: String, sv: String, spq: String, uj: String,
+                       nn: String, k: Int, iters: Int): String = {
+    val init =
+      s"""${pfx}pk0 AS (
+        |  SELECT s, LEAST(CAST(FLOOR(u * n) AS BIGINT), n - 1) AS pick
+        |  FROM $uj, $nn WHERE j = 0),
+        |${pfx}cc0 AS (
+        |  SELECT pk.s, 0 AS cell, sv.v AS cv
+        |  FROM ${pfx}pk0 pk JOIN $sv sv ON sv.s = pk.s AND sv.p = pk.pick),
+        |${pfx}d2_1 AS (
+        |  SELECT sv.s, sv.p,
+        |         CAST(floor(${sqlDist("sv.v", "cc.cv")} * 1e9 + 0.5) AS BIGINT) AS dn
+        |  FROM $sv sv JOIN ${pfx}cc0 cc ON cc.s = sv.s)""".stripMargin
+    val picks = (1 until k).map { c =>
+      s"""${pfx}tg$c AS (
+        |  SELECT u.s, u.u * CAST(t.tt AS DOUBLE) AS target
+        |  FROM (SELECT s, sum(dn) AS tt FROM ${pfx}d2_$c GROUP BY s) t
+        |  JOIN $uj u ON u.s = t.s AND u.j = $c),
+        |${pfx}cum$c AS (
+        |  SELECT s, p, sum(dn) OVER (PARTITION BY s ORDER BY p) AS cum
+        |  FROM ${pfx}d2_$c),
+        |${pfx}pk$c AS (
+        |  SELECT cm.s, LEAST(
+        |    count(*) FILTER (WHERE CAST(cm.cum AS DOUBLE) < tg.target),
+        |    min(nn.n) - 1) AS pick
+        |  FROM ${pfx}cum$c cm JOIN ${pfx}tg$c tg ON tg.s = cm.s, $nn nn
+        |  GROUP BY cm.s),
+        |${pfx}cc$c AS (
+        |  SELECT pk.s, $c AS cell, sv.v AS cv
+        |  FROM ${pfx}pk$c pk JOIN $sv sv ON sv.s = pk.s AND sv.p = pk.pick)""".stripMargin +
+      (if (c < k - 1)
+        s""",
+          |${pfx}d2_${c + 1} AS (
+          |  SELECT d.s, d.p, LEAST(d.dn,
+          |    CAST(floor(${sqlDist("sv.v", "cc.cv")} * 1e9 + 0.5) AS BIGINT)) AS dn
+          |  FROM ${pfx}d2_$c d
+          |  JOIN $sv sv ON sv.s = d.s AND sv.p = d.p
+          |  JOIN ${pfx}cc$c cc ON cc.s = d.s)""".stripMargin
+      else "")
+    }.mkString(",\n")
+    val cents0 =
+      s"${pfx}cents0 AS (" +
+        (0 until k).map(c => s"SELECT * FROM ${pfx}cc$c").mkString(" UNION ALL ") + ")"
+    val lloyd = (0 until iters).map { t =>
+      s"""${pfx}asg$t AS (
+        |  SELECT s, p, cell FROM (
+        |    SELECT sv.s, sv.p, ct.cell,
+        |           row_number() OVER (PARTITION BY sv.s, sv.p
+        |             ORDER BY ${sqlDist("sv.v", "ct.cv")}, ct.cell) AS rk
+        |    FROM $sv sv JOIN ${pfx}cents$t ct ON ct.s = sv.s) WHERE rk = 1),
+        |${pfx}cm$t AS (
+        |  SELECT s, cell, list((CAST(sq AS DOUBLE) / 1e9) / cnt ORDER BY i) AS cv
+        |  FROM (
+        |    SELECT a.s, a.cell, q.i, sum(q.xq) AS sq, count(*) AS cnt
+        |    FROM ${pfx}asg$t a JOIN $spq q ON q.s = a.s AND q.p = a.p
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY s, cell),
+        |${pfx}rs$t AS (
+        |  SELECT g.s, g.cell, sv.v AS cv
+        |  FROM (SELECT u.s, r.cell, u.u
+        |        FROM (SELECT unnest(range($k)) AS cell) r
+        |        JOIN $uj u ON u.j = 1000000 + $t * $k + r.cell) g
+        |  JOIN $nn nn ON true
+        |  JOIN $sv sv ON sv.s = g.s
+        |    AND sv.p = LEAST(CAST(FLOOR(g.u * nn.n) AS BIGINT), nn.n - 1)
+        |  WHERE NOT EXISTS (SELECT 1 FROM ${pfx}cm$t c
+        |                    WHERE c.s = g.s AND c.cell = g.cell)),
+        |${pfx}cents${t + 1} AS (
+        |  SELECT * FROM ${pfx}cm$t UNION ALL SELECT * FROM ${pfx}rs$t)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$picks,\n$cents0,\n$lloyd"
+  }
 
   /** Mirrors Q.annIvf / Similarity.ivfTopK + lloydLocal +
     * sampleVectors + plans.NearestCells, end to end. The trainer is
@@ -1431,42 +1545,6 @@ object Oracles {
     * nProbe cell assignment, bucket join and cosine top-5. */
   val annIvf: String = mat {
     val K = 16; val ITERS = 5; val NPROBE = 4
-    val picks = (1 until K).map { c =>
-      s"""tot$c AS (SELECT sum(dn) AS tt FROM d2_$c),
-        |tg$c AS (SELECT u * CAST(tt AS DOUBLE) AS target FROM uj, tot$c WHERE j = $c),
-        |cum$c AS (SELECT p, sum(dn) OVER (ORDER BY p) AS cum FROM d2_$c),
-        |pk$c AS (SELECT LEAST(
-        |  (SELECT count(*) FROM cum$c, tg$c WHERE CAST(cum AS DOUBLE) < target),
-        |  (SELECT n - 1 FROM nn)) AS pick),
-        |cc$c AS (SELECT $c AS cell, sv.v AS cv FROM sv, pk$c WHERE sv.p = pk$c.pick)""".stripMargin +
-      (if (c < K - 1)
-        s""",
-          |d2_${c + 1} AS (SELECT d.p, LEAST(d.dn,
-          |  CAST(floor(${sqlDist("s.v", s"cc$c.cv")} * 1e9 + 0.5) AS BIGINT)) AS dn
-          |  FROM d2_$c d JOIN sv s USING (p), cc$c)""".stripMargin
-      else "")
-    }.mkString(",\n")
-    val lloyd = (0 until ITERS).map { t =>
-      s"""asg$t AS (
-        |  SELECT p, cell FROM (
-        |    SELECT sv.p, ct.cell,
-        |           row_number() OVER (PARTITION BY sv.p
-        |             ORDER BY ${sqlDist("sv.v", "ct.cv")}, ct.cell) AS rk
-        |    FROM sv CROSS JOIN cents$t ct) WHERE rk = 1),
-        |agg$t AS (
-        |  SELECT a.cell, sq.i, sum(sq.xq) AS sq, count(*) AS cnt
-        |  FROM asg$t a JOIN spq sq USING (p) GROUP BY 1, 2),
-        |cm$t AS (
-        |  SELECT cell, list((CAST(sq AS DOUBLE) / 1e9) / cnt ORDER BY i) AS cv
-        |  FROM agg$t GROUP BY cell),
-        |rs$t AS (
-        |  SELECT r.cell, sv.v AS cv
-        |  FROM (SELECT unnest(range($K)) AS cell) r
-        |  JOIN uj ON uj.j = 1000000 + $t * $K + r.cell, nn, sv
-        |  WHERE r.cell NOT IN (SELECT cell FROM cm$t)
-        |    AND sv.p = LEAST(CAST(FLOOR(u * n) AS BIGINT), n - 1)),
-        |cents${t + 1} AS (SELECT * FROM cm$t UNION ALL SELECT * FROM rs$t)""".stripMargin
-    }.mkString(",\n")
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |e AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1480,39 +1558,31 @@ object Oracles {
       |samp AS (
       |  SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS p
       |  FROM sh QUALIFY row_number() OVER (ORDER BY h) <= 4096),
-      |sv AS (SELECT p, v FROM samp JOIN ev USING (vec_id)),
+      |sv AS (SELECT 0 AS s, p, v FROM samp JOIN ev USING (vec_id)),
       |spq AS (
-      |  SELECT p, i, CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq
+      |  SELECT 0 AS s, p, i, CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq
       |  FROM samp JOIN e USING (vec_id)),
       |nn AS (SELECT count(*) AS n FROM samp),
       |jd AS (SELECT unnest(range($K)) AS j
       |       UNION ALL SELECT 1000000 + unnest(range(${ITERS * K})) AS j),
-      |jin AS (SELECT j, j::HUGEINT AS l FROM jd),
-      |${xxh64Seed42("jin", "j", "jh")},
-      |uj AS (SELECT j,
+      |jin AS (SELECT 0 AS s, j, j::HUGEINT AS l FROM jd),
+      |${xxh64Seed42("jin", "s, j", "jh")},
+      |uj AS (SELECT s, j,
       |  ((CAST(h AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE)) + 1.0) / 2.0 AS u
       |  FROM jh),
-      |pk0 AS (SELECT LEAST(CAST(FLOOR(u * n) AS BIGINT), n - 1) AS pick
-      |        FROM uj, nn WHERE j = 0),
-      |cc0 AS (SELECT 0 AS cell, sv.v AS cv FROM sv, pk0 WHERE sv.p = pk0.pick),
-      |d2_1 AS (SELECT sv.p,
-      |  CAST(floor(${sqlDist("sv.v", "cc0.cv")} * 1e9 + 0.5) AS BIGINT) AS dn
-      |  FROM sv, cc0),
-      |$picks,
-      |cents0 AS (${(0 until K).map(c => s"SELECT * FROM cc$c").mkString(" UNION ALL ")}),
-      |$lloyd,
+      |${lloydSql("co_", "sv", "spq", "uj", "nn", K, ITERS)},
       |cellc AS (
       |  SELECT vec_id AS nid, v, cell FROM (
       |    SELECT ev.vec_id, ev.v, ct.cell,
       |           row_number() OVER (PARTITION BY ev.vec_id
       |             ORDER BY ${sqlDist("ev.v", "ct.cv")}, ct.cell) AS rk
-      |    FROM ev CROSS JOIN cents$ITERS ct) WHERE rk = 1),
+      |    FROM ev CROSS JOIN co_cents$ITERS ct) WHERE rk = 1),
       |cellq AS (
       |  SELECT vec_id AS qid, v, cell FROM (
       |    SELECT ev.vec_id, ev.v, ct.cell,
       |           row_number() OVER (PARTITION BY ev.vec_id
       |             ORDER BY ${sqlDist("ev.v", "ct.cv")}, ct.cell) AS rk
-      |    FROM ev CROSS JOIN cents$ITERS ct WHERE ev.vec_id < 5)
+      |    FROM ev CROSS JOIN co_cents$ITERS ct WHERE ev.vec_id < 5)
       |  WHERE rk <= $NPROBE),
       |cand AS (
       |  SELECT DISTINCT cellq.qid, cellc.nid
@@ -1525,6 +1595,133 @@ object Oracles {
       |       CAST(row_number() OVER w AS BIGINT) AS rank,
       |       ${q("s", 4)} AS sim_q4
       |FROM sim WINDOW w AS (PARTITION BY qid ORDER BY s DESC, nid)
+      |QUALIFY row_number() OVER w <= 5""".stripMargin
+  }
+
+  /** Mirrors Q.annPq / Similarity.pqTopK end to end: unit vectors,
+    * the coarse quantiser (deterministic lloydLocal — see [[annIvf]]),
+    * residual samples, all 16 subspace codebooks trained
+    * data-parallel in one grouped [[lloydSql]] chain (per-subspace
+    * seed words 42+s replayed via [[kcExpr]]), PqCodes argmin
+    * encoding, per-query PqLut tables, the s-ascending ADC fold
+    * (list_reduce over an s-major LUT list — the engine's exact
+    * association), the k·refineFactor ADC shortlist and the
+    * exact-dot refine. Every float is bit-identical: ordered list
+    * folds for distances/dots, BIGINT trainer weights, engine op
+    * order for centroid means. */
+  val annPq: String = mat {
+    val K = 16; val ITERS = 5; val NPROBE = 6; val SHORT = 40
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |un AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+      |  FROM (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM ev)),
+      |ue AS (
+      |  SELECT vec_id, unnest(uv) AS x,
+      |         generate_subscripts(uv, 1) - 1 AS i FROM un),
+      |hin AS (
+      |  SELECT vec_id, CASE WHEN vec_id < 0
+      |    THEN vec_id::HUGEINT + 18446744073709551616
+      |    ELSE vec_id::HUGEINT END AS l FROM ev),
+      |${xxh64Seed42("hin", "vec_id", "sh")},
+      |samp AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS p
+      |  FROM sh QUALIFY row_number() OVER (ORDER BY h) <= 4096),
+      |sv AS (SELECT 0 AS s, p, uv AS v FROM samp JOIN un USING (vec_id)),
+      |spq AS (
+      |  SELECT 0 AS s, p, i, CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq
+      |  FROM samp JOIN ue USING (vec_id)),
+      |nn AS (SELECT count(*) AS n FROM samp),
+      |jd AS (SELECT unnest(range($K)) AS j
+      |       UNION ALL SELECT 1000000 + unnest(range(${ITERS * K})) AS j),
+      |jin AS (SELECT 0 AS s, j, j::HUGEINT AS l FROM jd),
+      |${xxh64Seed42("jin", "s, j", "jh")},
+      |uj AS (SELECT s, j,
+      |  ((CAST(h AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE)) + 1.0) / 2.0 AS u
+      |  FROM jh),
+      |${lloydSql("co_", "sv", "spq", "uj", "nn", K, ITERS)},
+      |coars AS (SELECT cell, cv FROM co_cents$ITERS),
+      |sd AS (SELECT len(v) // 16 AS sd FROM ev LIMIT 1),
+      |rbest AS (
+      |  SELECT p, cell FROM (
+      |    SELECT sv.p, ct.cell,
+      |           row_number() OVER (PARTITION BY sv.p
+      |             ORDER BY ${sqlDist("sv.v", "ct.cv")}, ct.cell) AS rk
+      |    FROM sv CROSS JOIN coars ct) WHERE rk = 1),
+      |rsv AS (
+      |  SELECT sv.p,
+      |         list_transform(range(len(sv.v)), ki -> sv.v[ki+1] - ct.cv[ki+1]) AS rv
+      |  FROM sv JOIN rbest USING (p) JOIN coars ct ON ct.cell = rbest.cell),
+      |svb AS (
+      |  SELECT sdom.s, rsv.p,
+      |         rv[(sdom.s * sd.sd + 1):((sdom.s + 1) * sd.sd)] AS v
+      |  FROM rsv, (SELECT unnest(range(16)) AS s) sdom, sd),
+      |spqb AS (
+      |  SELECT gi // sd.sd AS s, p, gi % sd.sd AS i,
+      |         CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq
+      |  FROM (SELECT p, unnest(rv) AS x,
+      |               generate_subscripts(rv, 1) - 1 AS gi FROM rsv), sd),
+      |jdb AS (SELECT sdom.s, jd.j
+      |        FROM (SELECT unnest(range(16)) AS s) sdom, jd),
+      |jinb AS (SELECT s, j, j::HUGEINT AS l FROM jdb),
+      |${xxh64Seed42("jinb", "s, j", "jhb", kcExpr("((42 + s)::HUGEINT)"))},
+      |ujb AS (SELECT s, j,
+      |  ((CAST(h AS DOUBLE) / CAST(9223372036854775807 AS DOUBLE)) + 1.0) / 2.0 AS u
+      |  FROM jhb),
+      |${lloydSql("bk_", "svb", "spqb", "ujb", "nn", K, ITERS)},
+      |books AS (SELECT s, cell, cv FROM bk_cents$ITERS),
+      |casg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT un.vec_id, ct.cell,
+      |           row_number() OVER (PARTITION BY un.vec_id
+      |             ORDER BY ${sqlDist("un.uv", "ct.cv")}, ct.cell) AS rk
+      |    FROM un CROSS JOIN coars ct) WHERE rk = 1),
+      |cres AS (
+      |  SELECT un.vec_id,
+      |         list_transform(range(len(uv)), ki -> uv[ki+1] - ct.cv[ki+1]) AS rv
+      |  FROM un JOIN casg USING (vec_id) JOIN coars ct ON ct.cell = casg.cell),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT cres.vec_id, bc.s, bc.cell AS code,
+      |           row_number() OVER (PARTITION BY cres.vec_id, bc.s
+      |             ORDER BY ${sqlDist("cres.rv[(bc.s * sd.sd + 1):((bc.s + 1) * sd.sd)]", "bc.cv")},
+      |                      bc.cell) AS rk
+      |    FROM cres CROSS JOIN books bc, sd) WHERE rk = 1),
+      |codesl AS (
+      |  SELECT vec_id AS nid, list(code ORDER BY s) AS cl
+      |  FROM codes GROUP BY vec_id),
+      |qn AS (SELECT vec_id AS qid, uv FROM un WHERE vec_id < 5),
+      |qcell AS (
+      |  SELECT qid, cell, cd FROM (
+      |    SELECT qn.qid, ct.cell, ${sqlDot("qn.uv", "ct.cv")} AS cd,
+      |           row_number() OVER (PARTITION BY qn.qid
+      |             ORDER BY ${sqlDist("qn.uv", "ct.cv")}, ct.cell) AS rk
+      |    FROM qn CROSS JOIN coars ct) WHERE rk <= $NPROBE),
+      |qlut AS (
+      |  SELECT qn.qid, bc.s, bc.cell AS c,
+      |         ${sqlDot("qn.uv[(bc.s * sd.sd + 1):((bc.s + 1) * sd.sd)]", "bc.cv")} AS lv
+      |  FROM qn CROSS JOIN books bc, sd),
+      |qlutl AS (
+      |  SELECT qid, list(lv ORDER BY s, c) AS ll FROM qlut GROUP BY qid),
+      |sc AS (
+      |  SELECT qc.qid, ca.vec_id AS nid,
+      |         qc.cd + list_reduce(list_transform(range(16),
+      |           si -> ll[si * 16 + cl[si + 1] + 1]), (a, b) -> a + b) AS score
+      |  FROM qcell qc
+      |  JOIN casg ca ON ca.cell = qc.cell AND ca.vec_id <> qc.qid
+      |  JOIN codesl ON codesl.nid = ca.vec_id
+      |  JOIN qlutl ON qlutl.qid = qc.qid),
+      |short AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, nid) AS rk FROM sc) WHERE rk <= $SHORT),
+      |ref AS (
+      |  SELECT short.qid, short.nid, ${sqlDot("qu.uv", "cu.uv")} AS score
+      |  FROM short JOIN un cu ON cu.vec_id = short.nid
+      |             JOIN qn qu ON qu.qid = short.qid)
+      |SELECT qid AS "queryId", nid AS "neighbourId",
+      |       CAST(row_number() OVER w AS BIGINT) AS rank,
+      |       ${q("score", 4)} AS score_q4
+      |FROM ref WINDOW w AS (PARTITION BY qid ORDER BY score DESC, nid)
       |QUALIFY row_number() OVER w <= 5""".stripMargin
   }
 
@@ -3105,6 +3302,7 @@ object Oracles {
     "q_ann_sq8" -> annSq8,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_ann_pq" -> annPq,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

@@ -1082,15 +1082,22 @@ object Q {
         q(col("similarity"), 4).as("sim_q4"))
   }
 
-  /** IVF-PQ top-k (residual product quantisation + exact refine):
-    * rows-only check (k-means, like [[annIvf]]); the refined scores
-    * are exact cosines, anchored semantically by q_ann_topk. */
+  /** IVF-PQ top-k (residual product quantisation + exact refine).
+    * DuckDB-hash-checked end to end: the deterministic lloydLocal
+    * trainer (see [[annIvf]]) lets the oracle replay the coarse
+    * quantiser AND all 16 subspace residual codebooks
+    * (subspace-grouped unrolled SQL), then encoding, the per-query
+    * LUT, the s-ordered ADC fold, the k·refineFactor shortlist and
+    * the exact-dot refine. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("embedding"))
     Similarity.pqTopK(emb, emb.filter(col("id") < 5), 5,
-      m = 16, kCodes = 16, nLists = 16, nProbe = 6, refineFactor = 8)
+        m = 16, kCodes = 16, nLists = 16, nProbe = 6, refineFactor = 8)
+      .select(col("queryId"), col("neighbourId"),
+        col("rank").cast("long").as("rank"),
+        q(col("score"), 4).as("score_q4"))
   }
 
   /** Multimodal decode stub + feature math, quantised engine-stably.
