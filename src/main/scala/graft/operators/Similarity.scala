@@ -137,7 +137,11 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension i): a hash-mixed value in [-1, 1). */
   private def planeComponent(p: Column, i: Column, seed: Long): Column = {
-    val h = xxhash64(p * 131071 + i, lit(seed))
+    // cast the plane index to LONG before hashing: sequence() yields
+    // INTs, and Spark's xxhash64 hashes an IntegerType through its
+    // 4-byte branch — a different hash than the native kernel's
+    // hashLong. The SimilaritySpec parity test caught the divergence.
+    val h = xxhash64((p * 131071 + i).cast("long"), lit(seed))
     (h.cast("double") / lit(Long.MaxValue.toDouble))
   }
 

@@ -63,6 +63,45 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${ivf.intersect(brute).size}/25")
   }
 
+  test("native RhpTableKeys mirrors the Column lshTableKeys formulation") {
+    // both fold integer nano-quantised addends, so the sign bits are
+    // identical between the native kernel and the HOF mirror even on
+    // components whose raw double projection sits near zero
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .limit(50)
+    val rows = emb.select(
+        graft.plans.SketchFunctions
+          .rhpTableKeys(col("embedding"), 4, 3, 42L).as("native"),
+        Similarity.lshTableKeys(col("embedding"), 4, 3, 42L).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      val hof = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => s.getInt(0) -> s.getLong(1)).toMap
+      native.indices.foreach(t => assert(native(t) == hof(t), s"table $t"))
+    }
+  }
+
+  test("IVF results are invariant to corpus row order and partitioning") {
+    // the trainer samples by hash rank, draws hash-uniforms and sums
+    // integer-quantised addends, so nothing depends on how the input
+    // arrived — the determinism contract the DuckDB oracle relies on
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("id") < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, q, 5, nLists = 16, nProbe = 4)
+        .select("queryId", "neighbourId", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    val base = run(emb)
+    assert(base === run(emb.repartition(7)))
+    assert(base === run(emb.orderBy(col("id").desc)))
+  }
+
   test("embeddingDupPairs finds only true near-duplicates") {
     val dups = Similarity.embeddingDupPairs(vecs, threshold = 0.95, planes = 4)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
