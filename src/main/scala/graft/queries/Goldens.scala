@@ -71,12 +71,6 @@ object Goldens {
     * `percentile_approx`, whose sketch merges shift with partition
     * count — see SumstatQC.gcLambdaCheck for the trade). */
   val expected: Map[String, Map[String, String]] = Map(
-    "q_dedup_minhash" -> Map(
-      "sf0.01" -> "25:eb5afe26854b3825:-34897433449433312625",
-      "sf0.001" -> "28:69a266f2aefd75ca:-49805814628600256362"),
-    "q_dedup_simhash" -> Map(
-      "sf0.01" -> "17:aeedfc3f10c7a084:-10740014342736616752",
-      "sf0.001" -> "27:67bec6f937edd3a8:7705187185958012492"),
     "q_gx_finemap_e2e" -> Map(
       "sf0.01" -> "275:21abc0acc6757df0:77834240016629439932",
       "sf0.001" -> "36:d609648cb770530c:3841804710836459826"),

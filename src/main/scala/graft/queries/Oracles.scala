@@ -1432,6 +1432,95 @@ object Oracles {
     mul(r, "11400714785074694791")
   }
 
+  private val M64 = "18446744073709551616"
+  private val XP1 = "11400714785074694791"
+  private val XP2 = "14029467366897019727"
+  private val XP3 = "1609587929392839161"
+  private val XP4 = "9650029242287828579"
+  private val XP5 = "2870177450012600261"
+
+  /** rotl for a non-negative HUGEINT `x` < 2⁶⁴: shift-sum of disjoint
+    * bit ranges. */
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${BigInt(2).pow(r)}) % $M64 + ($x) // ${BigInt(2).pow(64 - r)})"
+
+  /** CTE chain replaying Spark's `xxhash64(strCol)` (seed 42) over a
+    * VARCHAR column — XXH64.hashUnsafeBytes on the UTF-8 bytes,
+    * validated bit-exact against catalyst XXH64 on empty / short /
+    * word-aligned / 32-byte-stripe / multibyte inputs. Bytes come
+    * from hex(encode(str)) (DuckDB has no byte accessor on BLOBs);
+    * the variable-length loops run as list_reduce folds with the
+    * state list_prepend-ed (32-byte stripes carry the [v1..v4]
+    * accumulator as a HUGEINT list; the 8-byte-word and tail-byte
+    * loops fold a scalar). `src` must expose `keep` plus the string
+    * as `str`; emits CTE `out`(keep, h) with h the SIGNED hash. */
+  private def xxh64StrCte(src: String, keep: String, out: String): String = {
+    val p = out
+    def word(o: String, nb: Int): String =
+      "(" + (0 until nb).map(k =>
+        s"bl[($o) + ${k + 1}] * ${BigInt(256).pow(k)}").mkString(" + ") + ")"
+    val two64 = BigInt(2).pow(64)
+    val v1 = (BigInt(42) + BigInt(XP1) + BigInt(XP2)).mod(two64)
+    val v2 = (BigInt(42) + BigInt(XP2)).mod(two64)
+    val v4 = (BigInt(42) - BigInt(XP1)).mod(two64)
+    val hSmall = (BigInt(42) + BigInt(XP5)).mod(two64)
+    val stripeStep =
+      s"list_transform(range(4), kk -> ${
+        mul(rotl(s"(acc[kk+1] + ${mul("w[kk+1]", XP2)}) % $M64", 31), XP1)})"
+    val stripeWords =
+      s"list_transform(range(n // 32), si -> " +
+        s"list_transform(range(4), kk -> ${word("si*32 + kk*8", 8)}))"
+    def mergeOne(h: String, k: Int): String = {
+      val inner = mul(rotl(mul(s"sv[$k]", XP2), 31), XP1)
+      s"CASE WHEN n >= 32 THEN (${mul(s"xor($h, $inner)", XP1)} + $XP4) % $M64 END"
+    }
+    val w8inner = mul(rotl(mul("w", XP2), 31), XP1)
+    val w8step = s"(${mul(rotl(s"xor(h, $w8inner)", 27), XP1)} + $XP4) % $M64"
+    val byteStep = mul(rotl(s"xor(h, (c * $XP5) % $M64)", 11), XP1)
+    s"""${p}_b0 AS (SELECT $keep, hex(encode(str)) AS hx,
+      |  octet_length(encode(str))::BIGINT AS n FROM $src),
+      |${p}_b1 AS (SELECT $keep, n, list_transform(range(n), k ->
+      |    (strpos('123456789ABCDEF', substring(hx, 2*k+1, 1)) * 16
+      |   + strpos('123456789ABCDEF', substring(hx, 2*k+2, 1)))::HUGEINT) AS bl
+      |  FROM ${p}_b0),
+      |${p}_b2 AS (SELECT $keep, n, bl, CASE WHEN n >= 32 THEN
+      |    list_reduce(list_prepend([$v1,$v2,42,$v4]::HUGEINT[], $stripeWords),
+      |      (acc, w) -> $stripeStep) END AS sv FROM ${p}_b1),
+      |${p}_b3 AS (SELECT $keep, n, bl, sv, CASE WHEN n >= 32 THEN
+      |    (${rotl("sv[1]", 1)} + ${rotl("sv[2]", 7)} +
+      |     ${rotl("sv[3]", 12)} + ${rotl("sv[4]", 18)}) % $M64 END AS m0
+      |  FROM ${p}_b2),
+      |${p}_b4 AS (SELECT $keep, n, bl, sv, ${mergeOne("m0", 1)} AS m1 FROM ${p}_b3),
+      |${p}_b5 AS (SELECT $keep, n, bl, sv, ${mergeOne("m1", 2)} AS m2 FROM ${p}_b4),
+      |${p}_b6 AS (SELECT $keep, n, bl, sv, ${mergeOne("m2", 3)} AS m3 FROM ${p}_b5),
+      |${p}_b7 AS (SELECT $keep, n, bl, ${mergeOne("m3", 4)} AS m4 FROM ${p}_b6),
+      |${p}_b8 AS (SELECT $keep, n, bl, (COALESCE(m4, $hSmall) + n) % $M64 AS h1,
+      |    CASE WHEN n >= 32 THEN (n // 32) * 32 ELSE 0 END AS toff FROM ${p}_b7),
+      |${p}_b9 AS (SELECT $keep, n, bl, h1, toff, (n - toff) // 8 AS nw FROM ${p}_b8),
+      |${p}_b10 AS (SELECT $keep, n, bl, toff, nw,
+      |    list_reduce(list_prepend(h1,
+      |      list_transform(range(nw), wi -> ${word("toff + wi*8", 8)})),
+      |      (h, w) -> $w8step) AS h2 FROM ${p}_b9),
+      |${p}_b11 AS (SELECT $keep, n, bl, toff + nw*8 AS o4, h2 FROM ${p}_b10),
+      |${p}_b12 AS (SELECT $keep, n, bl,
+      |    CASE WHEN n - o4 >= 4 THEN
+      |      (${mul(rotl(s"xor(h2, (${word("o4", 4)} * $XP1) % $M64)", 23), XP2)}
+      |       + $XP3) % $M64
+      |    ELSE h2 END AS h3,
+      |    o4 + CASE WHEN n - o4 >= 4 THEN 4 ELSE 0 END AS ob FROM ${p}_b11),
+      |${p}_b13 AS (SELECT $keep,
+      |    list_reduce(list_prepend(h3, bl[ob+1:n]), (h, c) -> $byteStep) AS hm
+      |  FROM ${p}_b12),
+      |${p}_f1 AS (SELECT $keep, xor(hm, hm // 8589934592) AS f1 FROM ${p}_b13),
+      |${p}_f2 AS (SELECT $keep, ${mul("f1", XP2)} AS f2 FROM ${p}_f1),
+      |${p}_f3 AS (SELECT $keep, xor(f2, f2 // 536870912) AS f3 FROM ${p}_f2),
+      |${p}_f4 AS (SELECT $keep, ${mul("f3", XP3)} AS f4 FROM ${p}_f3),
+      |${p}_f5 AS (SELECT $keep, xor(f4, f4 // 4294967296) AS f5 FROM ${p}_f4),
+      |$out AS (SELECT $keep,
+      |  CASE WHEN f5 >= 9223372036854775808::HUGEINT THEN f5 - $M64
+      |       ELSE f5 END AS h FROM ${p}_f5)""".stripMargin
+  }
+
   /** Exact squared-L2 between a point list and a centroid list:
     * list_reduce folds the per-dim squares in ascending order —
     * the same (0 + t₁) + t₂ + … association as the engine's
@@ -1927,6 +2016,106 @@ object Oracles {
   /** Mirrors Dedup.minhashDupPairsMd5: 3-shingles → 32-bit md5 base
     * hash → 64 affine rehashes (min each) → 16 plain-string band keys
     * → bucket self-join → component-match similarity ≥ 0.5. */
+  /** Mirrors Q.minhashPairs / Dedup.minhashDupPairs +
+    * plans.MinHashSignature — the PRODUCTION xxhash64 path, replayed
+    * end to end with [[xxh64StrCte]]: shingles (window 3-grams plus
+    * the engine's joined-tokens fallback for docs under 3 tokens),
+    * upper-32-bit base hash, the 64 affine rehash minima, band keys
+    * joined on the band's component STRING (the engine joins on
+    * xxhash64 of that string — identical pairs absent a 64-bit
+    * collision), signature similarity k/64 (exact in binary). The
+    * hot-bucket cap (100000) is a documented no-op on this corpus. */
+  val dedupMinhashXx: String = mat {
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                     x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
+      |  FROM base),
+      |shs AS (
+      |  SELECT doc_id,
+      |         tk || ' ' || lead(tk, 1) OVER w || ' ' || lead(tk, 2) OVER w AS str
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY lead(tk, 2) OVER w IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(l, ' ') AS str FROM base WHERE len(l) < 3),
+      |${xxh64StrCte("shs", "doc_id", "shh")},
+      |shx AS (SELECT doc_id,
+      |  CAST((CASE WHEN h < 0 THEN h + $M64 ELSE h END) // 4294967296 AS BIGINT) AS x
+      |  FROM shh),
+      |comps AS (
+      |  SELECT doc_id, r.h,
+      |         min(((2 * r.h + 1) * x + r.h * 2654435761) % 4294967296) AS comp
+      |  FROM shx, range(64) r(h) GROUP BY doc_id, r.h),
+      |bandkeys AS (
+      |  SELECT doc_id, h // 4 AS band,
+      |         string_agg(comp::VARCHAR, ',' ORDER BY h) AS key
+      |  FROM comps GROUP BY doc_id, h // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |simil AS (
+      |  SELECT ia, ib,
+      |         count(*) FILTER (WHERE ca.comp = cb.comp) / 64.0 AS s
+      |  FROM cand
+      |  JOIN comps ca ON ca.doc_id = ia
+      |  JOIN comps cb ON cb.doc_id = ib AND cb.h = ca.h
+      |  GROUP BY ia, ib)
+      |SELECT ia AS "idA", ib AS "idB", s AS similarity
+      |FROM simil WHERE s >= 0.5""".stripMargin
+  }
+
+  /** Mirrors Q.simhashPairs / Dedup.simhashDupPairs +
+    * plans.SimHash64 — the PRODUCTION xxhash64 path: per-token
+    * 64-bit hashes via [[xxh64StrCte]] (multiplicity preserved),
+    * ±1 bit counts, sign-packed signature (empty-token docs pack to
+    * 0, like the engine), 16-bit quarter blocking, exact Hamming
+    * filter ≤ 3 via two's-complement bit_count. */
+  val dedupSimhashXx: String = mat {
+    val pows = (0 until 64).map(i => BigInt(2).pow(i)).mkString("[", ",", "]")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      |                     x -> x <> '') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(l) AS str, generate_subscripts(l, 1) AS i
+      |  FROM base),
+      |${xxh64StrCte("toks", "doc_id, i", "th")},
+      |tb AS (SELECT doc_id, i,
+      |  CASE WHEN h < 0 THEN h + $M64 ELSE h END AS hu FROM th),
+      |pows AS (SELECT bi, ($pows::HUGEINT[])[bi + 1] AS pv
+      |         FROM range(64) r(bi)),
+      |cnts AS (
+      |  SELECT doc_id, pw.bi, pw.pv,
+      |         sum(CASE WHEN (hu // pw.pv) % 2 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM tb, pows pw GROUP BY 1, 2, 3),
+      |sh AS (
+      |  SELECT doc_id, sum(CASE WHEN c > 0 THEN pv ELSE 0::HUGEINT END) AS shu
+      |  FROM cnts GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT doc_id, 0::HUGEINT FROM base WHERE len(l) = 0),
+      |qs AS (
+      |  SELECT doc_id, shu, r.qq,
+      |         (shu // ([1,65536,4294967296,281474976710656]::HUGEINT[])[r.qq + 1])
+      |           % 65536 AS qh
+      |  FROM sh, range(4) r(qq)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, a.shu AS sa, b.doc_id AS ib, b.shu AS sb
+      |  FROM qs a JOIN qs b
+      |    ON a.qq = b.qq AND a.qh = b.qh AND a.doc_id < b.doc_id)
+      |SELECT * FROM (
+      |  SELECT ia AS "idA", ib AS "idB", CAST(bit_count(CAST(
+      |    CASE WHEN xor(sa, sb) >= 9223372036854775808::HUGEINT
+      |         THEN xor(sa, sb) - $M64 ELSE xor(sa, sb) END AS BIGINT)) AS INTEGER)
+      |    AS hamming
+      |  FROM cand)
+      |WHERE hamming <= 3""".stripMargin
+  }
+
   val minhashMd5: String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(l) AS tk, generate_subscripts(l, 1) AS i
@@ -3303,6 +3492,8 @@ object Oracles {
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
     "q_ann_pq" -> annPq,
+    "q_dedup_minhash" -> dedupMinhashXx,
+    "q_dedup_simhash" -> dedupSimhashXx,
     "q_pack_epoch_shuffle" -> packEpochShuffle,
     "q_upsert_snapshot_diff" -> upsertSnapshotDiff,
     "q_dedup_exact_normalized" -> dedupExactNormalized,

@@ -55,8 +55,10 @@ class GoldensSpec extends SparkSpec {
 
   test("committed sf0.001 goldens reproduce for the cheap stable queries") {
     // the partition-stable pair (probed identical at 4 and 8 cpus);
-    // the full 8 are locked per-round by Verify at the driver config
-    for (name <- Seq("q_text_bpe", "q_dedup_simhash")) {
+    // the full golden set is locked per-round by Verify at the driver
+    // config (q_dedup_simhash left the set when its production
+    // xxhash64 path became DuckDB-oracle-checked)
+    for (name <- Seq("q_text_bpe", "q_gx_qc_battery_full")) {
       val got = Goldens.canonicalDigest(
         graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       assert(got === Goldens.expected(name)("sf0.001"), name)
