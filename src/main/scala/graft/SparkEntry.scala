@@ -119,6 +119,7 @@ object SparkEntry {
     "q_zorder_cells" -> (Q.zorderCells _),
     "q_profile_hist" -> (Q.profileHistogram _),
     "q_dedup_incr_minhash_md5" -> (Q.dedupIncrementalMinhashMd5 _),
+    "q_dedup_incr_minhash" -> (Q.dedupIncrementalMinhash _),
     "q_dedup_components" -> (Q.dedupComponents _),
     "q_mix_sample" -> (Q.mixSample _),
     "q_mix_stratified" -> (Q.mixStratified _),

@@ -2152,6 +2152,15 @@ object Oracles {
       |SELECT ia AS "idA", ib AS "idB", ${q("s", 6)} AS sim_q6
       |FROM simil WHERE s >= 0.5""".stripMargin
 
+  /** Mirrors Q.dedupIncrementalMinhash — the PRODUCTION-hash
+    * incremental operator: the full-corpus [[dedupMinhashXx]] pair
+    * set restricted to pairs with at least one arrival side (the
+    * same semantics contract the md5 twin pinned). */
+  val dedupIncrMinhashXx: String =
+    s"""SELECT "idA", "idB", ${q("similarity", 6)} AS sim_q6
+      |FROM ($dedupMinhashXx)
+      |WHERE ("idA" % 5 = 0 OR "idB" % 5 = 0)""".stripMargin
+
   /** Mirrors Q.dedupIncrementalExact: arrivals (doc_id % 5 = 0) that
     * are digest-new to the corpus (% 5 <> 0) and min-id within the
     * batch. */
@@ -3537,6 +3546,7 @@ object Oracles {
     "q_zorder_cells" -> zorderCells,
     "q_profile_hist" -> profileHistogram,
     "q_dedup_incr_minhash_md5" -> dedupIncrMinhashMd5,
+    "q_dedup_incr_minhash" -> dedupIncrMinhashXx,
     "q_dedup_components" -> dedupComponents,
     "q_mix_sample" -> mixSample,
     "q_mix_stratified" -> mixStratified,

@@ -1254,6 +1254,24 @@ object Q {
     * corpus LSH pair set restricted to pairs touching an arrival,
     * which is exactly what the oracle computes. Cap disabled for
     * unconditional oracle parity (testdata has no hot buckets). */
+  /** Incremental near-dup vs a signature-only index on the PRODUCTION
+    * xxhash64 sketch — the md5 twin below predates the
+    * [[Oracles]] byte-level xxhash64 replay kernel; this registers
+    * the real production path under the same oracle contract (the
+    * full-corpus pair set restricted to pairs with ≥1 arrival
+    * side). */
+  def dedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = IncrementalDedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    val arrivals = IncrementalDedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+    IncrementalDedup.incrementalMinhashPairs(arrivals, index,
+        numHashes = 64, bands = 16, threshold = 0.5,
+        maxBandBucket = Int.MaxValue)
+      .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
+  }
+
   def dedupIncrementalMinhashMd5(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val index = IncrementalDedup.minhashIndex(
