@@ -231,29 +231,77 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * hash-checked end to end instead of golden-locked. The planes are
   * this library's own pseudo-random construction (no reference
   * fidelity constraint); a 1e-9 grid on unit-scale components does
-  * not change their geometry. */
+  * not change their geometry.
+  *
+  * Scale shape: the (planes × dims) component matrix is a pure
+  * function of (tables·planesPerTable, dims, seed) — it is memoised
+  * per executor instead of re-hashed per ROW (the per-row recompute
+  * was 2·planes·dims XXH64 rounds: ~1.2e9 hash ops for a 200k-vector
+  * probe), and the expression generates code like [[NearestCells]]
+  * so the fused scan span stays whole-stage. */
 case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
-                        seed: Long) extends UnaryExpression with CodegenFallback {
+                        seed: Long) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rhp_table_keys"
 
-  override protected def nullSafeEval(emb: Any): Any = {
-    val arr = emb.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(emb: Any): Any =
+    RhpTableKeys.kernel(emb.asInstanceOf[ArrayData], tables, planesPerTable,
+      seed)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.RhpTableKeys.kernel($c, $tables, $planesPerTable, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): RhpTableKeys =
+    copy(child = c)
+}
+
+object RhpTableKeys {
+
+  /** (planes, dims, seed) → component matrix, plane-major. Bounded:
+    * one entry per distinct LSH configuration in the running plans
+    * (planes·dims doubles each — a few KB). */
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  private def components(planes: Int, dims: Int, seed: Long): Array[Double] =
+    componentCache.computeIfAbsent((planes, dims, seed), { key =>
+      val (pl, d, sd) = key
+      val out = new Array[Double](pl * d)
+      var p = 0
+      while (p < pl) {
+        var i = 0
+        while (i < d) {
+          val h = Sketches.hashTwoLongs(p.toLong * 131071 + i, sd)
+          out(p * d + i) = h.toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      out
+    })
+
+  /** Static kernel, callable from generated code. */
+  def kernel(arr: ArrayData, tables: Int, planesPerTable: Int,
+             seed: Long): ArrayData = {
     val dims = arr.numElements()
     val x = new Array[Double](dims)
     var i = 0
     while (i < dims) { x(i) = arr.getDouble(i); i += 1 }
     val planes = tables * planesPerTable
+    val comp = components(planes, dims, seed)
     val bits = new Array[Long](planes)
     var p = 0
     while (p < planes) {
       var projN = 0L
+      val off = p * dims
       i = 0
       while (i < dims) {
-        val h = Sketches.hashTwoLongs(p.toLong * 131071 + i, seed)
-        val comp = h.toDouble / Long.MaxValue.toDouble
-        projN += math.floor(x(i) * comp * 1e9 + 0.5).toLong
+        projN += math.floor(x(i) * comp(off + i) * 1e9 + 0.5).toLong
         i += 1
       }
       bits(p) = if (projN > 0) 1L else 0L
@@ -273,9 +321,6 @@ case class RhpTableKeys(child: Expression, tables: Int, planesPerTable: Int,
     }
     new GenericArrayData(keys)
   }
-
-  override protected def withNewChildInternal(c: Expression): RhpTableKeys =
-    copy(child = c)
 }
 
 /** Distinct word-shingle set of a document in one pass: tokenise
