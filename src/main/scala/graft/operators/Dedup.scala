@@ -123,10 +123,16 @@ object Dedup {
       col(idCol).as("id"),
       graft.plans.SketchFunctions
         .minhashSignature(col(textCol), shingleSize, numHashes).as("sig")))
+    // SLIM banded frame: (id, band, bandHash) only. Carrying the
+    // 64-long signature through the 16x explode and both self-join
+    // sides shipped ~18x more shuffle bytes than the keys themselves
+    // (measured one-third of the 100x-probe wall); signatures rejoin
+    // from the persisted signed frame for just the candidate pairs,
+    // which the banding keeps ~linear.
     val banded0 = signed
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bandHash"))
+      .select(col("id"), col("bk.band"), col("bk.bandHash"))
     val hotBuckets = banded0
       .groupBy("band", "bandHash").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxBandBucket)
@@ -138,10 +144,11 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .dropDuplicates("idA", "idB")
     pairs
+      .join(signed.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(signed.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
       .withColumn("similarity", signatureSimilarity(col("sigA"), col("sigB")))
       .filter(col("similarity") >= threshold)
       .select("idA", "idB", "similarity")
@@ -680,21 +687,24 @@ object Dedup {
     // equal slices ⟺ equal joined strings, so the candidate set — and
     // the oracle output — is unchanged, without the per-row interpreted
     // concat_ws(transform(...)) string build
+    // slim banded frame + candidate-only signature rejoin — the same
+    // shuffle-byte cut as [[minhashDupPairs]]
     val banded = signed
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
               .as("key")))).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .dropDuplicates("idA", "idB")
     pairs
+      .join(signed.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(signed.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
       .withColumn("similarity", signatureSimilarity(col("sigA"), col("sigB")))
       .filter(col("similarity") >= threshold)
       .select("idA", "idB", "similarity")

@@ -194,14 +194,18 @@ object IncrementalDedup {
     val arrivals = cache.persist(arrivalSigs)
     val all = index.unionByName(arrivals)
 
+    // slim banded frames: (id, band, key) only — signatures rejoin for
+    // just the candidate pairs (the same shuffle-byte cut as
+    // [[Dedup.minhashDupPairs]]; the full-signature explode shipped
+    // ~18x the key bytes through both join sides)
     def explodeBands(signed: DataFrame): DataFrame =
       signed
-        .select(col("id"), col("sig"),
+        .select(col("id"),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band"),
               slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
                 .as("key")))).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+        .select(col("id"), col("bk.band"), col("bk.key"))
 
     val allBanded0 = explodeBands(all)
     val allBanded =
@@ -221,9 +225,10 @@ object IncrementalDedup {
           col("a.id") =!= col("b.id"))
       .select(
         least(col("a.id"), col("b.id")).as("idA"),
-        greatest(col("a.id"), col("b.id")).as("idB"),
-        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+        greatest(col("a.id"), col("b.id")).as("idB"))
       .dropDuplicates("idA", "idB")
+      .join(all.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(all.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
       .withColumn("similarity",
         Dedup.signatureSimilarity(col("sigA"), col("sigB")))
       .filter(col("similarity") >= threshold)

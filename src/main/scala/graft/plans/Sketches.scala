@@ -77,13 +77,30 @@ object Sketches {
   * family: a_h = 2h+1, b_h = h·0x9E3779B9, over the upper 32 bits of
   * xxhash64(shingle)). */
 case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    MinHashSignature.kernel(text.asInstanceOf[UTF8String], shingleSize,
+      numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MinHashSignature.kernel($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val shingles = Sketches.shingleStrings(toks, shingleSize)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -104,9 +121,6 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
 }
 
 /** [[MinHashSignature]] with an md5-derived shingle hash — the
@@ -187,13 +201,28 @@ case class Md5SimHash(child: Expression, bits: Int)
 /** 64-bit SimHash of the token multiset, one pass (bit i of
   * xxhash64(token) votes ±1; sign packs bit i). Matches
   * [[graft.operators.Dedup.simhash]]. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    SimHash64.kernel(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.kernel($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object SimHash64 {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String): Long = {
+    val toks = Sketches.tokenize(text)
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -213,9 +242,6 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     packed
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
-    copy(child = c)
 }
 
 /** Random-hyperplane LSH table keys over an embedding: `tables` keys,
@@ -331,13 +357,29 @@ object RhpTableKeys {
   * Jaccard cost). Semantics identical to
   * [[graft.operators.Dedup.shingles]] + `array_distinct`. */
 case class DistinctShingles(child: Expression, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "distinct_shingles"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    DistinctShingles.kernel(text.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.DistinctShingles.kernel($c, $shingleSize)")
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}
+
+object DistinctShingles {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String, shingleSize: Int): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val shingles = Sketches.shingleStrings(toks, shingleSize)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -348,9 +390,6 @@ case class DistinctShingles(child: Expression, shingleSize: Int)
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): DistinctShingles =
-    copy(child = c)
 }
 
 /** Native dot product of two double arrays: one tight loop per row.
@@ -462,15 +501,31 @@ object NearestCells {
   * s. One tight loop per row; the (m × k × subDim) codebook rides in
   * the plan like [[NearestCells]]' centroids. */
 case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(codebooks.forall(_.length <= 256),
     "PqCodes packs one byte per subspace: kCodes must be <= 256")
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_codes"
 
-  override protected def nullSafeEval(emb: Any): Any = {
-    val arr = emb.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(emb: Any): Any =
+    PqCodes.kernel(emb.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.PqCodes.kernel($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+object PqCodes {
+  /** Static kernel, callable from generated code. */
+  def kernel(arr: ArrayData, codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
     val m = codebooks.length
     val out = new Array[Byte](m)
     var off = 0
@@ -499,9 +554,6 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
     }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): PqCodes =
-    copy(child = c)
 }
 
 /** Per-query ADC lookup table: lut[s][c] = inner product of the
@@ -510,14 +562,30 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
   * ([[PqAdc]]) instead of a full d-dimensional dot product — the
   * asymmetric-distance shape of IVF-PQ (Jégou et al. 2011). */
 case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_lut"
 
-  override protected def nullSafeEval(emb: Any): Any = {
-    val arr = emb.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(emb: Any): Any =
+    PqLut.kernel(emb.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.PqLut.kernel($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+object PqLut {
+  /** Static kernel, callable from generated code. */
+  def kernel(arr: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
     val m = codebooks.length
     val out = new Array[Any](m)
     var off = 0
@@ -541,25 +609,36 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): PqLut =
-    copy(child = c)
 }
 
 /** ADC score: Σ_s lut[s][codes[s]] — the approximate inner product of
   * the query against the RECONSTRUCTED corpus vector, in m lookups. */
 case class PqAdc(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
   // left = packed codes binary (one unsigned byte per subspace),
   // right = lut array<array<double>>
-  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[Array[Byte]]
-    val lut = lutAny.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any =
+    PqAdc.kernel(codesAny.asInstanceOf[Array[Byte]],
+      lutAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.PqAdc.kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
+}
+
+object PqAdc {
+  /** Static kernel, callable from generated code — runs per candidate
+    * PAIR in the ADC scoring join, the hottest PQ site. */
+  def kernel(codes: Array[Byte], lut: ArrayData): Double = {
     val m = math.min(codes.length, lut.numElements())
     var s = 0
     var sum = 0.0
@@ -569,9 +648,6 @@ case class PqAdc(left: Expression, right: Expression)
     }
     sum
   }
-
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
 }
 
 /** Per-document term frequencies in one pass: tokenize once, count
