@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -133,13 +132,30 @@ object MinHashSignature {
   * component stage and to the DuckDB oracle. */
 case class Md5MinHashSignature(child: Expression, shingleSize: Int,
                                numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_minhash_signature"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    Md5MinHashSignature.kernel(text.asInstanceOf[UTF8String], shingleSize,
+      numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Md5MinHashSignature.kernel($c, $shingleSize, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
+    copy(child = c)
+}
+
+object Md5MinHashSignature {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String, shingleSize: Int, numHashes: Int): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val shingles = Sketches.shingleStrings(toks, shingleSize)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -155,9 +171,6 @@ case class Md5MinHashSignature(child: Expression, shingleSize: Int,
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
-    copy(child = c)
 }
 
 /** [[SimHash64]] with an md5-derived 60-bit token hash — the
@@ -166,14 +179,29 @@ case class Md5MinHashSignature(child: Expression, shingleSize: Int,
   * One pass per document instead of explode-60×-vote → two
   * aggregations. */
 case class Md5SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits <= 60, "md5 prefix parse is exact only up to 60 bits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_simhash"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    Md5SimHash.kernel(text.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5SimHash.kernel($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHash =
+    copy(child = c)
+}
+
+object Md5SimHash {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String, bits: Int): Long = {
+    val toks = Sketches.tokenize(text)
     val counts = new Array[Int](bits)
     var t = 0
     while (t < toks.length) {
@@ -193,9 +221,6 @@ case class Md5SimHash(child: Expression, bits: Int)
     }
     packed
   }
-
-  override protected def withNewChildInternal(c: Expression): Md5SimHash =
-    copy(child = c)
 }
 
 /** 64-bit SimHash of the token multiset, one pass (bit i of
@@ -658,15 +683,30 @@ object PqAdc {
   * semantics are byte-identical to
   * `explode(tokens) groupBy (id, term) count` (spec-pinned). */
 case class TermCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "term_counts"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    TermCounts.kernel(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TermCounts.kernel($c)")
+
+  override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
+object TermCounts {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
     var i = 0
     while (i < toks.length) {
@@ -684,9 +724,6 @@ case class TermCounts(child: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): TermCounts =
-    copy(child = c)
 }
 
 /** Per-document BIGRAM frequencies in one pass — [[TermCounts]] over
@@ -695,15 +732,30 @@ case class TermCounts(child: Expression)
   * output columns as TermCounts so consumers share the explode
   * shape; same one-row-per-id caller contract. */
 case class BigramCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "bigram_counts"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    BigramCounts.kernel(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BigramCounts.kernel($c)")
+
+  override protected def withNewChildInternal(c: Expression): BigramCounts =
+    copy(child = c)
+}
+
+object BigramCounts {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
     var i = 0
     while (i < toks.length - 1) {
@@ -721,9 +773,6 @@ case class BigramCounts(child: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): BigramCounts =
-    copy(child = c)
 }
 
 /** Per-document n-gram repetition statistics in ONE pass — the Gopher
@@ -736,7 +785,7 @@ case class BigramCounts(child: Expression)
   * document has fewer than two tokens (absent from the operator's
   * output, as before). */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("nBigrams", LongType, nullable = false),
@@ -746,8 +795,33 @@ case class RepetitionStats(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "repetition_stats"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    RepetitionStats.kernel(text.asInstanceOf[UTF8String])
+
+  // the kernel returns null for <2-token documents, so defineCodeGen
+  // (which never sets isNull from the result) cannot be used here
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow kr${ev.value} =
+        graft.plans.RepetitionStats.kernel($c);
+      if (kr${ev.value} == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = kr${ev.value};
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+object RepetitionStats {
+  /** Static kernel, callable from generated code; null for <2-token
+    * documents (absent from the operator output, as before). */
+  def kernel(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Sketches.tokenize(text)
     val n = toks.length
     if (n < 2) return null
     val bi = new java.util.HashMap[String, Long](n * 2)
@@ -776,9 +850,6 @@ case class RepetitionStats(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(
       n - 1L, topBigram, nTrigrams, dupTri)
   }
-
-  override protected def withNewChildInternal(c: Expression): RepetitionStats =
-    copy(child = c)
 }
 
 /** One-pass hashed n-gram feature buckets for DSIR: tokenize once,
@@ -790,14 +861,29 @@ case class RepetitionStats(child: Expression)
   * hex-encode → substring → conv string round-trip that made the
   * corpus feature pass the dominant cost of dsir scoring. */
 case class DsirBuckets(child: Expression, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(buckets > 0, "buckets must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "dsir_buckets"
 
-  override protected def nullSafeEval(text: Any): Any = {
-    val toks = Sketches.tokenize(text.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(text: Any): Any =
+    DsirBuckets.kernel(text.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DsirBuckets.kernel($c, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): DsirBuckets =
+    copy(child = c)
+}
+
+object DsirBuckets {
+  /** Static kernel, callable from generated code. */
+  def kernel(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = Sketches.tokenize(text)
     val n = toks.length
     val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
     var i = 0
@@ -812,9 +898,6 @@ case class DsirBuckets(child: Expression, buckets: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): DsirBuckets =
-    copy(child = c)
 }
 
 object SketchFunctions {
