@@ -85,6 +85,18 @@ object Similarity {
     rankTopKAgg(scored, k)
   }
 
+  /** Empty top-k result with the contract columns — the graceful
+    * answer for an EMPTY corpus (an index cannot train on zero
+    * vectors; without this the sampled trainers would throw on
+    * `pts(0)`). */
+  private def emptyTopK(corpus: DataFrame,
+                        scoreCol: String = "similarity"): DataFrame =
+    corpus.sparkSession.emptyDataFrame
+      .withColumn("queryId", lit(null).cast("long"))
+      .withColumn("neighbourId", lit(null).cast("long"))
+      .withColumn(scoreCol, lit(null).cast("double"))
+      .withColumn("rank", lit(null).cast("int"))
+
   /** Per-query (similarity DESC, neighbourId ASC) top-k via the
     * bounded heap aggregate: candidates partially aggregate map-side,
     * so only k heap entries per (partition, query) shuffle — never the
@@ -225,8 +237,9 @@ object Similarity {
     // seeded Lloyd on a bounded deterministic sample (the FAISS
     // training protocol; see sampleVectors) replaces the iterative
     // whole-corpus Spark-ML fit and its per-iteration job latency
-    val centroids =
-      lloydLocal(sampleVectors(corpus, 4096, seed), nLists, trainIters, seed)
+    val sample = sampleVectors(corpus, 4096, seed)
+    if (sample.isEmpty) return emptyTopK(corpus)
+    val centroids = lloydLocal(sample, nLists, trainIters, seed)
     // native one-pass cell assignment: the (nLists × dim) centroid
     // matrix rides inside the expression — no broadcast variable, no
     // per-row UDF serialisation boundary
@@ -605,6 +618,7 @@ object Similarity {
               seed: Long = 42L, trainIters: Int = 5,
               maxTrain: Int = 4096): Array[Array[Array[Double]]] = {
     val pts = sampleVectors(corpus, maxTrain, seed)
+    require(pts.nonEmpty, "pqTrain: cannot train on an empty corpus")
     val d = pts(0).length
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val subDim = d / m
@@ -649,6 +663,7 @@ object Similarity {
              m: Int = 8, kCodes: Int = 16, nLists: Int = 16,
              nProbe: Int = 3, seed: Long = 42L,
              trainIters: Int = 5, refineFactor: Int = 4): DataFrame = {
+    if (corpus.isEmpty) return emptyTopK(corpus, "score")
     val (index, codes) = pqIndexBuild(corpus, m, kCodes, nLists, seed, trainIters)
     pqSearch(index, codes, queries, k, nProbe,
       if (refineFactor > 0) Some(corpus) else None, refineFactor)
@@ -671,6 +686,7 @@ object Similarity {
                    trainIters: Int = 5): (PqIndex, DataFrame) = {
     val corpusN = unitVectors(corpus)
     val sample = sampleVectors(corpusN, 4096, seed)
+    require(sample.nonEmpty, "pqIndexBuild: cannot train on an empty corpus")
     val coarse = lloydLocal(sample, nLists, trainIters, seed)
     // residual books train on the SAME driver-side sample (residuals
     // derived locally against `coarse`) — zero extra cluster jobs

@@ -110,6 +110,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.lshTopK(corpus, emptyVecs, 3).count() === 0L)
   }
 
+  test("ANN indexes with an EMPTY corpus answer empty instead of crashing") {
+    // the sampled trainers would otherwise throw on pts(0)
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "embedding")
+    val queries = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    val ivf = Similarity.ivfTopK(emptyVecs, queries, 3)
+    assert(ivf.count() === 0L)
+    assert(ivf.columns.toSet ===
+      Set("queryId", "neighbourId", "similarity", "rank"))
+    val pq = Similarity.pqTopK(emptyVecs, queries, 3, m = 1)
+    assert(pq.count() === 0L)
+    assert(pq.columns.toSet === Set("queryId", "neighbourId", "score", "rank"))
+    assert(Similarity.lshTopK(emptyVecs, queries, 3).count() === 0L)
+    // the explicit builders state the contract loudly instead
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqIndexBuild(emptyVecs, m = 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTrain(emptyVecs, m = 1)
+    }
+  }
+
   test("DSIR and bigram LM on empty corpus / empty target") {
     val docs = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
     // empty corpus: nothing to select, no division by zero
