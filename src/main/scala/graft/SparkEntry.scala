@@ -63,6 +63,7 @@ object SparkEntry {
     "q_gx_ecaviar" -> (Q.ecaviar _),
     "q_gx_cluster_top1" -> (Q.clusterTop1 _),
     "q_gx_qc_metrics" -> (Q.qcMetrics _),
+    "q_p2_sanity_filter" -> (Q.sanityFilterQ _),
     // training-data pipeline (oracle-checked)
     "q_dedup_exact" -> (Q.dedupExact _),
     "q_dedup_ngram_jaccard" -> (Q.ngramJaccard _),

@@ -392,6 +392,33 @@ object Oracles {
       |         AS gc_lambda_q6
       |FROM ss GROUP BY 1""".stripMargin
 
+  /** Mirrors Q.sanityFilterQ / SumstatQC.sanityFilter: the synthetic
+    * sumstats with each malformation branch planted, then the full
+    * filter battery (non-null components, beta ≠ 0, SE > 0,
+    * 0 < p ≤ 1, non-NaN beta/SE). NaN compares greater-than-zero in
+    * both engines; the isnan guard is what drops it. */
+  val sanityFilter: String =
+    s"""WITH $synthSumstatsCte,
+      |mut AS (
+      |  SELECT "variantId", "studyId",
+      |    CASE WHEN l_orderkey % 97 = 0 THEN 0.0
+      |         WHEN l_orderkey % 73 = 0 THEN 'NaN'::DOUBLE
+      |         ELSE beta END AS beta,
+      |    CASE WHEN l_orderkey % 89 = 0 THEN -0.5 ELSE se END AS se,
+      |    CASE WHEN l_orderkey % 83 = 0 THEN NULL ELSE mant END AS mant,
+      |    CASE WHEN l_orderkey % 79 = 0 THEN 0 ELSE expo END AS expo
+      |  FROM ss)
+      |SELECT "variantId", "studyId",
+      |       ${q("beta", 6)} AS beta_q6, ${q("se", 6)} AS se_q6,
+      |       ${q("CAST(mant AS DOUBLE)", 6)} AS mantissa_q6,
+      |       CAST(expo AS BIGINT) AS exponent
+      |FROM mut
+      |WHERE beta IS NOT NULL AND se IS NOT NULL
+      |  AND mant IS NOT NULL AND expo IS NOT NULL
+      |  AND beta <> 0 AND se > 0
+      |  AND mant * POWER(10.0, expo) > 0 AND mant * POWER(10.0, expo) <= 1
+      |  AND NOT isnan(beta) AND NOT isnan(se)""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, lang, n_chars FROM documents
       |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin
@@ -3481,6 +3508,7 @@ object Oracles {
     "q_gx_ecaviar" -> ecaviar,
     "q_gx_cluster_top1" -> clusterTop1,
     "q_gx_qc_metrics" -> qcMetrics,
+    "q_p2_sanity_filter" -> sanityFilter,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_containment" -> dedupContainment,

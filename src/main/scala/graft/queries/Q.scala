@@ -450,6 +450,34 @@ object Q {
       (col("l_tax") + 0.01).as("standardError"),
       col("l_orderkey"), col("l_linenumber"))
 
+  /** P2: the row-level sumstat sanity filter over a synthetic frame
+    * with every malformation branch deterministically planted — null
+    * components (% 83), zero beta (% 97), non-positive SE (% 89),
+    * p > 1 (% 79: exponent forced to 0), NaN beta (% 73). The oracle
+    * replays the mutations and the filter battery. */
+  def sanityFilterQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = synthSumstats(s, dir)
+      .withColumn("beta",
+        when(col("l_orderkey") % 97 === 0, lit(0.0))
+          .when(col("l_orderkey") % 73 === 0, lit(Double.NaN))
+          .otherwise(col("beta")))
+      .withColumn("standardError",
+        when(col("l_orderkey") % 89 === 0, lit(-0.5))
+          .otherwise(col("standardError")))
+      .withColumn("pValueMantissa",
+        when(col("l_orderkey") % 83 === 0, lit(null).cast("float"))
+          .otherwise(col("pValueMantissa")))
+      .withColumn("pValueExponent",
+        when(col("l_orderkey") % 79 === 0, lit(0))
+          .otherwise(col("pValueExponent")))
+    SumstatQC.sanityFilter(ss)
+      .select(col("variantId"), col("studyId"),
+        q(col("beta"), 6).as("beta_q6"),
+        q(col("standardError"), 6).as("se_q6"),
+        q(col("pValueMantissa").cast("double"), 6).as("mantissa_q6"),
+        col("pValueExponent").cast("long").as("exponent"))
+  }
+
   /** W3+W1 on sumstats: session clusters + deterministic top-1 lead. */
   def clusterTop1(s: SparkSession, dir: String): DataFrame = {
     val byPos = Window.partitionBy("studyId", "chromosome")
