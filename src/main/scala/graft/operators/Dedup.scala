@@ -107,6 +107,12 @@ object Dedup {
     * anti-join: the set is tiny by construction, so the cap adds no
     * shuffle to the candidate join itself.
     *
+    * Caller contract: ONE ROW PER `idCol` value (the repo-wide
+    * one-row-per-id contract, cf. TextAnalysis.termFrequencyRows).
+    * With duplicate ids the candidate-pair dedup happens BEFORE the
+    * signature rejoin, so a duplicated id fans its pairs back out to
+    * one row per signature combination.
+    *
     * The signature frame is persisted via `cache` — it is the
     * expensive subtree (tokenise + k rehashes per document) and feeds
     * both self-join sides. Call `cache.release()` after consuming.

@@ -192,7 +192,10 @@ object IncrementalDedup {
                                 graft.core.CacheHandle()): DataFrame = {
     val rowsPerBand = numHashes / bands
     val arrivals = cache.persist(arrivalSigs)
-    val all = index.unionByName(arrivals)
+    // `all` feeds explodeBands AND both candidate-pair signature
+    // rejoins — without its own persist the index side's sketch
+    // subtree recomputes three times
+    val all = cache.persist(index.unionByName(arrivals))
 
     // slim banded frames: (id, band, key) only — signatures rejoin for
     // just the candidate pairs (the same shuffle-byte cut as

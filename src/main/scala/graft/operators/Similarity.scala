@@ -663,10 +663,12 @@ object Similarity {
              m: Int = 8, kCodes: Int = 16, nLists: Int = 16,
              nProbe: Int = 3, seed: Long = 42L,
              trainIters: Int = 5, refineFactor: Int = 4): DataFrame = {
-    if (corpus.isEmpty) return emptyTopK(corpus, "score")
-    val (index, codes) = pqIndexBuild(corpus, m, kCodes, nLists, seed, trainIters)
-    pqSearch(index, codes, queries, k, nProbe,
-      if (refineFactor > 0) Some(corpus) else None, refineFactor)
+    pqIndexBuildOpt(corpus, m, kCodes, nLists, seed, trainIters) match {
+      case None => emptyTopK(corpus, "score") // empty corpus: no index
+      case Some((index, codes)) =>
+        pqSearch(index, codes, queries, k, nProbe,
+          if (refineFactor > 0) Some(corpus) else None, refineFactor)
+    }
   }
 
   /** Trained IVF-PQ model: coarse centroids + per-subspace residual
@@ -684,9 +686,20 @@ object Similarity {
   def pqIndexBuild(corpus: DataFrame, m: Int = 8, kCodes: Int = 16,
                    nLists: Int = 16, seed: Long = 42L,
                    trainIters: Int = 5): (PqIndex, DataFrame) = {
+    val built = pqIndexBuildOpt(corpus, m, kCodes, nLists, seed, trainIters)
+    require(built.nonEmpty, "pqIndexBuild: cannot train on an empty corpus")
+    built.get
+  }
+
+  /** [[pqIndexBuild]] that answers None on an empty corpus — the
+    * sample collect doubles as the emptiness probe, so graceful
+    * callers (pqTopK) pay no extra job on the hot path. */
+  private def pqIndexBuildOpt(corpus: DataFrame, m: Int, kCodes: Int,
+                              nLists: Int, seed: Long,
+                              trainIters: Int): Option[(PqIndex, DataFrame)] = {
     val corpusN = unitVectors(corpus)
     val sample = sampleVectors(corpusN, 4096, seed)
-    require(sample.nonEmpty, "pqIndexBuild: cannot train on an empty corpus")
+    if (sample.isEmpty) return None
     val coarse = lloydLocal(sample, nLists, trainIters, seed)
     // residual books train on the SAME driver-side sample (residuals
     // derived locally against `coarse`) — zero extra cluster jobs
@@ -717,7 +730,7 @@ object Similarity {
     // corpus rows reduce to (cell, codes) via the shared encode path:
     // the full embedding never crosses the candidate join
     val idx = PqIndex(coarse, books)
-    (idx, pqEncode(idx, corpus))
+    Some((idx, pqEncode(idx, corpus)))
   }
 
   /** Encode rows against an EXISTING model — the incremental-append

@@ -1441,7 +1441,7 @@ object Oracles {
     * the parquet). Window clauses (`AS (PARTITION …`) are left
     * alone. */
   private def mat(sql: String): String =
-    sql.replaceAll("AS \\((?!PARTITION)", "AS MATERIALIZED (")
+    sql.replaceAll("AS \\((?!PARTITION|ORDER)", "AS MATERIALIZED (")
 
   /** 64-bit unsigned multiply mod 2⁶⁴ in HUGEINT: split the left
     * operand at 2³² so every intermediate stays under 2⁹⁷ (signed
