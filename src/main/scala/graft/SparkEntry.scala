@@ -136,6 +136,7 @@ object SparkEntry {
     "q_gx_study_deconvolution" -> (Q.studyDeconvolution _),
     "q_gx_window_clump" -> (Q.windowClumpFull _),
     "q_gx_ld_clump" -> (Q.ldClump _),
+    "q_gx_ld_clump_join" -> (Q.ldClumpJoin _),
     "q_ml_l2g_distance" -> (Q.l2gDistanceFeatures _),
     "q_ml_l2g_features" -> (Q.l2gFullFeatures _),
     "q_gx_overlaps_coloc_e2e" -> (Q.overlapsColocE2E _),

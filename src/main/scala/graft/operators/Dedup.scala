@@ -285,14 +285,22 @@ object Dedup {
   /** Sentinel default for `maxShingleDF`: derive the stop-shingle cap
     * from the corpus size via [[adaptiveShingleCap]].
     *
-    * BREAKING default change (was a fixed 100000 before r9): a corpus
-    * whose shingle DFs fall between the adaptive cap and 1e5 (e.g. a
-    * 1M-doc corpus now drops shingles at df > 1000) gets different —
-    * deliberately stop-phrase-free — similarity scores, and the
-    * default path adds one corpus count() to resolve the cap. Pass an
-    * explicit `maxShingleDF = 100000` to recover the old behaviour;
-    * the resolved cap is always logged (`[dedup]`). */
+    * MIGRATION — BREAKING default change (was a fixed 100000 before
+    * r9): a corpus whose shingle DFs fall between the adaptive cap and
+    * 1e5 (e.g. a 1M-doc corpus now drops shingles at df > 1000) gets
+    * different — deliberately stop-phrase-free — similarity scores,
+    * and the default path adds one corpus count() to resolve the cap.
+    * Pass `maxShingleDF = Dedup.LegacyFixedShingleDF` to recover the
+    * old behaviour exactly; the resolved cap AND this migration
+    * pointer are logged (`[dedup]`) on every default-path run. */
   val AdaptiveShingleDF: Int = 0
+
+  /** The pre-r9 fixed `maxShingleDF` default — pass this to
+    * [[ngramJaccardPairs]] / [[containmentPairs]] to reproduce
+    * pre-adaptive similarity scores bit-for-bit (and skip the
+    * cap-resolving corpus count()). Kept as a named constant so the
+    * migration away from it is greppable, not folklore. */
+  val LegacyFixedShingleDF: Int = 100000
 
   /** Corpus-size-derived stop-shingle DF cap: max(1000, nDocs/10⁴).
     * Bounds the hot-bucket quadratic RELATIVE to scale — at 1e9 docs
@@ -324,9 +332,13 @@ object Dedup {
       else {
         val resolved = adaptiveShingleCap(df.count())
         // always announce the resolved adaptive cap (not only when it
-        // drops something): callers should see which threshold applied
+        // drops something): callers should see which threshold applied,
+        // and callers migrating from the pre-r9 fixed default get the
+        // recovery pointer in the same line
         System.err.println(s"[dedup] adaptive stop-shingle DF cap " +
-          s"resolved to $resolved")
+          s"resolved to $resolved (pre-r9 fixed default was " +
+          s"${LegacyFixedShingleDF}; pass maxShingleDF = " +
+          "Dedup.LegacyFixedShingleDF to recover it)")
         resolved
       }
     // native one-pass shingle set (the HOF formulation re-slices the

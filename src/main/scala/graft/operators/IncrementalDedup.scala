@@ -194,8 +194,15 @@ object IncrementalDedup {
     val arrivals = cache.persist(arrivalSigs)
     // `all` feeds explodeBands AND both candidate-pair signature
     // rejoins — without its own persist the index side's sketch
-    // subtree recomputes three times
-    val all = cache.persist(index.unionByName(arrivals))
+    // subtree recomputes three times. One row per id is load-bearing:
+    // a re-arrival (id present in BOTH index and arrivals) would ride
+    // the union twice and fan every candidate pair back out to
+    // duplicate output rows in the signature rejoin, so index rows
+    // whose id re-arrives are anti-joined away — the arrival's (newer)
+    // signature wins.
+    val all = cache.persist(
+      index.join(arrivals.select("id"), Seq("id"), "left_anti")
+        .unionByName(arrivals))
 
     // slim banded frames: (id, band, key) only — signatures rejoin for
     // just the candidate pairs (the same shuffle-byte cut as

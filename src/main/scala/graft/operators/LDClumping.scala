@@ -53,8 +53,10 @@ object LDClumping {
   /** Reference-shape kernel (running collect_set window), verbatim
     * from reference clump.py:41-64. O(partition²) on degenerate
     * partitions — kept ONLY as the parity baseline for
-    * LDClumpingL2GSpec; production path is [[clump]]'s join shape. */
-  def isLeadLinked(studyId: Column, chromosome: Column, variantId: Column,
+    * LDClumpingL2GSpec (package-private so library callers cannot
+    * reach the scale-killer shape); production path is [[clump]]'s
+    * join shape. */
+  private[operators] def isLeadLinked(studyId: Column, chromosome: Column, variantId: Column,
                    pValueExponent: Column, pValueMantissa: Column,
                    ldSet: Column): Column = {
     val w = Window.partitionBy(studyId, chromosome)
@@ -69,6 +71,27 @@ object LDClumping {
       .otherwise(size(array_intersect(strongerLeads, tagsInLocus)) > 1)
   }
 
+  /** Single-pass small-input path: the reference window kernel plus
+    * the same flag/locus rewrite as [[clump]]. One scan + one window —
+    * no slim-frame persist, no back-join — so on inputs whose
+    * (study, chromosome) partitions are small it beats the join plan
+    * by the cost of the second upstream pass. O(partition²) on
+    * mega-partitions: reach it only through [[clump]]'s
+    * `windowPathMaxRows` gate, which counts the input before choosing
+    * (the count is free when the caller hands in a persisted or
+    * parquet-backed frame — exactly the callers this path serves). */
+  private def clumpViaWindow(associations: DataFrame): DataFrame =
+    associations
+      .withColumn("_linked",
+        isLeadLinked(col("studyId"), col("chromosome"), col("variantId"),
+          col("pValueExponent"), col("pValueMantissa"), col("ldSet")))
+      .withColumn("qualityControls",
+        ArrayFns.updateQualityFlag(col("qualityControls"), col("_linked"),
+          LdClumpedFlag))
+      .withColumn("locus",
+        when(col("_linked"), lit(null)).otherwise(col("locus")))
+      .drop("_linked")
+
   /** Flag LD-clumped rows and null out their locus.
     *
     * `cache`: the slim (5 key columns + exploded tag) frame feeds two
@@ -78,10 +101,29 @@ object LDClumping {
     * consumer re-evaluates the upstream (column pruning makes the
     * branches' exchanges non-identical, so ReuseExchange cannot
     * dedupe them — measured 3 full upstream scans). Pass
-    * `CacheHandle.disabled` to trade recompute for storage memory. */
+    * `CacheHandle.disabled` to trade recompute for storage memory.
+    *
+    * `windowPathMaxRows`: opt-in single-pass fallback for small
+    * inputs. When > 0 the operator counts `associations` (one extra
+    * job — free on a persisted or freshly-written frame, a full pass
+    * otherwise) and, if the count is within the bound, runs the
+    * reference window kernel instead of the join plan: one scan, no
+    * slim-frame persist, no back-join. The count is a HARD gate — a
+    * caller cannot reach the O(partition²) window on an input larger
+    * than the bound it states. Tie caveat: on p-values tied within a
+    * (study, chromosome) the window flag is physical-order-dependent
+    * (the reference's semantics) while the join plan breaks ties by
+    * lead id — the two paths agree exactly whenever (exponent,
+    * mantissa) is injective per partition, which the randomized
+    * parity spec pins. Leave at 0 (default) for the deterministic
+    * production plan. */
   def clump(associations: DataFrame,
             cache: graft.core.CacheHandle =
-              graft.core.CacheHandle()): DataFrame = {
+              graft.core.CacheHandle(),
+            windowPathMaxRows: Long = 0L): DataFrame = {
+    if (windowPathMaxRows > 0L &&
+        associations.count() <= windowPathMaxRows)
+      return clumpViaWindow(associations)
     val rowKey = Seq("studyId", "chromosome", "variantId",
       "pValueExponent", "pValueMantissa")
     // one slim pass: row keys + exploded tags (explode_outer keeps

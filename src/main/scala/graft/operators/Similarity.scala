@@ -541,6 +541,28 @@ object Similarity {
     val n = pts.length
     val d = pts(0).length
     val kk = math.min(k, n)
+    // The 1e9-grid integer folds (D² weights, centroid sums) assume
+    // unit-scale components: a squared distance above ~9.2e9 saturates
+    // its Long addend and the `total` accumulator (n ≤ 4096 addends)
+    // can wrap negative, degenerating the k-means++ picks. Bound it up
+    // front — max pairwise dist² ≤ 4·d·maxAbs², and the n-fold total
+    // must stay under Long.MaxValue — instead of silently training a
+    // broken codebook. Embeddings at this scale should be normalised
+    // (or the caller rescales) before training; the guard never fires
+    // on unit-ish data (d=64, n=4096 admits maxAbs ≈ 94).
+    var maxAbs = 0.0
+    var mp = 0
+    while (mp < n) {
+      var mi = 0
+      while (mi < d) {
+        val a = math.abs(pts(mp)(mi)); if (a > maxAbs) maxAbs = a; mi += 1
+      }
+      mp += 1
+    }
+    require(4.0 * d * maxAbs * maxAbs * 1e9 * n < Long.MaxValue.toDouble,
+      s"lloydLocal: component magnitude $maxAbs too large for the " +
+        s"integer-quantised trainer (d=$d, n=$n) — normalise or rescale " +
+        "embeddings before ANN index training")
     def pickIdx(j: Long): Int =
       math.min((hashUniform(j, seed) * n).toInt, n - 1)
     val cents = new Array[Array[Double]](kk)

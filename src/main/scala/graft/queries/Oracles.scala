@@ -3470,6 +3470,9 @@ object Oracles {
     "q_gx_study_validation" -> studyValidation,
     "q_gx_rsid_gnomad_map" -> rsidGnomadMapping,
     "q_gx_ld_clump" -> ldClump,
+    // same SQL: the Spark side differs only in physical path (gated
+    // window vs production join), both must hash to the same result
+    "q_gx_ld_clump_join" -> ldClump,
     "q_gx_locus_breaker" -> locusBreaker,
     "q_f_variant_hash" -> variantHash,
     "q_s2_scan_prune" -> scanPrune,

@@ -1501,11 +1501,28 @@ object Q {
         q(col("ld.relativeSampleSize"), 6).as("rel_q6"))
   }
 
-  /** LD clumping over synthesised loci with ldSets (rows-only). */
-  def ldClump(s: SparkSession, dir: String): DataFrame = {
+  /** LD clumping over synthesised loci with ldSets.
+    *
+    * Takes [[LDClumping.clump]]'s gated single-pass WINDOW path (the
+    * input is persisted, so the gate's count is free): at verify/bench
+    * SFs the join plan's 12+ sequential AQE stage barriers cost ~3× the
+    * actual work. The production JOIN path keeps its own oracle via
+    * [[ldClumpJoin]] (identical synthesis + SQL, default path) and its
+    * scale number via the r_gx_ld_clump rehearsal. */
+  def ldClump(s: SparkSession, dir: String): DataFrame =
+    ldClumpShared(s, dir, windowPathMaxRows = 100000L)
+
+  /** The SAME query forced onto the production join plan (default
+    * [[LDClumping.clump]] path) — keeps the scale shape hash-checked
+    * against DuckDB while [[ldClump]] measures the small-input gate. */
+  def ldClumpJoin(s: SparkSession, dir: String): DataFrame =
+    ldClumpShared(s, dir, windowPathMaxRows = 0L)
+
+  private def ldClumpShared(s: SparkSession, dir: String,
+                            windowPathMaxRows: Long): DataFrame = {
     // deterministic synthesis: p-value injective in the variant key so
     // the running-window tie order cannot differ between engines
-    val assoc = t(s, dir, "lineitem")
+    val slim = t(s, dir, "lineitem")
       .groupBy((col("l_partkey") % 2000).as("vKey"),
         concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
         (col("l_suppkey") % 3).cast("string").as("chromosome"))
@@ -1517,10 +1534,20 @@ object Q {
         (-(col("vKey") % 12) - 4).cast("int").as("pValueExponent"),
         array(struct(concat(lit("v"), col("vKey") + 1).as("tagVariantId"),
           col("maxR2").as("r2Overall"))).as("ldSet"))
+      // clump reads its input twice (slim tag frame + output back-join);
+      // on a parquet-backed StudyLocus the second pass is a pruned scan,
+      // but this query's input is an expensive synthesis groupBy. Persist
+      // the SLIM synthesized columns and derive the wide arrays after the
+      // cache point — the columnar cache then stores only scalars + the
+      // 1-element ldSet, mirroring what parquet column pruning gives a
+      // real caller (caching the full wide rows measured SLOWER than the
+      // double recompute: array-of-struct decode ≈ the synthesis itself)
+      .persist()
+    val assoc = slim
       .withColumn("locus", array(struct(col("variantId"),
         lit(1.0).as("posteriorProbability"))))
       .withColumn("qualityControls", lit(null).cast("array<string>"))
-    LDClumping.clump(assoc)
+    LDClumping.clump(assoc, windowPathMaxRows = windowPathMaxRows)
       .select(col("studyId"), col("chromosome"), col("variantId"),
         array_contains(coalesce(col("qualityControls"), array()),
           LDClumping.LdClumpedFlag).as("ldClumped"))
@@ -2086,7 +2113,7 @@ object Q {
     * the clump join (and the shape that killed the old running
     * collect_set window). */
   def ldClumpScaled(s: SparkSession, dir: String): DataFrame = {
-    val assoc = t(s, dir, "lineitem")
+    val slim = t(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("vKey"),
         concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
         (col("l_suppkey") % 3).cast("string").as("chromosome"))
@@ -2100,6 +2127,11 @@ object Q {
         (-(col("vKey") % 12) - 4).cast("int").as("pValueExponent"),
         array(struct(concat(lit("v"), col("vKey") + 1).as("tagVariantId"),
           col("maxR2").as("r2Overall"))).as("ldSet"))
+      // same slim-persist-then-derive shape as the registered query
+      // (see ldClump): only scalars + the 1-element ldSet live in the
+      // cache, so the persist stays near-free even at 100x
+      .persist()
+    val assoc = slim
       .withColumn("locus", array(struct(col("variantId"),
         lit(1.0).as("posteriorProbability"))))
       .withColumn("qualityControls", lit(null).cast("array<string>"))

@@ -540,7 +540,11 @@ object Steps {
           a.get("text_col").getOrElse("text"),
           a.get("id_col").getOrElse("doc_id"),
           shingleSize = a.int("shingle_size", 3),
-          threshold = a.double("threshold", 0.9), cache = h) }),
+          threshold = a.double("threshold", 0.9),
+          // explicit stop-shingle cap opt-out of the adaptive default
+          // (pre-r9 fixed behaviour: max_shingle_df=100000)
+          maxShingleDF = a.int("max_shingle_df", Dedup.AdaptiveShingleDF),
+          cache = h) }),
 
     Step("dedup_minhash",
       "MinHash+LSH near-duplicate pairs on a document table",

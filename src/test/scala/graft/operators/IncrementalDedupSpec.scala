@@ -77,6 +77,23 @@ class IncrementalDedupSpec extends SparkSpec {
       incr.contains((106L, 108L)))
   }
 
+  test("re-arrived ids (present in index AND arrivals) emit no duplicate pairs") {
+    // doc 5's text re-arrives under ITS OWN id: the pre-fix union carried
+    // id 5 twice, fanning every candidate pair against it out ×2
+    val rearrivals = arrivals.unionByName(
+      Seq((5L, "shared text that also arrives in the new batch today"))
+        .toDF("doc_id", "text"))
+    val idx = IncrementalDedup.minhashIndex(corpus, "text", "doc_id",
+      md5Base = true)
+    val arrSigs = IncrementalDedup.minhashIndex(rearrivals, "text", "doc_id",
+      md5Base = true)
+    val out = IncrementalDedup.incrementalMinhashPairs(arrSigs, idx,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toList
+    assert(out.distinct == out) // no fan-out duplicates
+    assert(out.contains((5L, 104L))) // the re-arrived id still pairs
+  }
+
   test("hot-bucket cap bounds candidate pairs on a degenerate batch") {
     // 40 identical arrivals against an empty index: uncapped would give
     // 40*39/2 = 780 pairs; a cap of 10 drops the bucket entirely.

@@ -69,6 +69,28 @@ class LDClumpingL2GSpec extends SparkSpec {
     assert(joined.filter(col("clumped")).count() > 10) // non-trivial
   }
 
+  test("windowPathMaxRows gate: window path taken only under the bound") {
+    val df = Seq(
+      ("s1", "1", "v1", 1.0f, -12, Some(Seq(Ld2("v2", Some(0.9)))),
+        Some(Seq(Tag2("v1", Some(1.0))))),
+      ("s1", "1", "v2", 1.0f, -8, Some(Seq(Ld2("v1", Some(0.9)))),
+        Some(Seq(Tag2("v2", Some(1.0))))),
+      ("s1", "1", "v3", 1.0f, -6, None, Some(Seq(Tag2("v3", Some(1.0))))))
+      .toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+        "pValueExponent", "ldSet", "locus")
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    def flags(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("variantId"),
+        array_contains(coalesce(col("qualityControls"), array()),
+          LDClumping.LdClumpedFlag).as("clumped"))
+      .as[(String, Boolean)].collect().toSet
+    val expect = Set(("v1", false), ("v2", true), ("v3", false))
+    // under the bound (window path), over it (join path), and default
+    assert(flags(LDClumping.clump(df, windowPathMaxRows = 10)) == expect)
+    assert(flags(LDClumping.clump(df, windowPathMaxRows = 2)) == expect)
+    assert(flags(LDClumping.clump(df)) == expect)
+  }
+
   test("LD clumping breaks p-value ties deterministically (lead id asc)") {
     // two mutually-tagged leads tied on (exponent, mantissa): the
     // reference's ROWS-frame window flags whichever row is physically

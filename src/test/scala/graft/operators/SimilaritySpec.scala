@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(brute == 1L)
   }
 
+  test("IVF training rejects magnitudes that would overflow the integer folds") {
+    // coords ~1e6 → dist² ~1e13·d: the 1e9-grid Long addends would
+    // saturate and the D² total could wrap negative — guard must fire
+    val huge = Seq(
+      (0L, Array(1.0e6, -1.0e6)), (1L, Array(9.9e5, 1.0e6)),
+      (2L, Array(-1.0e6, 5.0e5))).toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(huge, huge.limit(1), 1, nLists = 2)
+    }
+    assert(e.getMessage.contains("normalise or rescale"))
+  }
+
   test("IVF top-k recovers the true neighbour via probed cells") {
     val top = Similarity.ivfTopK(vecs, vecs.filter(col("id") === 0), 1,
       nLists = 3, nProbe = 3)
