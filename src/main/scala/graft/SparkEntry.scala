@@ -164,7 +164,11 @@ object SparkEntry {
     "r_gx_ld_clump" -> (Q.ldClumpScaled _),
     "r_gx_coloc_classic" -> (Q.colocClassicScaled _),
     "r_gx_ecaviar_classic" -> (Q.ecaviarClassicScaled _),
-    "r_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapScaled _))
+    "r_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapScaled _),
+    "r_gx_finemap" -> (Q.finemapScaled _),
+    "r_gx_ancestry_agg" -> (Q.ancestryAggScaled _),
+    "r_gx_study_deconvolution" -> (Q.studyDeconvolutionScaled _),
+    "r_ml_l2g_gold_standard" -> (Q.l2gGoldStandardScaled _))
 
   def oracleSql: Map[String, String] = Oracles.all
 }

@@ -2141,6 +2141,144 @@ object Q {
           LDClumping.LdClumpedFlag).as("ldClumped"))
   }
 
+  /** Ancestry aggregation with RAW customer keys: the study COUNT
+    * scales with the clones (~1.5k/15k/150k studies at 1×/10×/100×)
+    * while per-study discovery-sample lists stay O(10) rows — the real
+    * scale axis for [[StudyIndexOps.aggregateAndMapAncestries]]
+    * (registered q_gx_ancestry_agg pins 100 studies and only grows
+    * per-study row counts under clones). */
+  def ancestryAggScaled(s: SparkSession, dir: String): DataFrame = {
+    val ancestries = array(lit("European"), lit("Finnish"), lit("East Asian"),
+      lit("South Asian"), lit("African unspecified"), lit("NR"))
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("studyKey"))
+      .agg(collect_list(struct(
+        element_at(ancestries, (col("o_orderkey") % 6 + 1).cast("int"))
+          .as("ancestry"),
+        (col("o_totalprice") / 100).as("sampleSize"))).as("discoverySamples"))
+      .select(col("studyKey"),
+        explode(StudyIndexOps.aggregateAndMapAncestries(col("discoverySamples")))
+          .as("ld"))
+      .select(col("studyKey"), col("ld.ldPopulation"),
+        q(col("ld.relativeSampleSize"), 6).as("rel_q6"))
+  }
+
+  /** Study deconvolution with RAW customer keys — study count scales
+    * linearly, per-study (project, flag) deconvolution groups stay
+    * O(1) (registered q_gx_study_deconvolution pins 200 studies). */
+  def studyDeconvolutionScaled(s: SparkSession, dir: String): DataFrame =
+    StudyIndexOps.deconvolveStudies(
+      t(s, dir, "orders").select(
+        concat(lit("s"), col("o_custkey")).as("studyId"),
+        col("o_orderpriority").as("projectId"),
+        when(col("o_orderstatus") === "F", array(lit("FLAG_F")))
+          .otherwise(lit(null).cast("array<string>")).as("qualityControls"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          length(col("o_orderpriority")) * 1000)
+          .otherwise(lit(null)).cast("int").as("nSamples")))
+
+  /** L2G gold standard with RAW order keys: study-locus count and the
+    * distance/overlap index scale with the clones while the gene
+    * universe (60) and per-variant candidate density (3 genes) stay
+    * fixed — genomes don't grow with data (registered
+    * q_ml_l2g_gold_standard pins studies % 300 and positions % 1e5). */
+  def l2gGoldStandardScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.L2GGoldStandard
+    val o = t(s, dir, "orders")
+    val variantId = concat_ws("_",
+      (col("o_custkey") % 5).cast("string"),
+      (col("o_orderkey") * 7).cast("string"), lit("A"), lit("T"))
+    val studyId = concat(lit("GCST"), col("o_orderkey"))
+    val curation = o.select(
+      struct(studyId.as("otg_id")).as("association_info"),
+      struct(concat(lit("g"), col("o_custkey") % 60).as("gene_id"),
+        element_at(array(lit("High"), lit("Medium"), lit("Low")),
+          (col("o_orderkey") % 3 + 1).cast("int")).as("highest_confidence"))
+        .as("gold_standard_info"),
+      struct(
+        struct((col("o_custkey") % 5).cast("string").as("chromosome"),
+          (col("o_orderkey") * 7).as("position")).as("locus_GRCh38"),
+        struct(lit("A").as("reference"), lit("T").as("alternative"))
+          .as("alleles")).as("sentinel_variant"),
+      struct(element_at(array(lit("ProGeM"), lit("OTG")),
+        (col("o_orderkey") % 2 + 1).cast("int")).as("set_label"))
+        .as("metadata"))
+    val distances = o.select(variantId.as("variantId"),
+      explode(array(
+        struct(concat(lit("g"), col("o_custkey") % 60).as("targetId"),
+          (col("o_orderkey") * 13 % 800000).as("distanceFromTss")),
+        struct(concat(lit("g"), (col("o_custkey") + 7) % 60).as("targetId"),
+          (col("o_orderkey") * 17 % 800000).as("distanceFromTss")),
+        struct(concat(lit("g"), (col("o_custkey") + 21) % 60).as("targetId"),
+          (col("o_orderkey") * 23 % 800000).as("distanceFromTss")))).as("d"))
+      .select(col("variantId"), col("d.targetId"), col("d.distanceFromTss"))
+    val overlaps = o.filter(col("o_orderkey") % 5 === 0).select(
+      md5(concat_ws("_", studyId, variantId)).as("leftStudyLocusId"),
+      concat(lit("x"), col("o_orderkey")).as("rightStudyLocusId"),
+      variantId.as("tagVariantId"))
+    val interactions = t(s, dir, "part").select(
+      concat(lit("g"), col("p_partkey") % 60).as("targetA"),
+      concat(lit("g"), (col("p_partkey") * 7 + 1) % 60).as("targetB"),
+      ((col("p_partkey") % 100) / 100.0).as("scoring"))
+    L2GGoldStandard.fromOtgCuration(curation, distances, overlaps, interactions)
+      .select(col("studyLocusId"), col("studyId"), col("variantId"),
+        col("geneId"), col("goldStandardSet"),
+        array_join(array_sort(col("sources")), ",").as("sources_str"))
+  }
+
+  /** Fine-mapping e2e whose LOCUS COUNT scales with the clones: the
+    * registered q_gx_finemap_e2e pins a fixed 16-locus portfolio (a
+    * numerics anchor), so it cannot answer "do loci fine-map
+    * executor-parallel at 10×/100× the loci". Here each 1000-wide raw
+    * orderkey block is one locus (~33 qualifying variants per block —
+    * per-locus cost constant by construction), so key-shifted clones
+    * grow the locus count linearly: ~15/150/1500 at 1×/10×/100×. The
+    * planted-spike recipe (two causal sites, NULL-z imputation
+    * candidates, contradictory CARMA outliers) and the
+    * CARMA→RAISS→SuSiE-inf chain are identical to the registered
+    * query. */
+  def finemapScaled(s: SparkSession, dir: String): DataFrame = {
+    val vars = spread(s, t(s, dir, "lineitem"))
+      .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1)
+      .select(
+        concat(lit("L"), floor(col("l_orderkey") / 1000)).as("locusId"),
+        concat(lit("v"), col("l_orderkey")).as("variantId"),
+        ((col("l_orderkey") * 37) % 1000000).cast("double").as("pos"),
+        col("l_partkey"))
+    val wl = Window.partitionBy("locusId")
+    val withZ = vars
+      .withColumn("c1", min("pos").over(wl))
+      .withColumn("c2", max("pos").over(wl))
+      .withColumn("z",
+        when(col("l_partkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(
+            lit(6.0) * exp(-abs(col("pos") - col("c1")) / 200000.0) +
+              lit(4.0) * exp(-abs(col("pos") - col("c2")) / 200000.0) +
+              lit(0.3) * sin(col("pos") / 50000.0) +
+              when(col("l_partkey") % 23 === 0, lit(-8.0))
+                .otherwise(lit(0.0))))
+      .select("locusId", "variantId", "pos", "z")
+    val w = Window.partitionBy("locusId").orderBy("variantId")
+    val indexed = withZ.withColumn("idx",
+      (row_number().over(w) - 1).cast("int"))
+    val ld = indexed.select(col("locusId"), col("idx").as("i"),
+        col("pos").as("pi"))
+      .join(indexed.select(col("locusId"), col("idx").as("j"),
+        col("pos").as("pj")), Seq("locusId"))
+      .filter(col("i") < col("j"))
+      .select(col("locusId"), col("i"), col("j"),
+        exp(-abs(col("pi") - col("pj")) / 200000.0).as("r"))
+    graft.finemap.DistributedFineMapper
+      .finemapAll(s, withZ.select("locusId", "variantId", "z"), ld,
+        n = 100000, L = 5, coverage = 0.95,
+        runCarma = true, imputeMissing = true,
+        imputedR2Threshold = 0.5, ldScoreThreshold = 0.5)
+      .toDF()
+      .select(col("locusId").as("locus_id"), col("variantId").as("variant_id"),
+        q(col("pip"), 6).as("pip_q6"), q(col("logBF"), 6).as("log_bf_q6"),
+        col("inCredibleSet").cast("int").as("in_credible_set"))
+  }
+
   /** Overlaps whose locus-pair count scales with RAW order keys (the
     * registered synthesis pins 20×10 pairs); each GWAS locus pairs
     * with one QTL locus and carries the order's 1–7 line tags —
