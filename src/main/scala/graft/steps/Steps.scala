@@ -77,15 +77,25 @@ object Steps {
 
     Step("colocalisation",
       "COLOC + eCAVIAR over credible-set overlaps",
-      (s, a) => {
-        val overlaps = Overlaps.findOverlaps(read(s, a("in")))
-        val out = a.get("method").map(_.toLowerCase) match {
-          case Some("ecaviar") => Coloc.eCaviar(overlaps)
-          case Some("coloc") | None => Coloc.colocalise(overlaps)
+      // writeReleasing is load-bearing in a chained session: findOverlaps
+      // persists the exploded tags AND the peak pairs (corpus-scale at
+      // 10x), and leaking them starved every later stage of storage
+      // memory (the ChainBench 10x run measured the NEXT stage at
+      // 17x/decade before this release)
+      (s, a) => writeReleasing(a("out")) { h =>
+        // both methods take their fused O(tags)+O(intersection) scale
+        // paths; method=coloc_classic / ecaviar_classic keep the
+        // aligned-overlaps formulation for parity runs
+        def tags = h.persist(Overlaps.explodeLoci(read(s, a("in"))))
+        def overlaps = Overlaps.findOverlaps(read(s, a("in")), cache = h)
+        a.get("method").map(_.toLowerCase) match {
+          case Some("ecaviar") => Coloc.eCaviarFused(tags)
+          case Some("coloc") | None => Coloc.colocaliseFused(tags)
+          case Some("ecaviar_classic") => Coloc.eCaviar(overlaps)
+          case Some("coloc_classic") => Coloc.colocalise(overlaps)
           case Some(other) =>
             throw new IllegalArgumentException(s"Unknown method '$other'")
         }
-        write(out, a("out"))
       }),
 
     Step("pics",

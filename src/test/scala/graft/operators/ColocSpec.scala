@@ -135,6 +135,50 @@ class ColocSpec extends SparkSpec {
     spark.sqlContext.clearCache()
   }
 
+  test("fused eCAVIAR equals the aligned-overlap pipeline on randomized credsets") {
+    // randomized partial overlaps incl. one-sided tags, null betas and
+    // zero betas — every exclusion branch of the classic aggregates
+    val rnd = new scala.util.Random(20260815)
+    val cred = (0 until 60).map { i =>
+      val tags = (0 until 2 + rnd.nextInt(5)).map { _ =>
+        val beta = rnd.nextInt(4) match {
+          case 0 => null.asInstanceOf[java.lang.Double]
+          case 1 => java.lang.Double.valueOf(0.0)
+          case _ => java.lang.Double.valueOf(rnd.nextGaussian())
+        }
+        (s"v${rnd.nextInt(30)}", rnd.nextDouble() * 10,
+          rnd.nextDouble(), beta)
+      }.distinctBy(_._1)
+      (s"L$i", s"s${i % 7}", if (i % 3 == 0) "gwas" else "eqtl",
+        s"${i % 2}", s"r$i", tags)
+    }.toDF("studyLocusId", "studyId", "studyType", "chromosome", "region", "raw")
+      .select(col("studyLocusId"), col("studyId"), col("studyType"),
+        col("chromosome"), col("region"),
+        expr("transform(raw, t -> named_struct(" +
+          "'variantId', t._1, 'logBF', t._2, 'posteriorProbability', t._3," +
+          "'beta', t._4, 'pValueMantissa', CAST(1.0 AS FLOAT)," +
+          "'pValueExponent', -8))").as("locus"))
+    val classic = Coloc.eCaviar(Overlaps.findOverlaps(cred))
+    val fused = Coloc.eCaviarFused(Overlaps.explodeLoci(cred))
+    val cols = Seq("leftStudyLocusId", "rightStudyLocusId",
+      "numberColocalisingVariants", "clpp", "betaRatioSignAverage")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val c = keyed(classic)
+    val f = keyed(fused)
+    assert(c.keySet == f.keySet && c.size > 20)
+    c.keys.foreach { k =>
+      assert(c(k).getLong(2) == f(k).getLong(2), s"$k count")
+      assert(math.abs(c(k).getDouble(3) - f(k).getDouble(3)) < 1e-9, s"$k clpp")
+      assert(c(k).isNullAt(4) == f(k).isNullAt(4), s"$k sign-null")
+      if (!c(k).isNullAt(4))
+        assert(math.abs(c(k).getDouble(4) - f(k).getDouble(4)) < 1e-9,
+          s"$k sign")
+    }
+    spark.sqlContext.clearCache()
+  }
+
   test("fused COLOC intra-study mode equals the aligned pipeline") {
     val cred = Seq(
       ("A", "s1", "gwas", "1", "r1", Seq(("v1", 10.2, 0.91, 0.5), ("v2", 1.2, 0.6, 0.3))),
