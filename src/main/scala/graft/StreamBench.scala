@@ -36,8 +36,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
-  private case class Arrival(ts: java.sql.Timestamp, doc_id: Long,
-                             text: String)
+  // (ts, doc_id, text) — a tuple, not a nested case class: the
+  // ExpressionEncoder's codegen cannot call a private member class'
+  // field accessors
+  private type Arrival = (java.sql.Timestamp, Long, String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,9 +71,9 @@ object StreamBench {
 
     // event time advances one minute per chunk: with the 10-minute
     // watermark the engine provably EVICTS old digest state mid-run
-    def arrivalsOf(rows: Array[(Long, String)], chunkIdx: Int) =
-      rows.map { case (id, text) =>
-        Arrival(new java.sql.Timestamp(1700000000000L + chunkIdx * 60000L),
+    def arrivalsOf(rows: Array[(Long, String)], chunkIdx: Int): Seq[Arrival] =
+      rows.toSeq.map { case (id, text) =>
+        (new java.sql.Timestamp(1700000000000L + chunkIdx * 60000L),
           id, text)
       }
 
@@ -79,21 +81,22 @@ object StreamBench {
             build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (String, Long, Long, Double, Long, Double) = {
       val source = MemoryStream[Arrival]
-      val out = build(source.toDF())
+      val out = build(source.toDF().toDF("ts", "doc_id", "text"))
       var rowsOut = 0L
       val query = out.writeStream
         .outputMode("append")
         .trigger(Trigger.ProcessingTime(0))
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          rowsOut += df.count()
+          // exclude the end-of-stream flush sentinel from the tally
+          rowsOut += df.filter(org.apache.spark.sql.functions
+            .col("doc_id") >= 0).count()
         }
         .queryName(name)
         .start()
       var stateRowsMax = 0L
       var stateBytesMax = 0L
       val t0 = System.nanoTime()
-      corpus.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
-        source.addData(arrivalsOf(rows, i))
+      def drainAndSample(): Unit = {
         query.processAllAvailable()
         query.lastProgress match {
           case null => ()
@@ -104,6 +107,17 @@ object StreamBench {
             }
         }
       }
+      corpus.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+        source.addData(arrivalsOf(rows, i))
+        drainAndSample()
+      }
+      // end-of-stream flush: one sentinel arrival far past the
+      // watermark closes every pending aggregation group, so rows_out
+      // reflects the whole corpus (append-mode aggregations emit a
+      // group only when the watermark passes it)
+      source.addData(Seq((new java.sql.Timestamp(
+        1700000000000L + (batches + 60) * 60000L), -1L, "flush sentinel")))
+      drainAndSample()
       val sec = (System.nanoTime() - t0) / 1e9
       query.stop()
       System.err.println(f"[stream] $name%-24s in=$total out=$rowsOut " +

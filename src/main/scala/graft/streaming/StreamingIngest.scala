@@ -39,7 +39,9 @@ object StreamingIngest {
   def ingest(docs: DataFrame, benchmark: DataFrame, textCol: String,
              idCol: String, minQuality: Double = 0.2,
              maxBenchCoverage: Double = 0.6, shingleSize: Int = 3,
-             watermark: String = "10 minutes"): DataFrame = {
+             watermark: String = "10 minutes",
+             cache: graft.core.CacheHandle =
+               graft.core.CacheHandle()): DataFrame = {
     val annotated = docs
       .withColumn("language", TextAnalysis.languageId(col(textCol)))
       .withColumn("qualityScore", TextAnalysis.qualityScore(col(textCol)))
@@ -51,9 +53,15 @@ object StreamingIngest {
     val benchShingled = benchmark.select(col(idCol).as("benchId"),
       explode(graft.plans.SketchFunctions
         .distinctShingles(col(textCol), shingleSize)).as("__shingle"))
-    val benchIdx = benchShingled.join(
+    // the benchmark index is STATIC but rides inside a streaming plan:
+    // without the persist, every micro-batch re-executes the shingle
+    // explode + groupBy + self-join (measured 3.3s -> 2.9s per 2k-row
+    // micro-batch at 10x corpus scale with a 50-doc benchmark; the gap
+    // grows with real MB-scale eval suites). The handle lives as long
+    // as the query; release it after query.stop()
+    val benchIdx = cache.persist(benchShingled.join(
       benchShingled.groupBy("benchId")
-        .agg(count(lit(1)).as("benchShingles")), "benchId")
+        .agg(count(lit(1)).as("benchShingles")), "benchId"))
 
     val keys = deduped.columns.toSeq
     val exploded = deduped.select(keys.map(col) :+
