@@ -2127,10 +2127,13 @@ object Q {
         (-(col("vKey") % 12) - 4).cast("int").as("pValueExponent"),
         array(struct(concat(lit("v"), col("vKey") + 1).as("tagVariantId"),
           col("maxR2").as("r2Overall"))).as("ldSet"))
-      // same slim-persist-then-derive shape as the registered query
-      // (see ldClump): only scalars + the 1-element ldSet live in the
-      // cache, so the persist stays near-free even at 100x
-      .persist()
+    // NO persist here, deliberately: at 100x the columnar cache of the
+    // 6M-row synthesized frame measured 35.0 s vs 6.2 s for plain
+    // double recompute (the same persist-worse-than-recompute trap as
+    // the r10 window-clump cache) — at mega-partition density the
+    // cache build+decode dwarfs the synthesis groupBy it saves. The
+    // registered sf-scale ldClump DOES persist: there the cache feeds
+    // the windowPathMaxRows count gate plus a single window pass.
     val assoc = slim
       .withColumn("locus", array(struct(col("variantId"),
         lit(1.0).as("posteriorProbability"))))
