@@ -140,6 +140,7 @@ object Bench {
     * batched (drift there is bounded by their own size). */
   private val heavySolo: Set[String] = Set(
     "q_ml_l2g_features", "q_gx_finemap_e2e", "q_gx_overlaps_coloc_e2e",
+    "q_gx_ecaviar_fused_e2e",
     "q_ml_l2g_gold_standard", "q_gx_coloc", "q_gx_window_clump",
     "q_gx_rsid_gnomad_map", "q_gx_ecaviar", "q_gx_cluster_top1",
     "q_gx_intra_overlaps", "q_ml_l2g_distance", "q_dedup_keep_best",

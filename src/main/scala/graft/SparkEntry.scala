@@ -140,6 +140,7 @@ object SparkEntry {
     "q_ml_l2g_distance" -> (Q.l2gDistanceFeatures _),
     "q_ml_l2g_features" -> (Q.l2gFullFeatures _),
     "q_gx_overlaps_coloc_e2e" -> (Q.overlapsColocE2E _),
+    "q_gx_ecaviar_fused_e2e" -> (Q.ecaviarFusedE2E _),
     "q_gx_pics" -> (Q.picsFinemap _),
     "q_gx_finemap_e2e" -> (Q.finemapE2e _),
     "q_gx_locus_breaker" -> (Q.locusBreaker _),

@@ -2899,6 +2899,44 @@ object Oracles {
       |FROM joined GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mirrors Q.ecaviarFusedE2E: the same deduped tag synthesis as
+    * [[overlapsColocE2E]] feeding the fused eCAVIAR kernel — CLPP and
+    * the beta-sign average aggregated straight off the tag self-join
+    * (every addend an exact decimal, so the sums are
+    * order-independent across engines). */
+  val ecaviarFusedE2E: String =
+    s"""WITH t0 AS (
+      |  SELECT l_orderkey, l_partkey,
+      |         min(l_extendedprice) AS price, min(l_discount) AS disc,
+      |         min(l_tax) AS tax
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT 'L' || l_orderkey AS slid,
+      |         CASE WHEN l_orderkey % 2 = 0 THEN 'gwas' ELSE 'eqtl' END
+      |           AS stype,
+      |         CAST(l_partkey % 24 AS VARCHAR) AS chromosome,
+      |         'v' || l_partkey || '_' || (l_orderkey % 2) AS tv,
+      |         disc * 10 AS pp,
+      |         tax AS beta
+      |  FROM t0),
+      |m AS (
+      |  SELECT l.chromosome, l.slid AS lslid, r.slid AS rslid,
+      |         r.stype AS rtype,
+      |         l.pp AS lpp, r.pp AS rpp,
+      |         l.beta AS l_beta, r.beta AS r_beta
+      |  FROM t l JOIN t r
+      |    ON l.chromosome = r.chromosome AND l.tv = r.tv
+      |   AND (r.stype <> 'gwas' OR l.slid > r.slid)
+      |   AND l.stype = 'gwas')
+      |SELECT lslid AS "leftStudyLocusId", rslid AS "rightStudyLocusId",
+      |       rtype AS "rightStudyType", chromosome,
+      |       count(*) AS "numberColocalisingVariants",
+      |       ${q("sum(lpp * rpp)", 6)} AS clpp_q6,
+      |       ${q("avg(CASE WHEN l_beta IS NOT NULL AND r_beta IS NOT NULL" +
+            " AND l_beta <> 0 AND r_beta <> 0" +
+            " THEN sign(l_beta / r_beta) END)", 6)} AS beta_ratio_q6
+      |FROM m GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Mirrors Q.overlapsColocE2E: deduped tag synthesis feeding the
     * FUSED COLOC decomposition (per-locus logsumexps + intersection
     * aggregates off the tag self-join — same math the engine's
@@ -3465,6 +3503,7 @@ object Oracles {
     "q_ml_l2g_features" -> l2gFullFeatures,
     "q_gx_study_deconvolution" -> studyDeconvolution,
     "q_gx_overlaps_coloc_e2e" -> overlapsColocE2E,
+    "q_gx_ecaviar_fused_e2e" -> ecaviarFusedE2E,
     "q_gx_ancestry_agg" -> ancestryAggregation,
     "q_ml_l2g_distance" -> l2gDistanceFeatures,
     "q_gx_study_validation" -> studyValidation,

@@ -834,7 +834,33 @@ object Q {
     * buckets — and with them the overlap self-join fan-out — stay O(1)
     * as SF increases. (Earlier variants with fixed locus/tag counts
     * went quadratic at sf0.1.) */
-  def overlapsColocE2E(s: SparkSession, dir: String): DataFrame = {
+  def overlapsColocE2E(s: SparkSession, dir: String): DataFrame =
+    Coloc.colocaliseFused(e2eFusedTags(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("rightStudyType"), col("chromosome"),
+        col("numberColocalisingVariants"),
+        q(col("h0"), 4).as("h0_q4"), q(col("h1"), 4).as("h1_q4"),
+        q(col("h2"), 4).as("h2_q4"), q(col("h3"), 4).as("h3_q4"),
+        q(col("h4"), 4).as("h4_q4"),
+        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
+
+  /** eCAVIAR end-to-end over the same synthesised credible sets, via
+    * the fused intersection-only kernel the colocalisation CLI step
+    * runs in production ([[Coloc.eCaviarFused]]) — CLPP and the sign
+    * average hash-checked against a direct SQL replay of the tag
+    * self-join (the pp/beta addends are exact decimals on both
+    * engines, so the sums are order-independent). */
+  def ecaviarFusedE2E(s: SparkSession, dir: String): DataFrame =
+    Coloc.eCaviarFused(e2eFusedTags(s, dir))
+      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
+        col("rightStudyType"), col("chromosome"),
+        col("numberColocalisingVariants"),
+        q(col("clpp"), 6).as("clpp_q6"),
+        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
+
+  /** Shared deduped flat-tag synthesis of the fused-kernel e2e
+    * queries. */
+  private def e2eFusedTags(s: SparkSession, dir: String): DataFrame = {
     // dedup by (order, part): credible sets hold each variant once —
     // the invariant Coloc.colocaliseFused relies on (the raw synth has
     // ~0.01% duplicate (locus, variant) pairs); min() keeps the
@@ -856,27 +882,19 @@ object Q {
         (col("_disc") * 10).as("posteriorProbability"),
         col("_tax").as("beta"),
         lit(1.0f).as("pValueMantissa"), lit(-8).as("pValueExponent"))
-    // fused COLOC: per-locus logsumexps + intersection-only aggregates
-    // off the tag self-join — no aligned-overlap materialisation. The
-    // dedup'd rows above ARE the flat exploded tags (one per (locus,
-    // variant), same schema as Overlaps.explodeLoci), so feed them
-    // straight to the fused kernel — no collect_list locus rebuild
-    // only to re-explode it (saves a shuffle + per-locus array builds).
+    // the dedup'd rows above ARE the flat exploded tags (one per
+    // (locus, variant), same schema as Overlaps.explodeLoci), so feed
+    // them straight to the fused kernels — no collect_list locus
+    // rebuild only to re-explode it (saves a shuffle + per-locus
+    // array builds).
     val tags = cred.withColumnRenamed("variantId", "tagVariantId").persist()
     // materialise the cache BEFORE the fused kernel's first action: it
-    // reads tags through four subplans (self-join sides + both locus
+    // reads tags through multiple subplans (self-join sides + locus
     // aggregates), and concurrent consumers of a still-uncached frame
     // race to compute its partitions redundantly (the run-to-run 3.5 ->
     // 10 s wobble this query showed under the bench harness)
     tags.count()
-    Coloc.colocaliseFused(tags)
-      .select(col("leftStudyLocusId"), col("rightStudyLocusId"),
-        col("rightStudyType"), col("chromosome"),
-        col("numberColocalisingVariants"),
-        q(col("h0"), 4).as("h0_q4"), q(col("h1"), 4).as("h1_q4"),
-        q(col("h2"), 4).as("h2_q4"), q(col("h3"), 4).as("h3_q4"),
-        q(col("h4"), 4).as("h4_q4"),
-        q(col("betaRatioSignAverage"), 6).as("beta_ratio_q6"))
+    tags
   }
 
   /** Intra-study overlapping peaks: same-study pairs across different
