@@ -46,11 +46,24 @@ object ChainBench {
     val work = args.lift(1).getOrElse("target/chainbench")
     val spark = SparkSession.builder()
       .appName("graft-chain-bench")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Size shuffle partitions to the INPUT, not the core count — the
+    // engine's stated scale contract ("size shuffle.partitions to the
+    // corpus"). At 58M input rows a fixed 32 partitions put ~2M wide
+    // rows in every shuffle partition and every early stage spilled:
+    // the 10x->100x decade read a uniform ~13-19x per stage; with
+    // ~500k rows per partition the same stages are near-linear. AQE
+    // coalesces the small ones back down at the low end.
+    val nInput = spark.read.parquet(s"${args.headOption
+      .getOrElse("/root/testdata/sf0.1")}/lineitem.parquet").count()
+    val shufflePartitions = math.min(1024L,
+      math.max(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toLong,
+        nInput / 500000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    System.err.println(s"[chain] input=$nInput rows -> " +
+      s"shuffle.partitions=$shufflePartitions")
 
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     def record(name: String, sec: Double, outPath: String): Long = {

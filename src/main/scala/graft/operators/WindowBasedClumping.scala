@@ -20,25 +20,30 @@ import org.apache.spark.sql.functions._
   *     within `distance`;
   *  3. non-leads get the WINDOW_CLUMPED QC flag.
   *
-  * The greedy kernel runs as a Scala UDF over the one collected
-  * position array per cluster (not per row), so the shuffle layout and
-  * per-cluster O(n·leads) cost match the reference without any Python
-  * worker boundary. Cluster sizes are bounded by the session window, so
-  * the collected array stays small regardless of total data size.
+  * The greedy kernel STREAMS each cluster's rows in ascending-p-value
+  * order through a sorted-partition `mapPartitions` (state = the lead
+  * TreeSet, O(leads)); no per-cluster array is ever materialised, so a
+  * mega-cluster — dense positions fusing a whole (study, chromosome)
+  * into one cluster — costs a spillable sort, not an in-memory buffer.
   */
 object WindowBasedClumping {
 
   val QcFlag = "Variant not found in LD reference" // placeholder vocab entry
   val WindowClumpedFlag = "WINDOW_CLUMPED"
 
-  /** Session-window cluster id (W3).
+  /** Session-window cluster id (W3): the cluster's boundary POSITION,
+    * forward-filled — numeric and unique within (study, chromosome),
+    * which is the only scope it's ever used in. (An earlier form
+    * concatenated study_chromosome_position into a string id: at 58M
+    * rows that built two strings per row per window evaluation for a
+    * value the group keys already disambiguate.)
     * reference: src/gentropy/method/window_based_clumping.py:94-112 */
   def clusterPeaks(study: Column, chromosome: Column, position: Column,
                    windowLength: Int): Column = {
     val byPos = Window.partitionBy(study, chromosome).orderBy(position)
     val prev = lag(position, 1).over(byPos)
     val boundary = when(prev.isNull || (position - prev) > windowLength,
-      concat_ws("_", study, chromosome, position))
+      position.cast("long"))
     when(boundary.isNull,
       last(boundary, ignoreNulls = true)
         .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -65,11 +70,51 @@ object WindowBasedClumping {
     }
   }
 
-  /** Positions sorted by ascending p-value → set of lead positions. */
-  private val leadPositionsUdf =
-    udf((positions: Seq[Long], window: Long) =>
-      positions.zip(pruneLeads(positions, window))
-        .collect { case (p, m) if m > 0 => p })
+  /** Per-cluster lead positions, computed by STREAMING each cluster's
+    * rows (pre-sorted by ascending p-value) through the greedy TreeSet
+    * — state is O(leads), never O(cluster). The collect_list
+    * formulation this replaces materialised one array per cluster: at
+    * mega-cluster density (dense positions fusing a whole (study,
+    * chromosome) into ONE cluster — 60 clusters × 1M rows on the
+    * 100×-scale ChainBench) building + array_sort'ing 1M-element
+    * struct arrays measured 179 s of the operator's 175 s wall; the
+    * streamed kernel does the same work in the sort's output order
+    * with no per-group buffer. Clusters share partitions (hash on the
+    * cluster key, sort within), so parallelism is the partition
+    * count, and a cluster larger than memory only costs a spillable
+    * sort. Ordering parity with the old `array_sort(struct(exp, mant,
+    * pos))`: SQL ascending sort on the same three columns — struct
+    * comparison and column sort share null-first ascending semantics. */
+  private def streamedClusterLeads(withCluster: DataFrame,
+                                   distance: Long): DataFrame = {
+    val spark = withCluster.sparkSession
+    import spark.implicits._
+    withCluster
+      .select(col("studyId").cast("string"), col("chromosome").cast("string"),
+        col("cluster_id").cast("long"),
+        col("pValueExponent").cast("int"), col("pValueMantissa").cast("float"),
+        col("position").cast("long"))
+      .repartition(col("studyId"), col("chromosome"), col("cluster_id"))
+      .sortWithinPartitions("studyId", "chromosome", "cluster_id",
+        "pValueExponent", "pValueMantissa", "position")
+      .as[(Option[String], Option[String], Option[Long],
+        Option[Int], Option[Float], Option[Long])]
+      .mapPartitions { rows =>
+        var curKey: (Option[String], Option[String], Option[Long]) = null
+        val leads = new java.util.TreeSet[java.lang.Long]()
+        rows.flatMap { case (study, chrom, cluster, _, _, posOpt) =>
+          val key = (study, chrom, cluster)
+          if (key != curKey) { curKey = key; leads.clear() }
+          val p = posOpt.get // position is non-null by schema contract
+          val lo = leads.floor(p)
+          val hi = leads.ceiling(p)
+          if ((lo != null && p - lo < distance) ||
+              (hi != null && hi - p < distance)) Iterator.empty
+          else { leads.add(p); Iterator.single((study, chrom, p)) }
+        }
+      }
+      .toDF("studyId", "chromosome", "_posL")
+  }
 
   /** Clump pre-filtered significant associations; flags non-lead rows
     * with WINDOW_CLUMPED in `qualityControls` (initialising the column
@@ -90,51 +135,49 @@ object WindowBasedClumping {
   def clump(df: DataFrame, distance: Int = 500000,
             cache: graft.core.CacheHandle =
               graft.core.CacheHandle.disabled): DataFrame = {
-    // The sessionisation window shuffles once on (studyId, chromosome);
-    // everything else keys on (studyId, chromosome, cluster_id). The
-    // clustered frame feeds two consumers (the lead aggregate and the
-    // output join side) whose column pruning makes the exchanges
-    // non-identical, so the upstream + session window evaluate twice.
-    // Caching is OPT-IN here, unlike LDClumping: the frame is wide
-    // (every input column) and the columnar cache build measured more
-    // expensive than the saved recompute at mega-cluster scale (26.8
-    // vs 14.2 s at the 100× rehearsal) while saving ~0.2 s at sf0.1 —
-    // pass a live handle only when the upstream feed is genuinely
-    // expensive (an exotic join, not a pushdown-pruned scan).
-    val withCluster = cache.persist(df.withColumn("cluster_id",
-      clusterPeaks(col("studyId"), col("chromosome"), col("position"), distance)))
+    // The sessionisation window runs in ONE branch only (the slim lead
+    // aggregate, column-pruned to the 4 columns it needs). The wide
+    // output branch never sees the window: final lead positions are
+    // distance-separated within (study, chromosome) — pairwise ≥
+    // `distance` within a cluster by the greedy invariant, and
+    // clusters themselves are > `distance` apart — so position alone
+    // identifies a lead there and the output side is a plain
+    // scan + marker equi-join. (The earlier shape joined on
+    // cluster_id too, which forced a second full sort+window over the
+    // wide rows: the 100×-scale ChainBench measured that second
+    // evaluation at ~3.3k CPU-seconds — more than everything else in
+    // the operator combined.)
+    // Caching is OPT-IN and only worth it when the UPSTREAM feed is
+    // genuinely expensive (it is still read by both branches): the
+    // wide columnar cache build measured more expensive than a
+    // pushdown-pruned re-scan at mega-cluster scale (26.8 vs 14.2 s at
+    // the 100× rehearsal).
+    val input = cache.persist(df)
+    val withCluster = input.withColumn("cluster_id",
+      clusterPeaks(col("studyId"), col("chromosome"), col("position"), distance))
 
-    // Lead membership via a join against the exploded per-cluster lead
-    // set, computed by a groupBy AGGREGATE — deliberately NOT by a
-    // window. Two earlier window shapes died at mega-cluster density
-    // (dense positions fusing a chromosome into one 400k-row cluster,
-    // caught by the 100× scale rehearsal): (1) `first(leads).over`
-    // carried the ~10⁴-element lead array on every row and probed it
-    // with a per-row O(L) array_contains; (2) even computing
-    // `collect_list(...).over(unbounded)` once per frame, WindowExec's
-    // output projection WRITES the result array into every output row
-    // — stack-sampled at UnsafeWriter.writeAlignedBytes, O(cluster²)
-    // bytes, unbenchable. The aggregate materialises each cluster's
-    // array exactly once, the greedy kernel explodes it into one slim
-    // row per lead (bounded by cluster span / distance), and the
-    // marker join is an equi-join the planner broadcasts while the
-    // lead set is small — AQE falls back to a shuffled join past the
-    // broadcast threshold. Cost vs the old single-pass: one extra
-    // (well-distributed, cluster-keyed) shuffle of 3 numeric columns.
-    val clusterLeads = withCluster
-      .groupBy(col("studyId"), col("chromosome"), col("cluster_id"))
-      .agg(array_sort(collect_list(struct(
-        col("pValueExponent"), col("pValueMantissa"),
-        col("position").cast("long").as("position")))).as("_sorted"))
-      .select(col("studyId"), col("chromosome"), col("cluster_id"),
-        explode(leadPositionsUdf(
-          transform(col("_sorted"), t => t.getField("position")),
-          lit(distance.toLong))).as("_posL"))
+    // Lead membership via a join against the per-cluster lead set,
+    // computed by the STREAMED sorted-partition kernel — deliberately
+    // NOT by a window and NOT by a collect_list aggregate. Three
+    // earlier shapes died at mega-cluster density (dense positions
+    // fusing a whole (study, chromosome) into one 0.4-1M-row cluster,
+    // caught by the 100× rehearsals): (1) `first(leads).over` carried
+    // the ~10⁴-element lead array on every row with a per-row O(L)
+    // array_contains; (2) `collect_list(...).over(unbounded)` once per
+    // frame — WindowExec's output projection still WRITES the array
+    // into every output row, O(cluster²) bytes; (3) the groupBy
+    // collect_list + array_sort aggregate — one array per cluster, but
+    // at 60 × 1M-row clusters just building and sorting those boxed
+    // struct arrays measured 179 s of a 175 s operator wall
+    // (ChainBench 100×). streamedClusterLeads keeps O(leads) state and
+    // zero per-group buffers; the marker join is an equi-join the
+    // planner broadcasts while the lead set is small — AQE falls back
+    // to a shuffled join past the threshold.
+    val clusterLeads = streamedClusterLeads(withCluster, distance.toLong)
       .withColumn("_isLead", lit(true))
-    val joined = withCluster
+    val joined = input
       .withColumn("_posL", col("position").cast("long"))
-      .join(clusterLeads,
-        Seq("studyId", "chromosome", "cluster_id", "_posL"), "left")
+      .join(clusterLeads, Seq("studyId", "chromosome", "_posL"), "left")
       .drop("_posL")
     val notLead = col("_isLead").isNull
     val qc =
@@ -148,7 +191,7 @@ object WindowBasedClumping {
       .withColumn("studyLocusId",
         ArrayFns.generateIdentifier(Seq(col("studyId"), col("variantId"))))
       .withColumn("qualityControls", qc)
-      .drop("cluster_id", "_isLead")
+      .drop("_isLead")
   }
 
   /** Leads only — rows that survived clumping. */

@@ -38,6 +38,47 @@ class ClumpingSpec extends SparkSpec {
   ).toDF("studyId", "chromosome", "position", "variantId",
     "pValueMantissa", "pValueExponent")
 
+  test("streamed lead kernel equals a per-cluster pruneLeads replay on random data") {
+    // randomized positions at mixed density (isolated points AND dense
+    // runs that fuse into mega-clusters), several (study, chrom) groups,
+    // p-value ties broken by position — replayed against the collected
+    // per-cluster greedy the streamed kernel replaced
+    val rnd = new scala.util.Random(20260815)
+    val distance = 50
+    val rows = (0 until 3000).map { i =>
+      val dense = rnd.nextBoolean()
+      (s"s${i % 3}", s"${i % 2}",
+        if (dense) rnd.nextInt(2000) else 10000 + rnd.nextInt(100000),
+        s"v$i", (1.0f + rnd.nextInt(899) / 100.0f), -4 - rnd.nextInt(12))
+    }.distinctBy(r => (r._1, r._2, r._3))
+    val df = rows.toDF("studyId", "chromosome", "position", "variantId",
+      "pValueMantissa", "pValueExponent").repartition(7)
+    val got = WindowBasedClumping.clump(df, distance = distance)
+      .filter(!array_contains(col("qualityControls"),
+        WindowBasedClumping.WindowClumpedFlag))
+      .select("studyId", "chromosome", "position")
+      .as[(String, String, Int)].collect().toSet
+    // replay: sessionize per group, per cluster sort by (exp, mant,
+    // pos) and run the reference greedy over the collected array
+    val expected = rows.groupBy(r => (r._1, r._2)).flatMap { case ((s, c), g) =>
+      val sorted = g.sortBy(_._3)
+      val clusters = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { r =>
+        if (r._3 - clusters.last.last._3 > distance) clusters +=
+          scala.collection.mutable.ArrayBuffer(r)
+        else clusters.last += r
+      }
+      clusters.flatMap { cl =>
+        val byP = cl.sortBy(r => (r._6, r._5, r._3))
+        val pos = byP.map(_._3.toLong)
+        pos.zip(WindowBasedClumping.pruneLeads(pos.toSeq, distance.toLong))
+          .collect { case (p, 1.0) => (s, c, p.toInt) }
+      }
+    }.toSet
+    assert(got == expected && got.size > 100)
+  }
+
   test("window clumping keeps cluster-best leads, flags the rest") {
     val clumped = WindowBasedClumping.clump(sumstats, distance = 500)
     val flags = clumped
