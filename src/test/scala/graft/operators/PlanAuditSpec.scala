@@ -30,6 +30,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"agg demoted to sort:\n$p")
   }
 
+  test("window clumping streams leads: one session window, no per-cluster arrays") {
+    val ss = Seq(("s1", "1", 100, "v1", 1.0f, -8), ("s1", "1", 150, "v2", 2.0f, -9))
+      .toDF("studyId", "chromosome", "position", "variantId",
+        "pValueMantissa", "pValueExponent")
+    val p = plan(WindowBasedClumping.clump(ss, distance = 1000))
+    // sessionisation = exactly two WindowExec nodes over ONE sort (lag
+    // and the running last() carry different frames, so Spark splits
+    // them), both on the slim lead branch; the wide output branch must
+    // never re-evaluate the window (the pre-r11 shape tripled this)
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"wide branch re-evaluates the session window:\n$p")
+    // the mega-cluster ceiling: no collect_list / ObjectHashAggregate
+    // array materialisation per cluster (the streamed kernel replaced it)
+    assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+      s"per-cluster array aggregate leaked back into the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in clump plan:\n$p")
+  }
+
   test("LSH banding joins are equi joins, never cartesian") {
     val p = plan(Dedup.minhashDupPairs(docs, "text", "doc_id",
       cache = graft.core.CacheHandle.disabled))
