@@ -153,7 +153,13 @@ object Bench {
     * fresh-session forked cost, measured at r11 on the quiesced build
     * box. The gate retries recording while the canary runs >25% over. */
   private val CanaryQuery = "q_w1_top1_per_group"
-  private val CanaryRefSec = 0.65
+  // The pinned reference is a measurement from one specific build box —
+  // on any other host it would fail all 3 attempts and burn 2x45 s
+  // quiesce sleeps per suite. SPARK_GRAFT_CANARY_REF re-pins it for the
+  // host (measure CanaryQuery once in a fresh forked JVM); <= 0 disables
+  // the retry loop entirely (the ratio is still echoed for the reader).
+  private val CanaryRefSec =
+    sys.env.get("SPARK_GRAFT_CANARY_REF").map(_.toDouble).getOrElse(0.65)
   private val CanaryMaxRatio = 1.25
 
   private def runSuite(): Unit = {
@@ -205,7 +211,9 @@ object Bench {
       else {
         var ratio = -1.0
         var attempt = 0
-        while (attempt < 3 && (ratio < 0 || ratio > CanaryMaxRatio)) {
+        // ref <= 0: single measurement, no gate (unknown host)
+        val maxAttempts = if (CanaryRefSec > 0) 3 else 1
+        while (attempt < maxAttempts && (ratio < 0 || ratio > CanaryMaxRatio)) {
           if (attempt > 0) {
             System.err.println(f"[bench] canary ratio $ratio%.2f > " +
               f"$CanaryMaxRatio — quiescing before retry")
@@ -213,7 +221,7 @@ object Bench {
           }
           val sec = runForked(base :+ CanaryQuery).toMap
             .getOrElse(CanaryQuery, -1.0)
-          ratio = if (sec > 0) sec / CanaryRefSec else -1.0
+          ratio = if (sec > 0 && CanaryRefSec > 0) sec / CanaryRefSec else -1.0
           System.err.println(f"[bench] canary $CanaryQuery $sec%.2f s " +
             f"(ref $CanaryRefSec%.2f, ratio $ratio%.2f)")
           attempt += 1

@@ -94,6 +94,28 @@ object Verify {
     // snapshot of this file is committed as GOLDENS_r{N}.json.
     Files.writeString(Paths.get(s"$outDir/goldens.json"),
       goldenRows.mkString("[", ",", "]"))
+    // Per-round continuity: mirror the golden report into the repo root
+    // as GOLDENS_r<N>.json (N = 1 + highest CORRECTNESS_r* round on
+    // disk — the driver's round-R verify runs with round R-1's artifact
+    // committed), so every round leaves a committed expected/actual/
+    // match record for the golden-locked queries without anyone
+    // remembering to copy it. Filtered runs skip the mirror (a partial
+    // report must not shadow a full one).
+    if (only.isEmpty && goldenRows.nonEmpty) try {
+      val repo = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
+      val rounds = Option(repo.list()).toSeq.flatten
+        .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))
+      if (rounds.nonEmpty) {
+        val tgt = new java.io.File(repo, f"GOLDENS_r${rounds.max + 1}%02d.json")
+        Files.writeString(tgt.toPath,
+          s"""{"sf": ${jq(sfTag)}, "goldens": ${goldenRows.mkString("[", ",", "]")}}""")
+        println(s"[verify] golden report mirrored to ${tgt.getPath}")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] golden mirror skipped: ${e.getMessage}")
+    }
     goldenRows.foreach(r => println(s"[verify] golden $r"))
     spark.stop()
   }

@@ -50,17 +50,23 @@ object LDClumping {
 
   val LdClumpedFlag = "LD_CLUMPED"
 
-  /** Reference-shape kernel (running collect_set window), verbatim
-    * from reference clump.py:41-64. O(partition²) on degenerate
-    * partitions — kept ONLY as the parity baseline for
-    * LDClumpingL2GSpec (package-private so library callers cannot
-    * reach the scale-killer shape); production path is [[clump]]'s
-    * join shape. */
+  /** Reference-shape kernel (running collect_set window) from
+    * reference clump.py:41-64, with ONE deliberate delta: the window
+    * ordering appends `variantId` ascending, making it total. The
+    * reference orders by (exponent, mantissa) only, so on tied
+    * p-values its flag depends on physical row order; the total order
+    * here resolves those ties by lead id ascending — exactly the
+    * join plan's tie-break — so both paths agree unconditionally and
+    * the window path is partition-layout-independent. O(partition²)
+    * on degenerate partitions — kept as the parity baseline for
+    * LDClumpingL2GSpec and [[clump]]'s gated small-input path
+    * (package-private so library callers cannot reach the
+    * scale-killer shape directly). */
   private[operators] def isLeadLinked(studyId: Column, chromosome: Column, variantId: Column,
                    pValueExponent: Column, pValueMantissa: Column,
                    ldSet: Column): Column = {
     val w = Window.partitionBy(studyId, chromosome)
-      .orderBy(pValueExponent.asc, pValueMantissa.asc)
+      .orderBy(pValueExponent.asc, pValueMantissa.asc, variantId.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val strongerLeads = collect_set(variantId).over(w)
     val tagsInLocus = array_distinct(array_union(
@@ -110,13 +116,12 @@ object LDClumping {
     * reference window kernel instead of the join plan: one scan, no
     * slim-frame persist, no back-join. The count is a HARD gate — a
     * caller cannot reach the O(partition²) window on an input larger
-    * than the bound it states. Tie caveat: on p-values tied within a
-    * (study, chromosome) the window flag is physical-order-dependent
-    * (the reference's semantics) while the join plan breaks ties by
-    * lead id — the two paths agree exactly whenever (exponent,
-    * mantissa) is injective per partition, which the randomized
-    * parity spec pins. Leave at 0 (default) for the deterministic
-    * production plan. */
+    * than the bound it states. Ties: both paths break (exponent,
+    * mantissa) ties by lead variantId ascending — the window ordering
+    * is total (see [[isLeadLinked]]) — so flipping the gate never
+    * changes results, tied p-values included; the randomized parity
+    * spec pins this on non-injective inputs. Leave at 0 (default)
+    * for the join production plan. */
   def clump(associations: DataFrame,
             cache: graft.core.CacheHandle =
               graft.core.CacheHandle(),

@@ -887,7 +887,15 @@ object Q {
     // them straight to the fused kernels — no collect_list locus
     // rebuild only to re-explode it (saves a shuffle + per-locus
     // array builds).
-    val tags = cred.withColumnRenamed("variantId", "tagVariantId").persist()
+    // Two registered queries build this frame; a lazy registered query
+    // has no terminal-action hook to unpersist at, so the persist goes
+    // through an object-level handle that RELEASES the previous
+    // invocation's cache first — a shared-session driver holds at most
+    // one live copy (the one the query being built actually reads)
+    // instead of accumulating one per invocation for the session.
+    e2eTagsCache.release()
+    val tags = e2eTagsCache.persist(
+      cred.withColumnRenamed("variantId", "tagVariantId"))
     // materialise the cache BEFORE the fused kernel's first action: it
     // reads tags through multiple subplans (self-join sides + locus
     // aggregates), and concurrent consumers of a still-uncached frame
@@ -896,6 +904,10 @@ object Q {
     tags.count()
     tags
   }
+
+  /** Cache handle scoping [[e2eFusedTags]]'s persisted frame to the
+    * most recent invocation (see the release-then-persist note there). */
+  private val e2eTagsCache = graft.core.CacheHandle()
 
   /** Intra-study overlapping peaks: same-study pairs across different
     * regions sharing a tag variant (J1 intra mode). */

@@ -35,10 +35,12 @@ class LDClumpingL2GSpec extends SparkSpec {
   }
 
   test("LD clumping join shape matches the reference window shape") {
-    // randomized parity: injective p-values (the reference's ROWS-frame
-    // window is order-dependent under ties), dense tag overlap so both
-    // linked and unlinked rows occur, several (study, chromosome)
-    // partitions, some empty/absent-tag ldSets and null variantIds
+    // randomized parity on BOTH injective and tied p-values: the window
+    // ordering is total (lead-id tie-break appended, matching the join
+    // plan), so parity must hold even when (exponent, mantissa) collide
+    // heavily. Dense tag overlap so both linked and unlinked rows occur,
+    // several (study, chromosome) partitions, some empty/absent-tag
+    // ldSets and null variantIds.
     val rnd = new scala.util.Random(20260814)
     val rows = (0 until 400).map { i =>
       val vid = if (i % 97 == 0) null else s"v${rnd.nextInt(60)}_${i % 3}"
@@ -48,25 +50,30 @@ class LDClumpingL2GSpec extends SparkSpec {
         (1.0f + rnd.nextInt(899) / 100.0f), -4 - rnd.nextInt(12),
         Some(tags), Some(Seq(Tag2(s"t$i", Some(1.0)))))
     }
-    // injective order key: perturb mantissa by a unique epsilon
-    val df = rows.zipWithIndex.map { case ((s, c, v, m, e, ld, lo), i) =>
-      (s, c, v, m + i * 1e-4f, e, ld, lo)
-    }.toDF("studyId", "chromosome", "variantId", "pValueMantissa",
-      "pValueExponent", "ldSet", "locus")
-      .withColumn("qualityControls", lit(null).cast("array<string>"))
-    val joined = LDClumping.clump(df)
-      .select(col("studyId"), col("chromosome"), col("variantId"),
-        col("pValueMantissa"),
-        array_contains(coalesce(col("qualityControls"), array()),
-          LDClumping.LdClumpedFlag).as("clumped"))
-    val windowed = df.select(col("studyId"), col("chromosome"),
-      col("variantId"), col("pValueMantissa"),
-      LDClumping.isLeadLinked(col("studyId"), col("chromosome"),
-        col("variantId"), col("pValueExponent"), col("pValueMantissa"),
-        col("ldSet")).as("clumped"))
-    assert(joined.exceptAll(windowed).isEmpty &&
-      windowed.exceptAll(joined).isEmpty)
-    assert(joined.filter(col("clumped")).count() > 10) // non-trivial
+    // injective=true perturbs mantissa by a unique epsilon; false keeps
+    // the raw 9-value-coarse mantissas (hundreds of exact ties)
+    def check(injective: Boolean): Unit = {
+      val df = rows.zipWithIndex.map { case ((s, c, v, m, e, ld, lo), i) =>
+        (s, c, v, if (injective) m + i * 1e-4f else m, e, ld, lo)
+      }.toDF("studyId", "chromosome", "variantId", "pValueMantissa",
+        "pValueExponent", "ldSet", "locus")
+        .withColumn("qualityControls", lit(null).cast("array<string>"))
+      val joined = LDClumping.clump(df)
+        .select(col("studyId"), col("chromosome"), col("variantId"),
+          col("pValueMantissa"),
+          array_contains(coalesce(col("qualityControls"), array()),
+            LDClumping.LdClumpedFlag).as("clumped"))
+      val windowed = df.select(col("studyId"), col("chromosome"),
+        col("variantId"), col("pValueMantissa"),
+        LDClumping.isLeadLinked(col("studyId"), col("chromosome"),
+          col("variantId"), col("pValueExponent"), col("pValueMantissa"),
+          col("ldSet")).as("clumped"))
+      assert(joined.exceptAll(windowed).isEmpty &&
+        windowed.exceptAll(joined).isEmpty, s"injective=$injective")
+      assert(joined.filter(col("clumped")).count() > 10) // non-trivial
+    }
+    check(injective = true)
+    check(injective = false)
   }
 
   test("windowPathMaxRows gate: window path taken only under the bound") {
@@ -94,9 +101,10 @@ class LDClumpingL2GSpec extends SparkSpec {
   test("LD clumping breaks p-value ties deterministically (lead id asc)") {
     // two mutually-tagged leads tied on (exponent, mantissa): the
     // reference's ROWS-frame window flags whichever row is physically
-    // later (partitioning-dependent); the join shape pins lead-id
-    // ascending — vB links to vA, never the reverse, at any layout
-    def run(parts: Int) = {
+    // later (partitioning-dependent); both our paths pin lead-id
+    // ascending — vB links to vA, never the reverse, at any layout and
+    // on either side of the windowPathMaxRows gate
+    def run(parts: Int, windowPathMaxRows: Long = 0L) = {
       val df = Seq(
         ("s1", "1", "vA", 1.0f, -8, Some(Seq(Ld2("vB", Some(0.9)))),
           Some(Seq(Tag2("vA", Some(1.0))))),
@@ -106,7 +114,7 @@ class LDClumpingL2GSpec extends SparkSpec {
           "pValueExponent", "ldSet", "locus")
         .withColumn("qualityControls", lit(null).cast("array<string>"))
         .repartition(parts)
-      LDClumping.clump(df)
+      LDClumping.clump(df, windowPathMaxRows = windowPathMaxRows)
         .select(col("variantId"),
           array_contains(coalesce(col("qualityControls"), array()),
             LDClumping.LdClumpedFlag).as("clumped"))
@@ -114,6 +122,9 @@ class LDClumpingL2GSpec extends SparkSpec {
     }
     val expected = Set(("vA", false), ("vB", true))
     assert(run(1) == expected && run(7) == expected)
+    // gated window path: same verdict at any physical layout
+    assert(run(1, windowPathMaxRows = 10) == expected &&
+      run(7, windowPathMaxRows = 10) == expected)
   }
 
   test("LD clumping with caching disabled matches the cached path") {
