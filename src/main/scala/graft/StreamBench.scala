@@ -2,15 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming throughput benchmark: sustained rows/sec and state-store
-  * growth for the two stateful streaming surfaces, on a MemoryStream
-  * fed with the ScaleUp-cloned document corpus (10× sf0.1 by
-  * default). The streaming specs pin SEMANTICS on toy batches; this
-  * main records the evidence they can't: how fast the micro-batch
-  * loop drains at corpus scale and how large the state store gets
-  * under a bounded watermark.
+  * growth for the stateful streaming surfaces, on a MemoryStream fed
+  * with the ScaleUp-cloned document corpus (10× sf0.1 by default).
+  * The streaming specs pin SEMANTICS on toy batches; this main
+  * records the evidence they can't: how fast the micro-batch loop
+  * drains at corpus scale and how large the state gets under a
+  * bounded watermark / per-bucket cap.
   *
   * Workloads:
   *  1. `ingest_chain` — [[graft.streaming.StreamingIngest.ingest]]:
@@ -20,6 +21,24 @@ import org.apache.spark.sql.streaming.Trigger
   *     [[graft.streaming.StreamingDedup.incrementalExactDedup]]:
   *     watermark digest state + stream-static anti-join against a
   *     corpus digest index.
+  *  3. `minhash_near_dup` —
+  *     [[graft.streaming.StreamingDedup.nearDupFlags]]: LSH
+  *     band-bucket keyed flatMapGroupsWithState over the native
+  *     MinHash signatures; state = one entry per live bucket, each
+  *     holding ≤ maxBucket signatures.
+  *  4. `minhash_near_dup_hot` — workload 3 plus a degenerate hot
+  *     bucket (2,000 near-identical arrivals that all land in the
+  *     same 16 band buckets — the batch operator's hot-bucket spec
+  *     scenario, streamed). The per-bucket cap must hold: state
+  *     grows by ~16 bucket entries of ≤ maxBucket signatures, NOT by
+  *     2,000 × 16 — compare state_mb_max against workload 3.
+  *  5. `streaming_upsert` —
+  *     [[graft.streaming.StreamingUpsert.maintain]]: CDC deltas
+  *     (latest-wins updates + deletes on colliding keys) folded into
+  *     a published generation per micro-batch; the run verifies the
+  *     final published snapshot row-matches a one-shot batch
+  *     [[graft.operators.Upsert.applyDelta]] replay of the same
+  *     deltas ("snapshot_ok").
   *
   * Each run feeds `batches` equal chunks, draining the query after
   * every chunk (processAllAvailable ⇒ each chunk is ≥1 real
@@ -30,9 +49,15 @@ import org.apache.spark.sql.streaming.Trigger
   * engine's own progress events (stateOperators.numRowsTotal /
   * memoryUsedBytes), maxed over the run.
   *
+  * Recording is canary-gated ([[MachineCanary]], same protocol as
+  * the bench suite): the pinned CPU probe must run within 25% of its
+  * fresh-box cost (quiesce-and-retry otherwise), and the final ratio
+  * is embedded in the artifact.
+  *
   * Prints one JSON line:
   * {"stream_bench":{workload:{rows_in,rows_out,sec,rows_per_sec,
-  * state_rows_max,state_mb_max,batches}},"scale":N,"docs":M}
+  * state_rows_max,state_mb_max,batches,...}},"scale":N,"docs":M,
+  * "canary":{...}}
   */
 object StreamBench {
 
@@ -57,6 +82,8 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    val canaryRatio = MachineCanary.gatedRatio(spark)
+
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     // copy-isomorphic 10x clone: real dedup structure scales exactly
@@ -77,7 +104,7 @@ object StreamBench {
           id, text)
       }
 
-    def run(name: String,
+    def run(name: String, feed: Array[(Long, String)],
             build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (String, Long, Long, Double, Long, Double) = {
       val source = MemoryStream[Arrival]
@@ -107,7 +134,7 @@ object StreamBench {
             }
         }
       }
-      corpus.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+      feed.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
         source.addData(arrivalsOf(rows, i))
         drainAndSample()
       }
@@ -120,15 +147,24 @@ object StreamBench {
       drainAndSample()
       val sec = (System.nanoTime() - t0) / 1e9
       query.stop()
-      System.err.println(f"[stream] $name%-24s in=$total out=$rowsOut " +
-        f"${total / sec}%.0f rows/s stateRows=$stateRowsMax " +
+      System.err.println(f"[stream] $name%-24s in=${feed.length} out=$rowsOut " +
+        f"${feed.length / sec}%.0f rows/s stateRows=$stateRowsMax " +
         f"stateMB=${stateBytesMax / 1e6}%.1f")
-      (name, total.toLong, rowsOut, sec, stateRowsMax, stateBytesMax / 1e6)
+      (name, feed.length.toLong, rowsOut, sec, stateRowsMax, stateBytesMax / 1e6)
+    }
+
+    def entry(r: (String, Long, Long, Double, Long, Double),
+              extra: String = ""): String = {
+      val (n, ri, ro, s, sr, mb) = r
+      "\"" + n + "\":{\"rows_in\":" + ri + ",\"rows_out\":" + ro +
+        f""","sec":$s%.2f,"rows_per_sec":${ri / s}%.0f""" +
+        f""","state_rows_max":$sr,"state_mb_max":$mb%.1f,"batches":$batches""" +
+        extra + "}"
     }
 
     // workload 1: full ingest chain (quality + dedup + decontamination)
     val benchmark = docs0.limit(50)
-    val r1 = run("ingest_chain", in =>
+    val r1 = run("ingest_chain", corpus, in =>
       graft.streaming.StreamingIngest.ingest(in, benchmark,
         "text", "doc_id", minQuality = 0.0, maxBenchCoverage = 0.6))
 
@@ -136,15 +172,100 @@ object StreamBench {
     // (the original 1x corpus stands in the index; its clones arrive)
     val index = graft.operators.IncrementalDedup
       .exactIndex(docs0, "text", "doc_id")
-    val r2 = run("incremental_exact_dedup", in =>
+    val r2 = run("incremental_exact_dedup", corpus, in =>
       graft.streaming.StreamingDedup.incrementalExactDedup(in, index, "text"))
 
-    val js = Seq(r1, r2).map { case (n, ri, ro, s, sr, mb) =>
-      "\"" + n + "\":{\"rows_in\":" + ri + ",\"rows_out\":" + ro +
-        f""","sec":$s%.2f,"rows_per_sec":${ri / s}%.0f""" +
-        f""","state_rows_max":$sr,"state_mb_max":$mb%.1f,"batches":$batches}"""
-    }.mkString("{", ",", "}")
-    println(s"""{"stream_bench":$js,"scale":$factor,"docs":$total}""")
+    // workload 3: stateful MinHash band-bucket near-dup flagging.
+    // idleTimeout=None: processing-time timeouts never let
+    // processAllAvailable settle (operator scaladoc); the bounded-state
+    // claim under test is the per-bucket signature cap, which is
+    // timeout-independent. Output flags are renamed so the shared
+    // sentinel filter sees a numeric doc_id.
+    def nearDupBuild(maxBucket: Int)(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val banded = graft.streaming.StreamingDedup
+        .bandedStream(in, "text", "doc_id")
+      graft.streaming.StreamingDedup
+        .nearDupFlags(spark, banded, threshold = 0.7,
+          maxBucket = maxBucket, idleTimeout = None)
+        .toDF()
+        .select(col("docId").cast("long").as("doc_id"),
+          col("band"), col("matchedDocId"), col("similarity"))
+    }
+    val r3 = run("minhash_near_dup", corpus, nearDupBuild(64))
+
+    // workload 4: the degenerate hot bucket, streamed — 2,000 copies
+    // of one document appended to the corpus, all landing in the same
+    // 16 band buckets. The cap bounds BOTH state (≤ maxBucket stored
+    // signatures per bucket) and per-arrival comparison cost; without
+    // it the bucket state would hold 2,000 signatures and each
+    // arrival would compare against all of them.
+    val hotDoc = corpus.head._2
+    val hot = corpus ++ Array.tabulate(2000)(i =>
+      (1000000000L + i, hotDoc))
+    val r4 = run("minhash_near_dup_hot", hot, nearDupBuild(64))
+
+    // workload 5: CDC generation publish. Keys collide (doc_id mod
+    // half the corpus) so latest-wins updates are real, and every
+    // 23rd key arrives as a delete; the published snapshot must
+    // row-match a one-shot batch applyDelta of the same deltas.
+    val upsertRoot = s"target/streambench_upsert_${System.nanoTime()}"
+    val keySpace = math.max(1L, total / 2L)
+    def asDelta(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      df.select((col("doc_id") % keySpace).as("k"), col("text"),
+        (col("doc_id")).as("seq"),
+        org.apache.spark.sql.functions
+          .when(col("doc_id") % keySpace % 23 === 0, "d").otherwise("u")
+          .as("op"))
+    val r5 = {
+      val source = MemoryStream[Arrival]
+      val delta = asDelta(source.toDF().toDF("ts", "doc_id", "text"))
+      val query = graft.streaming.StreamingUpsert.maintain(
+        delta, upsertRoot, keys = Seq("k"), seqCol = "seq",
+        opCol = Some("op"),
+        checkpoint = s"$upsertRoot/_checkpoint")
+      val t0 = System.nanoTime()
+      corpus.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+        source.addData(arrivalsOf(rows, i))
+        query.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      query.stop()
+      val snapshot = graft.streaming.StreamingUpsert
+        .readSnapshot(spark, upsertRoot)
+      val snapRows = snapshot.count()
+      val gen = graft.streaming.StreamingUpsert
+        .currentGeneration(spark, upsertRoot).getOrElse(-1L)
+      // one-shot batch replay of the same deltas = the oracle snapshot
+      val batchDelta = asDelta(
+        corpus.toSeq.toDF("doc_id", "text").select(
+          lit(new java.sql.Timestamp(1700000000000L)).as("ts"),
+          col("doc_id"), col("text")))
+      val expected = graft.operators.Upsert.applyDelta(
+        batchDelta.select("k", "text").filter(lit(false)),
+        batchDelta, Seq("k"), "seq", Some("op"))
+      val expRows = expected.count()
+      val ok = snapRows == expRows &&
+        snapshot.select("k").exceptAll(expected.select("k")).isEmpty
+      val fs = new org.apache.hadoop.fs.Path(upsertRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val snapBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$upsertRoot/${graft.streaming.StreamingUpsert
+          .currentSnapshotDir(spark, upsertRoot).get}")).getLength
+      System.err.println(f"[stream] streaming_upsert         in=$total " +
+        f"snap=$snapRows (expected $expRows, ok=$ok) gen=$gen " +
+        f"${total / sec}%.0f rows/s snapMB=${snapBytes / 1e6}%.1f")
+      require(ok, "streaming_upsert: published snapshot != batch replay")
+      (("streaming_upsert", total.toLong, snapRows, sec, snapRows,
+        snapBytes / 1e6), s""","generation":$gen,"snapshot_ok":$ok""")
+    }
+
+    val js = (Seq(r1, r2, r3, r4).map(entry(_)) :+ entry(r5._1, r5._2))
+      .mkString("{", ",", "}")
+    println(s"""{"stream_bench":$js,"scale":$factor,"docs":$total,""" +
+      f""""canary":{"ref_sec":${MachineCanary.refSec}%.2f,""" +
+      f""""ratio":$canaryRatio%.2f}}""")
     spark.stop()
   }
 }

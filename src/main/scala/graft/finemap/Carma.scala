@@ -102,10 +102,67 @@ object Carma {
     0.5 * (math.log(detS) + math.log(detIS)) - 0.5 * (zSigmazS - zSigmazIS)
   }
 
+  /** The whole per-candidate outlier test (ridge search + the two
+    * final outlier likelihoods) through ONE symmetric
+    * eigendecomposition. Every matrix the test touches is
+    * B(x) = x·Σ_S + (1−x)·I (optionally +τI) for the candidate's LD
+    * block Σ_S — all sharing Σ_S's eigenvectors V, with eigenvalues
+    * xλ+(1−x)(+τ). So after one eigSym, each ridge evaluation's two
+    * pseudo-inverses, their determinants and both quadratic forms are
+    * O(n) in the rotated basis — replacing ~60 small SVDs per
+    * candidate (the sampled profile put 79% of CARMA's wall in those
+    * SVDs). Matches [[outlierLikelihood]]∘[[pinvRtol]] analytically:
+    * pinv(B) = V diag(1/e · [|e| > rtol·max|e|]) Vᵀ,
+    * log|det pinv(B)| = −Σ log|e| over the kept spectrum (−∞ when a
+    * dimension is dropped — the reconstructed pinv is singular), and
+    * zᵀ pinv(B) z = Σ w²/e with w = Vᵀ z_S.
+    * reference: src/gentropy/method/carma.py:219-266,458-502 */
+  private[finemap] def outlierTestEigen(testS: Array[Int], sigma: DenseMatrix[Double],
+                               z: DenseVector[Double],
+                               tau: Double): Double = {
+    val lam = breeze.linalg.eigSym(subMatrix(sigma, testS))
+    val w: DenseVector[Double] = lam.eigenvectors.t * subVector(z, testS)
+    val n = testS.length
+    // outlier likelihood of B(x) (see scaladoc); rtol matches pinvRtol
+    def olik(x: Double): Double = {
+      val rtol = 1e-5
+      var maxB = 0.0
+      var maxBI = 0.0
+      var i = 0
+      while (i < n) {
+        val e = x * lam.eigenvalues(i) + (1.0 - x)
+        if (math.abs(e) > maxB) maxB = math.abs(e)
+        if (math.abs(e + tau) > maxBI) maxBI = math.abs(e + tau)
+        i += 1
+      }
+      var logDetS = 0.0   // log |det pinv(B)|
+      var logDetIS = 0.0  // log |det pinv(B+τI)|
+      var zS = 0.0        // zᵀ pinv(B) z
+      var zIS = 0.0       // zᵀ pinv(B+τI) z
+      i = 0
+      while (i < n) {
+        val e = x * lam.eigenvalues(i) + (1.0 - x)
+        val eI = e + tau
+        if (math.abs(e) > rtol * maxB) {
+          logDetS -= math.log(math.abs(e)); zS += w(i) * w(i) / e
+        } else logDetS = Double.NegativeInfinity
+        if (math.abs(eI) > rtol * maxBI) {
+          logDetIS -= math.log(math.abs(eI)); zIS += w(i) * w(i) / eI
+        } else logDetIS = Double.NegativeInfinity
+        i += 1
+      }
+      0.5 * (logDetS + logDetIS) - 0.5 * (zS - zIS)
+    }
+    val xOpt = SusieInf.minimizeScalar(x => -olik(x), 0.0, 1.0)
+    -math.abs(olik(1.0) - olik(xOpt))
+  }
+
   /** Negative outlier likelihood of the ridge-shrunk LD block; the
-    * scalar being minimised over x ∈ [0, 1].
+    * scalar being minimised over x ∈ [0, 1]. Superseded in the hot
+    * path by [[outlierTestEigen]]; kept as the parity baseline for
+    * CarmaSpec's eigen-vs-matrix check.
     * reference: src/gentropy/method/carma.py:458-502 */
-  private def ridgeFun(x: Double, sigma: DenseMatrix[Double],
+  private[finemap] def ridgeFun(x: Double, sigma: DenseMatrix[Double],
                        modiLdS: DenseMatrix[Double], testS: Array[Int],
                        z: DenseVector[Double], outlierTau: Double): Double = {
     val n = modiLdS.rows
@@ -240,6 +297,12 @@ object Carma {
 
     // Visited models: margin by config key, maintained sorted-desc on use.
     val modelMargin = mutable.LinkedHashMap[String, Double]("" -> nullMargin)
+    // outlier ridge-test memo: the sampled candidate configs recur
+    // across inner iterations, and the whole ridge search (a ~30-eval
+    // golden-section, each eval two SVD pseudo-inverses) is a pure
+    // function of (testS, sigma, z, tau) — all fixed per call. The rng
+    // draw sequence is untouched (sampling happens before the test).
+    val outlierMemo = mutable.HashMap.empty[String, Double]
     var conditionalS: List[Int] = inputConditionalSList.getOrElse(Nil)
     var s: List[Int] = conditionalS
     var storedBf = 0.0
@@ -260,8 +323,16 @@ object Carma {
           case Some(rows) =>
             val buf = mutable.ArrayBuffer.empty[Double]
             rows.foreach { cfg =>
-              val lik = marginalLikelihood(cfg, sigma, z, tau)
-              buf += lik + priorDist(cfg.length, lambdaVal, p)
+              // memo: neighbourhoods overlap heavily between inner
+              // iterations (s moves by one element), and modelMargin
+              // already records every visited config's margin — the
+              // same deterministic double this would recompute
+              // (marginalLikelihood is a pure function of (cfg, sigma,
+              // z, tau), all fixed here). ~79% of CARMA's wall was
+              // re-running tiny SVD/LU factorisations on repeats.
+              buf += modelMargin.getOrElse(configKey(cfg),
+                marginalLikelihood(cfg, sigma, z, tau) +
+                  priorDist(cfg.length, lambdaVal, p))
             }
             buf
           case None => mutable.ArrayBuffer(nullMargin)
@@ -342,22 +413,8 @@ object Carma {
                   val testS = setGamma(grp).get(idx)
                   var testLogBF = 100.0
                   if (testS.length > 1) {
-                    val modiLdS0 = subMatrix(sigma, testS)
-                    val xOpt = SusieInf.minimizeScalar(
-                      x => ridgeFun(x, sigma, modiLdS0, testS, z, tau), 0.0, 1.0)
-                    val n = testS.length
-                    val modiLd = modiLdS0 * xOpt +
-                      DenseMatrix.eye[Double](n) * (1.0 - xOpt)
-                    val modiSigma = sigma.copy
-                    var a = 0
-                    while (a < n) {
-                      var b = 0
-                      while (b < n) { modiSigma(testS(a), testS(b)) = modiLd(a, b); b += 1 }
-                      a += 1
-                    }
-                    testLogBF = -math.abs(
-                      outlierLikelihood(testS, sigma, z, tau) -
-                        outlierLikelihood(testS, modiSigma, z, tau))
+                    testLogBF = outlierMemo.getOrElseUpdate(configKey(testS),
+                      outlierTestEigen(testS, sigma, z, tau))
                   }
                   if (math.exp(testLogBF) < outlierBFIndex) {
                     setGamma(grp).get.remove(idx)

@@ -127,7 +127,9 @@ object Steps {
           purityMinR2Threshold = a.double("purity_min_r2_threshold", 0.0),
           ldMinR2 = a.double("ld_min_r2", 0.9),
           runCarma = a.bool("run_carma", false),
-          imputeMissing = a.bool("run_sumstat_imputation", false)).toDF(),
+          imputeMissing = a.bool("run_sumstat_imputation", false),
+          imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
+          ldScoreThreshold = a.double("ld_score_threshold", 5.0)).toDF(),
         a("out"))),
 
     Step("variant_index",

@@ -70,6 +70,43 @@ class CarmaSpec extends AnyFunSuite {
     assert(timedOut.pips.isEmpty && timedOut.outliers.isEmpty)
   }
 
+  test("eigen outlier test matches the matrix-path ridge formulation") {
+    // outlierTestEigen must equal the original [ridge-search +
+    // outlierLikelihood twice] computation on random PSD LD blocks —
+    // the shared-eigenbasis path is an analytic refactor, not a new
+    // approximation. Small relative slack: the two golden-section
+    // searches run in different arithmetic and can stop an ulp apart
+    // on the (flat-at-minimum) objective.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val p = 3 + rnd.nextInt(6)
+      val a = DenseMatrix.tabulate(p, p)((_, _) => rnd.nextGaussian())
+      val raw = a * a.t
+      val sigma = DenseMatrix.tabulate(p, p)((i, j) =>
+        raw(i, j) / math.sqrt(raw(i, i) * raw(j, j)))
+      val zv = DenseVector.tabulate(p)(_ => rnd.nextGaussian() * 3)
+      val k = 2 + rnd.nextInt(p - 1)
+      val testS = rnd.shuffle((0 until p).toList).take(k).sorted.toArray
+      val tau = 0.04
+      val n = testS.length
+      val modiLdS0 = DenseMatrix.tabulate(n, n)((x, y) =>
+        sigma(testS(x), testS(y)))
+      val xOpt = SusieInf.minimizeScalar(
+        x => Carma.ridgeFun(x, sigma, modiLdS0, testS, zv, tau), 0.0, 1.0)
+      val modiLd = modiLdS0 * xOpt + DenseMatrix.eye[Double](n) * (1.0 - xOpt)
+      val modiSigma = sigma.copy
+      for (x <- 0 until n; y <- 0 until n)
+        modiSigma(testS(x), testS(y)) = modiLd(x, y)
+      val expected = -math.abs(
+        Carma.outlierLikelihood(testS, sigma, zv, tau) -
+          Carma.outlierLikelihood(testS, modiSigma, zv, tau))
+      val got = Carma.outlierTestEigen(testS, sigma, zv, tau)
+      assert(math.abs(got - expected) <=
+        1e-5 * math.max(1.0, math.abs(expected)),
+        s"p=$p testS=${testS.mkString(",")} got=$got expected=$expected")
+    }
+  }
+
   test("priors and marginal likelihood match reference doctest values") {
     // reference: src/gentropy/method/carma.py doctests
     assert(math.abs(Carma.priorDist(3, 1.0, 4) - (-3.17805)) < 1e-4)
