@@ -105,7 +105,13 @@ object WindowBasedClumping {
         rows.flatMap { case (study, chrom, cluster, _, _, posOpt) =>
           val key = (study, chrom, cluster)
           if (key != curKey) { curKey = key; leads.clear() }
-          val p = posOpt.get // TEMP-REVERT probe
+          // position is non-null by the documented schema contract; a
+          // bare .get would surface as an opaque NoSuchElementException
+          // deep in a task, so name the violated contract instead
+          val p = posOpt.getOrElse(throw new IllegalArgumentException(
+            s"WindowBasedClumping: null position for (studyId=$study, " +
+              s"chromosome=$chrom) — the clumping input schema requires " +
+              "non-null position"))
           val lo = leads.floor(p)
           val hi = leads.ceiling(p)
           if ((lo != null && p - lo < distance) ||
