@@ -112,6 +112,7 @@ object SparkEntry {
     "q_gx_rsid_gnomad_map" -> (Q.rsidGnomadMapping _),
     "q_gx_study_validation" -> (Q.studyValidation _),
     "q_gx_intra_overlaps" -> (Q.intraStudyOverlaps _),
+    "q_gx_locus_extract" -> (Q.locusExtraction _),
     "q_ml_l2g_gold_standard" -> (Q.l2gGoldStandard _),
     "q_dedup_embedding" -> (Q.embeddingDup _),
     "q_dedup_minhash_md5" -> (Q.minhashPairsMd5 _),

@@ -3494,7 +3494,31 @@ object Oracles {
       |  ON l.study = r.study AND l.chromosome = r.chromosome
       | AND l.tv = r.tv AND l.slid > r.slid AND l.region <> r.region""".stripMargin
 
+  val locusExtraction: String =
+    """WITH sumstats AS (
+      |  SELECT DISTINCT
+      |    concat(CASE WHEN l_partkey % 2 = 0 THEN 'g' ELSE 'e' END,
+      |           CAST((l_orderkey // 2) % 10 AS VARCHAR)) AS "studyId",
+      |    ((l_orderkey // 2) // 10) % 3 AS chromosome,
+      |    l_orderkey * 4 AS position,
+      |    -((l_orderkey // 2) % 12) - 4 AS pexp
+      |  FROM lineitem WHERE l_orderkey % 2 = 0),
+      |leads AS (
+      |  SELECT "studyId" AS l_study, chromosome AS l_chrom,
+      |         position AS lead_pos
+      |  FROM sumstats WHERE position % 1000 = 0 AND pexp <= -10),
+      |lb AS (
+      |  SELECT l_study, l_chrom, lead_pos, lead_pos // 2500 + d AS b
+      |  FROM leads CROSS JOIN (VALUES (-1), (0), (1)) t(d))
+      |SELECT s."studyId", s.chromosome, lb.lead_pos,
+      |       s.position AS tag_pos
+      |FROM sumstats s
+      |JOIN lb ON s."studyId" = lb.l_study AND s.chromosome = lb.l_chrom
+      |       AND s.position // 2500 = lb.b
+      |WHERE abs(s.position - lb.lead_pos) <= 1250""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q_gx_locus_extract" -> locusExtraction,
     "q_gx_intra_overlaps" -> intraStudyOverlaps,
     "q_ml_l2g_gold_standard" -> l2gGoldStandard,
     "q_dedup_embedding" -> embeddingDup,

@@ -909,6 +909,49 @@ object Q {
     * most recent invocation (see the release-then-persist note there). */
   private val e2eTagsCache = graft.core.CacheHandle()
 
+  /** The r12 lifecycle chain's fine-mapping locus extraction as an
+    * oracle-checked query: significance-gated leads pull their ±window
+    * sumstat variants via a bucketed band join — 3 bucket probes per
+    * lead (bucket width 2·window guarantees any in-window variant sits
+    * in the lead's bucket ±1), never a range cartesian. Mirrors
+    * ChainBench's locus_extraction stage (the hand-off feeding
+    * susie_credible_sets; reference susie_finemapper.py:461-560 pulls
+    * the same per-locus sumstat windows). Integer-only columns so the
+    * hash oracle is engine-exact; every derived column is
+    * position/parity-derived, so the (study, chrom, position) dedup
+    * is DISTINCT-equivalent. */
+  def locusExtraction(s: SparkSession, dir: String): DataFrame = {
+    val window = 1250L
+    val bw = window * 2
+    val ok2 = (col("l_orderkey") / 2).cast("long")
+    val sumstats = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 2 === 0)
+      .select(
+        concat(when(col("l_partkey") % 2 === 0, lit("g")).otherwise(lit("e")),
+          ok2 % 10).as("studyId"),
+        ((ok2 / 10).cast("long") % 3).as("chromosome"),
+        (col("l_orderkey") * 4).cast("long").as("position"),
+        (-(ok2 % 12) - 4).as("pexp"))
+      .distinct()
+    val leads = sumstats
+      .filter(col("position") % 1000 === 0 && col("pexp") <= -10)
+      .select(col("studyId").as("_l_study"),
+        col("chromosome").as("_l_chrom"),
+        col("position").as("_l_pos"))
+      .withColumn("_lb", explode(array(
+        floor(col("_l_pos") / bw) - 1, floor(col("_l_pos") / bw),
+        floor(col("_l_pos") / bw) + 1)))
+    sumstats
+      .withColumn("_b", floor(col("position") / bw))
+      .join(leads,
+        col("studyId") === col("_l_study") &&
+          col("chromosome") === col("_l_chrom") &&
+          col("_b") === col("_lb"))
+      .filter(abs(col("position") - col("_l_pos")) <= window)
+      .select(col("studyId"), col("chromosome"),
+        col("_l_pos").as("lead_pos"), col("position").as("tag_pos"))
+  }
+
   /** Intra-study overlapping peaks: same-study pairs across different
     * regions sharing a tag variant (J1 intra mode). */
   def intraStudyOverlaps(s: SparkSession, dir: String): DataFrame = {

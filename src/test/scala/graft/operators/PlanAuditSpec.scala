@@ -56,6 +56,17 @@ class PlanAuditSpec extends SparkSpec {
       s"nested-loop join in minhash plan:\n$p")
   }
 
+  test("locus extraction is a bucketed equi join, never a range cartesian") {
+    // the chain's fine-mapping hand-off: leads pull ±window variants
+    // through 3 bucket probes — the plan must join on the bucket
+    // equality, with the |Δpos| ≤ window predicate as a post-filter
+    val p = plan(graft.queries.Q.locusExtraction(spark,
+      "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join decayed to a cartesian:\n$p")
+  }
+
   test("md5 LSH banding joins are equi joins, never cartesian") {
     val p = plan(Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
       cache = graft.core.CacheHandle.disabled))
