@@ -194,6 +194,19 @@ object StreamBench {
     }
     val r3 = run("minhash_near_dup", corpus, nearDupBuild(64))
 
+    // workload 3b: the WATERMARK-BOUNDED variant — event-time timeout
+    // evicts buckets idle past the horizon, so the bucket COUNT is
+    // bounded by arrival rate × watermark like the exact-dedup digest
+    // state (semantic trade: near-dups arriving further apart than the
+    // horizon are not flagged). state_rows_max must come in UNDER the
+    // non-evicting run's live-bucket total.
+    val r3b = run("minhash_near_dup_evict", corpus, in =>
+      graft.streaming.StreamingDedup
+        .nearDupFlagsEvicting(in, "text", "doc_id")
+        .toDF()
+        .select(col("docId").cast("long").as("doc_id"),
+          col("band"), col("matchedDocId"), col("similarity")))
+
     // workload 4: the degenerate hot bucket, streamed — 2,000 copies
     // of one document appended to the corpus, all landing in the same
     // 16 band buckets. The cap bounds BOTH state (≤ maxBucket stored
@@ -261,7 +274,7 @@ object StreamBench {
         snapBytes / 1e6), s""","generation":$gen,"snapshot_ok":$ok""")
     }
 
-    val js = (Seq(r1, r2, r3, r4).map(entry(_)) :+ entry(r5._1, r5._2))
+    val js = (Seq(r1, r2, r3, r3b, r4).map(entry(_)) :+ entry(r5._1, r5._2))
       .mkString("{", ",", "}")
     println(s"""{"stream_bench":$js,"scale":$factor,"docs":$total,""" +
       f""""canary":{"ref_sec":${MachineCanary.refSec}%.2f,""" +

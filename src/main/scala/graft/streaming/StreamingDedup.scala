@@ -52,6 +52,8 @@ object StreamingDedup {
 
   case class BandedDoc(band: Int, bandHash: Long, docId: String,
                        sig: Seq[Long])
+  case class BandedDocT(ts: java.sql.Timestamp, band: Int, bandHash: Long,
+                        docId: String, sig: Seq[Long])
   case class BucketState(sigs: List[(String, Seq[Long])])
   case class NearDupFlag(docId: String, band: Int, matchedDocId: String,
                          similarity: Double)
@@ -124,6 +126,95 @@ object StreamingDedup {
             }
             state.update(BucketState(sigs))
             idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** [[nearDupFlags]] with WATERMARK-BOUNDED bucket state: the same
+    * banding and per-bucket signature cap, but keyed state carries an
+    * EVENT-time timeout — a bucket that receives no arrival for
+    * `evictAfter` of event time past the watermark is removed by the
+    * engine. This bounds the bucket COUNT by (arrival rate ×
+    * watermark horizon) instead of by distinct corpus content — the
+    * same state contract as [[exactDedup]]'s digest state — at the
+    * documented semantic trade: near-duplicates arriving more than
+    * the horizon apart are not flagged against each other.
+    *
+    * Unlike a processing-time timeout, event-time expiry is driven by
+    * the data's own watermark, so `processAllAvailable` settles and
+    * the eviction is deterministic and testable (see the operator
+    * spec and STREAMBENCH state maxima). */
+  def nearDupFlagsEvicting(docs: DataFrame, textCol: String, idCol: String,
+                           tsCol: String = "ts",
+                           threshold: Double = 0.7, maxBucket: Int = 64,
+                           shingleSize: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16,
+                           watermark: String = "10 minutes",
+                           evictAfterMs: Long = 10 * 60 * 1000L)
+    : Dataset[NearDupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    // project/cast FIRST, watermark AFTER: an alias or cast applied on
+    // top of a watermarked column mints a new attribute without the
+    // watermark tag, and the event-time-timeout check then fails
+    val banded = docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("string").as("docId"),
+        graft.plans.SketchFunctions
+          .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("docId"), col("sig"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"), bands,
+          rowsPerBand)).as("bk"))
+      .select(col("ts"), col("bk.band").as("band"),
+        col("bk.bandHash").as("bandHash"), col("docId"), col("sig"))
+      .as[BandedDocT]
+    banded
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), batch: Iterator[BandedDocT],
+         state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+            var maxTs = Long.MinValue
+            batch.foreach { d =>
+              if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              sigs.foreach { case (otherId, otherSig) =>
+                if (otherId != d.docId) {
+                  val n = math.min(d.sig.length, otherSig.length)
+                  var m = 0
+                  var i = 0
+                  while (i < n) {
+                    if (d.sig(i) == otherSig(i)) m += 1
+                    i += 1
+                  }
+                  val est = if (n == 0) 0.0 else m.toDouble / n
+                  if (est >= threshold)
+                    out += NearDupFlag(d.docId, key._1, otherId, est)
+                }
+              }
+              if (sigs.length < maxBucket &&
+                !sigs.exists(_._1 == d.docId))
+                sigs = (d.docId, d.sig) :: sigs
+            }
+            state.update(BucketState(sigs))
+            // expire once the WATERMARK passes last-arrival + horizon;
+            // fall back to watermark + horizon for all-null-ts batches
+            // (the timestamp must be over the current watermark)
+            val base =
+              if (maxTs != Long.MinValue) maxTs
+              else state.getCurrentWatermarkMs()
+            // the engine requires a timeout strictly beyond the
+            // current watermark (a late straggler's ts can sit behind)
+            state.setTimeoutTimestamp(math.max(base + evictAfterMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
         })

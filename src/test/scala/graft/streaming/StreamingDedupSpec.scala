@@ -53,6 +53,41 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting near-dup flags: watermark expiry forgets idle buckets") {
+    // event-time timeout makes eviction deterministic under
+    // processAllAvailable: d2 (1 min after d1) flags against d1's
+    // stored signature; d3 — the same text arriving 40 min later,
+    // long past d1/d2's bucket horizon (10 min watermark + 10 min
+    // evict) — must NOT flag: the bucket state was removed, not
+    // merely idle. An unrelated doc keeps the watermark honest.
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = nearDupFlagsEvicting(
+      input.toDF().toDF("ts", "doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("neardupevict")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "d1", base))
+      q.processAllAvailable()
+      input.addData((ts(1), "d2", base + "extra tail token"))
+      q.processAllAvailable()
+      // advance the watermark far past d1/d2's horizon (unrelated doc)
+      input.addData((ts(35), "w1", "completely unrelated words here"))
+      q.processAllAvailable()
+      input.addData((ts(40), "d3", base))
+      q.processAllAvailable()
+      val flags = spark.table("neardupevict")
+        .select("docId", "matchedDocId").as[(String, String)]
+        .collect().toSet
+      assert(flags.exists { case (a, b) => Set(a, b) == Set("d1", "d2") },
+        s"d2 must flag against d1: $flags")
+      assert(!flags.exists { case (a, b) => a == "d3" || b == "d3" },
+        s"d3 arrived past the evict horizon and must not flag: $flags")
+    } finally q.stop()
+  }
+
   test("near-dup flags fire for bucket-mates above the signature threshold") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 5
