@@ -66,25 +66,7 @@ object Bench {
     // SPARK_GRAFT_PROFILE=1: dump each query's costliest stages to
     // stderr (executor-CPU-ranked) — profiling in the REAL bench JVM
     // (24g, local[16]); a small-heap test JVM GC-distorts attribution
-    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
-    val stages = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Long, Long, Long, String)]
-    if (profile)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val si = sc.stageInfo
-            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
-              yield c - s).getOrElse(-1L)
-            stages.synchronized {
-              stages += ((si.stageId, wall, si.taskMetrics.executorRunTime,
-                si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-                si.details.linesIterator.find(_.contains("graft"))
-                  .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(120)))
-            }
-          }
-        })
+    val profiler = graft.core.StageProfiler.ifEnabled(spark, "profile")
     csv.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       var best = Double.MaxValue
       var n = -1L
@@ -113,15 +95,7 @@ object Bench {
         best = -1.0
       }
       println(f"BENCHQ $name $best%.6f rows=$n")
-      if (profile) {
-        stages.synchronized {
-          stages.sortBy(-_._3).take(12).foreach { case (id, w, cpu, shuf, d) =>
-            System.err.println(
-              f"[profile] $name stage=$id wall=${w / 1e3}%.2f cpu=${cpu / 1e3}%.2f shufMB=${shuf / 1e6}%.1f $d")
-          }
-          stages.clear()
-        }
-      }
+      profiler.foreach(_.dump(name))
       System.gc()
       Thread.sleep(300)
     }
@@ -159,7 +133,10 @@ object Bench {
   // host (measure CanaryQuery once in a fresh forked JVM); <= 0 disables
   // the retry loop entirely (the ratio is still echoed for the reader).
   private val CanaryRefSec =
-    sys.env.get("SPARK_GRAFT_CANARY_REF").map(_.toDouble).getOrElse(0.65)
+    sys.env.get("SPARK_GRAFT_CANARY_REF").map(v =>
+      v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CANARY_REF must be a number (e.g. 0.65), got '$v'")))
+      .getOrElse(0.65)
   private val CanaryMaxRatio = 1.25
 
   private def runSuite(): Unit = {

@@ -78,40 +78,16 @@ object ChainBench {
     // stages (executor-CPU-ranked) to stderr — the in-chain analogue of
     // Bench's profiling mode, for attributing in-chain vs standalone
     // stage-cost gaps.
-    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
-    val profStages = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Long, Long, Long, String)]
-    if (profile)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val si = sc.stageInfo
-            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
-              yield c - s).getOrElse(-1L)
-            profStages.synchronized {
-              profStages += ((si.stageId, wall,
-                si.taskMetrics.executorRunTime,
-                si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-                si.details.linesIterator.find(_.contains("graft"))
-                  .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(120)))
-            }
-          }
-        })
+    val profiler = graft.core.StageProfiler.ifEnabled(spark, "chainprofile")
 
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     def record(name: String, sec: Double, outPath: String): Long = {
+      // dump BEFORE the row-count job below, so the count's scan
+      // stages don't pollute the stage being profiled
+      profiler.foreach(_.dump(name, n = 8))
       val n = spark.read.parquet(outPath).count()
       stages(name) = (sec, n)
       System.err.println(f"[chain] $name%-24s $sec%8.2f s  rows=$n")
-      if (profile) profStages.synchronized {
-        profStages.sortBy(-_._3).take(8).foreach { case (id, w, cpu, shuf, d) =>
-          System.err.println(f"[chainprofile] $name stage=$id " +
-            f"wall=${w / 1e3}%.2f cpu=${cpu / 1e3}%.2f " +
-            f"shufMB=${shuf / 1e6}%.1f $d")
-        }
-        profStages.clear()
-      }
       n
     }
 
@@ -148,7 +124,10 @@ object ChainBench {
           // so both sides of a pair hold the SAME variant
           concat(when(col("l_partkey") % 2 === 0, lit("g")).otherwise(lit("e")),
             ok2 % 10).as("studyId"),
-          ((ok2 / 10) % 3).cast("string").as("chromosome"),
+          // integer division BEFORE the remainder: Spark's Column `/`
+          // is always double, and a double-typed chromosome splinters
+          // the fixed 3-chromosome space into float-artifact labels
+          ((ok2 / 10).cast("long") % 3).cast("string").as("chromosome"),
           pos.cast("int").as("position"),
           (lit(1.0) + (ok2 % 89) / 10.0).cast("float").as("pValueMantissa"),
           (-(ok2 % 12) - 4).cast("int").as("pValueExponent"),

@@ -29,7 +29,9 @@ object MachineCanary {
     * r12). Override with SPARK_GRAFT_CHAIN_CANARY_REF on other hosts;
     * <= 0 records a single probe without gating. */
   def refSec: Double =
-    sys.env.get("SPARK_GRAFT_CHAIN_CANARY_REF").map(_.toDouble)
+    sys.env.get("SPARK_GRAFT_CHAIN_CANARY_REF").map(v =>
+      v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CHAIN_CANARY_REF must be a number (e.g. 1.0), got '$v'")))
       .getOrElse(1.0)
 
   val MaxRatio = 1.25

@@ -156,9 +156,12 @@ object StreamBench {
     def entry(r: (String, Long, Long, Double, Long, Double),
               extra: String = ""): String = {
       val (n, ri, ro, s, sr, mb) = r
+      // actual chunks fed — the hot-bucket feed is longer than the
+      // corpus, so its micro-batch count exceeds the configured one
+      val nb = (ri + chunk - 1) / chunk
       "\"" + n + "\":{\"rows_in\":" + ri + ",\"rows_out\":" + ro +
         f""","sec":$s%.2f,"rows_per_sec":${ri / s}%.0f""" +
-        f""","state_rows_max":$sr,"state_mb_max":$mb%.1f,"batches":$batches""" +
+        f""","state_rows_max":$sr,"state_mb_max":$mb%.1f,"batches":$nb""" +
         extra + "}"
     }
 
@@ -228,8 +231,9 @@ object StreamBench {
       : org.apache.spark.sql.DataFrame =
       df.select((col("doc_id") % keySpace).as("k"), col("text"),
         (col("doc_id")).as("seq"),
+        // Upsert.applyDelta's op contract is uppercase "D"/"U"
         org.apache.spark.sql.functions
-          .when(col("doc_id") % keySpace % 23 === 0, "d").otherwise("u")
+          .when(col("doc_id") % keySpace % 23 === 0, "D").otherwise("U")
           .as("op"))
     val r5 = {
       val source = MemoryStream[Arrival]
@@ -259,8 +263,13 @@ object StreamBench {
         batchDelta.select("k", "text").filter(lit(false)),
         batchDelta, Seq("k"), "seq", Some("op"))
       val expRows = expected.count()
+      // full-ROW equality both ways (keys AND payload): a wrong-winner
+      // latest-wins regression must not slip through a key-only check
       val ok = snapRows == expRows &&
-        snapshot.select("k").exceptAll(expected.select("k")).isEmpty
+        snapshot.select("k", "text")
+          .exceptAll(expected.select("k", "text")).isEmpty &&
+        expected.select("k", "text")
+          .exceptAll(snapshot.select("k", "text")).isEmpty
       val fs = new org.apache.hadoop.fs.Path(upsertRoot)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val snapBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(

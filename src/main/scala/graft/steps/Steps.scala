@@ -1014,37 +1014,13 @@ object GraftCli {
       .appName(s"graft-${args.head}")
       .getOrCreate()
     // SPARK_GRAFT_PROFILE=1: dump the step's costliest Spark stages
-    // (executor-CPU-ranked) to stderr on exit — same listener as
-    // Bench/ChainBench, for attributing step-cost differences between
-    // CLI, chain, and bench contexts.
-    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
-    val profStages = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Long, Long, Long, String)]
-    if (profile)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val si = sc.stageInfo
-            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
-              yield c - s).getOrElse(-1L)
-            profStages.synchronized {
-              profStages += ((si.stageId, wall,
-                si.taskMetrics.executorRunTime,
-                si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-                si.details.linesIterator.find(_.contains("graft"))
-                  .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(120)))
-            }
-          }
-        })
+    // (executor-CPU-ranked) to stderr on exit — the shared profiler,
+    // for attributing step-cost differences between CLI, chain, and
+    // bench contexts.
+    val profiler = graft.core.StageProfiler.ifEnabled(spark, "cliprofile")
     try Steps.runFromArgs(spark, args.toSeq)
     finally {
-      if (profile) profStages.synchronized {
-        profStages.sortBy(-_._3).take(12).foreach { case (id, w, cpu, shuf, d) =>
-          System.err.println(f"[cliprofile] stage=$id wall=${w / 1e3}%.2f " +
-            f"cpu=${cpu / 1e3}%.2f shufMB=${shuf / 1e6}%.1f $d")
-        }
-      }
+      profiler.foreach(_.dump(args.head))
       spark.stop()
     }
   }

@@ -78,6 +78,35 @@ object StreamingDedup {
       .as[BandedDoc]
   }
 
+  /** Shared per-arrival bucket kernel of both stateful near-dup
+    * operators: compare `sig` against every stored bucket-mate
+    * (flagging estimated Jaccard ≥ threshold), then store it under the
+    * per-bucket cap. Returns the updated signature list. */
+  private def compareAndStore(
+      docId: String, sig: Seq[Long], band: Int,
+      sigs0: List[(String, Seq[Long])], threshold: Double, maxBucket: Int,
+      out: scala.collection.mutable.ArrayBuffer[NearDupFlag])
+    : List[(String, Seq[Long])] = {
+    var sigs = sigs0
+    sigs.foreach { case (otherId, otherSig) =>
+      if (otherId != docId) {
+        val n = math.min(sig.length, otherSig.length)
+        var m = 0
+        var i = 0
+        while (i < n) {
+          if (sig(i) == otherSig(i)) m += 1
+          i += 1
+        }
+        val est = if (n == 0) 0.0 else m.toDouble / n
+        if (est >= threshold)
+          out += NearDupFlag(docId, band, otherId, est)
+      }
+    }
+    if (sigs.length < maxBucket && !sigs.exists(_._1 == docId))
+      sigs = (docId, sig) :: sigs
+    sigs
+  }
+
   /** Stateful near-dup flagging: one state entry per live band bucket,
     * holding at most `maxBucket` (docId, signature) pairs; each
     * arriving doc is compared against its bucket-mates and flagged
@@ -106,23 +135,8 @@ object StreamingDedup {
             var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
             batch.foreach { d =>
-              sigs.foreach { case (otherId, otherSig) =>
-                if (otherId != d.docId) {
-                  val n = math.min(d.sig.length, otherSig.length)
-                  var m = 0
-                  var i = 0
-                  while (i < n) {
-                    if (d.sig(i) == otherSig(i)) m += 1
-                    i += 1
-                  }
-                  val est = if (n == 0) 0.0 else m.toDouble / n
-                  if (est >= threshold)
-                    out += NearDupFlag(d.docId, key._1, otherId, est)
-                }
-              }
-              if (sigs.length < maxBucket &&
-                !sigs.exists(_._1 == d.docId))
-                sigs = (d.docId, d.sig) :: sigs
+              sigs = compareAndStore(d.docId, d.sig, key._1, sigs,
+                threshold, maxBucket, out)
             }
             state.update(BucketState(sigs))
             idleTimeout.foreach(state.setTimeoutDuration)
@@ -186,23 +200,8 @@ object StreamingDedup {
             var maxTs = Long.MinValue
             batch.foreach { d =>
               if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              sigs.foreach { case (otherId, otherSig) =>
-                if (otherId != d.docId) {
-                  val n = math.min(d.sig.length, otherSig.length)
-                  var m = 0
-                  var i = 0
-                  while (i < n) {
-                    if (d.sig(i) == otherSig(i)) m += 1
-                    i += 1
-                  }
-                  val est = if (n == 0) 0.0 else m.toDouble / n
-                  if (est >= threshold)
-                    out += NearDupFlag(d.docId, key._1, otherId, est)
-                }
-              }
-              if (sigs.length < maxBucket &&
-                !sigs.exists(_._1 == d.docId))
-                sigs = (d.docId, d.sig) :: sigs
+              sigs = compareAndStore(d.docId, d.sig, key._1, sigs,
+                threshold, maxBucket, out)
             }
             state.update(BucketState(sigs))
             // expire once the WATERMARK passes last-arrival + horizon;
