@@ -289,7 +289,16 @@ object Carma {
       epsilon: Double = 1e-3,
       innerAllIter: Int = 10,
       outlierBFIndex: Double = 1.0 / 3.2,
-      rng: Random = new Random(2024)): McsResult = {
+      rng: Random = new Random(2024),
+      // cross-call pure-function caches (see carmaSpikeSlabNoEM): both
+      // marginalLikelihood+prior and the ridge outlier test depend only
+      // on (config, sigma, z, tau, λ), all fixed across the restarted
+      // chains of one locus. These memos carry VALUES only — the
+      // visited-model set (modelMargin) stays per-call, because the
+      // reference's restarted chain begins with a fresh model record.
+      marginMemo: mutable.HashMap[String, Double] = mutable.HashMap.empty,
+      outlierMemo: mutable.HashMap[String, Double] = mutable.HashMap.empty)
+    : McsResult = {
 
     val p = z.length
     val sigma = ldMatrix
@@ -297,12 +306,6 @@ object Carma {
 
     // Visited models: margin by config key, maintained sorted-desc on use.
     val modelMargin = mutable.LinkedHashMap[String, Double]("" -> nullMargin)
-    // outlier ridge-test memo: the sampled candidate configs recur
-    // across inner iterations, and the whole ridge search (a ~30-eval
-    // golden-section, each eval two SVD pseudo-inverses) is a pure
-    // function of (testS, sigma, z, tau) — all fixed per call. The rng
-    // draw sequence is untouched (sampling happens before the test).
-    val outlierMemo = mutable.HashMap.empty[String, Double]
     var conditionalS: List[Int] = inputConditionalSList.getOrElse(Nil)
     var s: List[Int] = conditionalS
     var storedBf = 0.0
@@ -330,9 +333,11 @@ object Carma {
               // (marginalLikelihood is a pure function of (cfg, sigma,
               // z, tau), all fixed here). ~79% of CARMA's wall was
               // re-running tiny SVD/LU factorisations on repeats.
-              buf += modelMargin.getOrElse(configKey(cfg),
-                marginalLikelihood(cfg, sigma, z, tau) +
-                  priorDist(cfg.length, lambdaVal, p))
+              val k = configKey(cfg)
+              buf += modelMargin.getOrElse(k,
+                marginMemo.getOrElseUpdate(k,
+                  marginalLikelihood(cfg, sigma, z, tau) +
+                    priorDist(cfg.length, lambdaVal, p)))
             }
             buf
           case None => mutable.ArrayBuffer(nullMargin)
@@ -505,11 +510,18 @@ object Carma {
     val pSnp = z.length
     val epsilonList = epsilonThreshold * pSnp
     val rng = new Random(seed)
+    // pure-value caches shared across the restarted chains: the
+    // restart re-explores heavily-overlapping neighbourhoods, and both
+    // the marginal likelihood and the outlier ridge test are fixed
+    // functions of the config for one locus
+    val marginMemo = mutable.HashMap.empty[String, Double]
+    val outlierMemo = mutable.HashMap.empty[String, Double]
 
     var all = mcsModified(z, ld, maxModelDim = maxModelDim,
       lambdaVal = lambdaVal, numCausal = numCausal,
       outlierSwitch = outlierSwitch, tau = tau, epsilon = epsilonList,
-      innerAllIter = allInnerIter, outlierBFIndex = outlierBFIndex, rng = rng)
+      innerAllIter = allInnerIter, outlierBFIndex = outlierBFIndex, rng = rng,
+      marginMemo = marginMemo, outlierMemo = outlierMemo)
 
     var iter = 0
     var stop = false
@@ -523,7 +535,8 @@ object Carma {
         outlierSwitch = outlierSwitch,
         inputConditionalSList = Some(all.conditionalS), tau = tau,
         epsilon = epsilonList, innerAllIter = allInnerIter,
-        outlierBFIndex = outlierBFIndex, rng = rng)
+        outlierBFIndex = outlierBFIndex, rng = rng,
+        marginMemo = marginMemo, outlierMemo = outlierMemo)
 
       val ac2 = all.bList.map(_._1)
       val nCur = math.rint(ac2.length / 4.0).toInt
