@@ -88,6 +88,10 @@ object Bench {
             (rep < maxReps && best > 3.0 && sec < best * 0.8) ||
             (rep < 3 && math.min(best, sec) > 10.0)
           best = math.min(best, sec)
+          // end-of-query release of handle-persisted frames BEFORE the
+          // wholesale cache wipe, so object-level CacheHandle
+          // bookkeeping never points at unpersisted frames
+          graft.core.CacheHandle.releaseQueryScoped()
           spark.sharedState.cacheManager.clearCache()
         }
       } catch { case e: Throwable =>
@@ -232,6 +236,7 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
           val s = (System.nanoTime() - t0) / 1e9
+          graft.core.CacheHandle.releaseQueryScoped()
           spark.sharedState.cacheManager.clearCache()
           System.err.println(f"[bench] $name%-28s $s%8.2f s  rows=$n (in-process)")
           name -> s
@@ -240,7 +245,47 @@ object Bench {
         m
       }
 
-    val results = fromForks ++ fromFallback
+    val firstPass = fromForks ++ fromFallback
+
+    // Per-query repeat protocol (r13): a single-shot fresh-JVM number
+    // for a heavy query carries up to 3x machine-state noise the
+    // start-of-run canary cannot see (r12: q_gx_ecaviar_fused_e2e
+    // 2.31 vs 6.90 s, same code, canaries 1.16/1.17). Every query
+    // whose first-pass wall exceeds the threshold is re-forked
+    // (repeatRuns - 1) more times, INTERLEAVED round-robin across the
+    // heavy set so slow machine-state drift decorrelates from any one
+    // query, and the recorded value is the MEDIAN of its fresh-JVM
+    // runs; the cheap tail stays single-shot to bound suite time.
+    val repeatRuns = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val repThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_REPEAT_THRESHOLD", "2.0").toDouble
+    val repeatNames = if (only.nonEmpty) Seq.empty[String]
+      else names.filter(n => firstPass.get(n).exists(_ > repThreshold))
+    val extraRuns: Map[String, Seq[Double]] =
+      if (repeatNames.isEmpty || repeatRuns <= 1) Map.empty
+      else {
+        val collected = scala.collection.mutable.Map
+          .empty[String, List[Double]].withDefaultValue(Nil)
+        for (round <- 2 to repeatRuns; name <- repeatNames) {
+          System.err.println(s"[bench] repeat $round/$repeatRuns $name")
+          runForked(base :+ name).foreach { case (n, s) =>
+            collected(n) = collected(n) :+ s
+          }
+        }
+        collected.toMap
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val runsMap: Map[String, Seq[Double]] = repeatNames.map { n =>
+      n -> (firstPass.get(n).toSeq ++ extraRuns.getOrElse(n, Nil))
+    }.toMap
+    val results = firstPass ++ runsMap.collect {
+      case (n, runs) if runs.nonEmpty => n -> median(runs)
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Full-precision per-query map → BENCH_full.json next to the build.
@@ -257,10 +302,31 @@ object Bench {
     val canaryJson =
       s""""canary":{"query":"$CanaryQuery","ref_sec":$CanaryRefSec,""" +
         s""""ratio":${f2c(canaryRatio)}}"""
+    // Self-describing totals: raw totals are comparable across rounds
+    // only at equal canary ratio (r11 131.74 s @0.97 vs r12 143.15 s
+    // @1.17 read as a regression until normalised) — embed the
+    // canary-normalised figure and say so in the artifact itself.
+    val normTotal = if (canaryRatio > 0) total / canaryRatio else -1.0
+    val repeatsJson = runsMap.toSeq.sortBy(_._1).map { case (n, runs) =>
+      val spread = if (runs.nonEmpty) runs.max - runs.min else -1.0
+      "\"" + n + "\":{\"runs\":[" + runs.map(f2c).mkString(",") +
+        s"],\"median\":${f2c(median(runs))},\"spread\":${f2c(spread)}}"
+    }.mkString("{", ",", "}")
+    val protocolJson =
+      s""""protocol":{"repeat_threshold_sec":$repThreshold,""" +
+        s""""repeat_runs":$repeatRuns,"note":"queries over the threshold """ +
+        """are recorded as the median of repeat_runs interleaved """ +
+        """fresh-JVM runs (spread = max - min); totals are comparable """ +
+        """across rounds only at equal canary ratio — use """ +
+        """normalized_total (= value / canary.ratio) for """ +
+        """cross-round reads"}"""
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec",$canaryJson,"queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s""""normalized_total":${f2c(normTotal)},$canaryJson,""" +
+          s"""$protocolJson,"repeats":$repeatsJson,""" +
+          s""""queries":$fullQs,"sf":"$sfDir"}""" + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
       }
@@ -272,7 +338,8 @@ object Bench {
     def f2(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val lineTail =
-      s"""},"nq":${results.size},$canaryJson,"detail":"BENCH_full.json","sf":"$sfDir"}"""
+      s"""},"nq":${results.size},"normalized_total":${f2(normTotal)},""" +
+        s"""$canaryJson,"detail":"BENCH_full.json","sf":"$sfDir"}"""
     val sb = new StringBuilder(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{""")
     var full = false
     var first = true

@@ -128,7 +128,11 @@ object ChainBench {
           // is always double, and a double-typed chromosome splinters
           // the fixed 3-chromosome space into float-artifact labels
           ((ok2 / 10).cast("long") % 3).cast("string").as("chromosome"),
-          pos.cast("int").as("position"),
+          // long, NOT int: key-shifted clones push l_orderkey*4 past
+          // Int.MaxValue at ~500× and a narrowed position wraps
+          // negative, then round-trips through variantId string
+          // parsing. Every chain consumer casts to long anyway.
+          pos.as("position"),
           (lit(1.0) + (ok2 % 89) / 10.0).cast("float").as("pValueMantissa"),
           (-(ok2 % 12) - 4).cast("int").as("pValueExponent"),
           when(ok2 % 9 === 0, lit(null).cast("double"))

@@ -82,6 +82,9 @@ object Verify {
         }
       }
       // operators leave unpersist to the caller — drop per-query caches
+      // (the handle release keeps object-level CacheHandle bookkeeping
+      // consistent with the cache-manager wipe)
+      graft.core.CacheHandle.releaseQueryScoped()
       spark.sharedState.cacheManager.clearCache()
     }
     val json = SparkEntry.oracleSql
@@ -104,11 +107,18 @@ object Verify {
     if (only.isEmpty && goldenRows.nonEmpty) try {
       val repo = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-      val rx = "CORRECTNESS_r(\\d+)\\.json".r
-      val rounds = Option(repo.list()).toSeq.flatten
-        .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))
-      if (rounds.nonEmpty) {
-        val tgt = new java.io.File(repo, f"GOLDENS_r${rounds.max + 1}%02d.json")
+      // SPARK_GRAFT_ROUND wins over the directory scan — a full verify
+      // re-run AFTER the current round's CORRECTNESS_rN.json landed
+      // would otherwise infer N+1 and leave the real rN report stale.
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim.toInt).orElse {
+        val rx = "CORRECTNESS_r(\\d+)\\.json".r
+        val rounds = Option(repo.list()).toSeq.flatten
+          .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))
+        if (rounds.nonEmpty) Some(rounds.max + 1) else None
+      }
+      round.foreach { n =>
+        // unpadded to match the existing artifact names (GOLDENS_r12)
+        val tgt = new java.io.File(repo, s"GOLDENS_r$n.json")
         Files.writeString(tgt.toPath,
           s"""{"sf": ${jq(sfTag)}, "goldens": ${goldenRows.mkString("[", ",", "]")}}""")
         println(s"[verify] golden report mirrored to ${tgt.getPath}")

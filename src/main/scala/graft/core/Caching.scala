@@ -76,6 +76,28 @@ object CacheHandle {
   def apply(): CacheHandle = new CacheHandle()
   def apply(level: StorageLevel): CacheHandle = new CacheHandle(level)
 
+  /** Handles owned by lazily-built registered queries (object-level
+    * singletons with no terminal-action hook of their own). A
+    * shared-session harness calls [[releaseQueryScoped]] after each
+    * query's terminal action, so one query's persisted intermediates
+    * stop occupying storage memory for the rest of a multi-query
+    * suite — previously they were released only at the owner's NEXT
+    * invocation. Releasing an already-empty handle is a no-op, so
+    * harness calls are safe at any cadence. */
+  private val queryScopedHandles =
+    scala.collection.mutable.ArrayBuffer.empty[CacheHandle]
+
+  /** Register `h` for harness-driven end-of-query release (idempotent). */
+  def queryScoped(h: CacheHandle): CacheHandle =
+    queryScopedHandles.synchronized {
+      if (!queryScopedHandles.exists(_ eq h)) queryScopedHandles += h
+      h
+    }
+
+  /** Release every query-scoped handle (harness post-action hook). */
+  def releaseQueryScoped(): Unit =
+    queryScopedHandles.synchronized { queryScopedHandles.foreach(_.release()) }
+
   /** No-op handle: `persist` passes through, nothing is cached. */
   val disabled: CacheHandle = new CacheHandle() {
     override def persist(df: DataFrame): DataFrame = df

@@ -154,7 +154,18 @@ object Carma {
       0.5 * (logDetS + logDetIS) - 0.5 * (zS - zIS)
     }
     val xOpt = SusieInf.minimizeScalar(x => -olik(x), 0.0, 1.0)
-    -math.abs(olik(1.0) - olik(xOpt))
+    val atOne = olik(1.0)
+    val atOpt = olik(xOpt)
+    // Rank-deficient Σ_S (e.g. |r|=1 duplicate variants) drops a
+    // spectral dimension at x=1, making olik(1.0) exactly −∞; if
+    // olik(xOpt) is also non-finite the difference would be NaN, and
+    // exp(NaN) < outlierBFIndex is false — silently KEEPING a candidate
+    // the matrix path removes. Any non-finite likelihood means the
+    // shrunk-vs-unshrunk comparison is undefined on this block, so the
+    // test fails outright: return −∞ (candidate removed).
+    if (!java.lang.Double.isFinite(atOne) || !java.lang.Double.isFinite(atOpt))
+      Double.NegativeInfinity
+    else -math.abs(atOne - atOpt)
   }
 
   /** Negative outlier likelihood of the ridge-shrunk LD block; the

@@ -906,8 +906,12 @@ object Q {
   }
 
   /** Cache handle scoping [[e2eFusedTags]]'s persisted frame to the
-    * most recent invocation (see the release-then-persist note there). */
-  private val e2eTagsCache = graft.core.CacheHandle()
+    * most recent invocation (see the release-then-persist note there).
+    * Also registered query-scoped: harnesses release it right after
+    * each query's terminal action, so the tags frame stops occupying
+    * storage memory for the remainder of a shared-session suite. */
+  private val e2eTagsCache =
+    graft.core.CacheHandle.queryScoped(graft.core.CacheHandle())
 
   /** The r12 lifecycle chain's fine-mapping locus extraction as an
     * oracle-checked query: significance-gated leads pull their ±window

@@ -54,7 +54,11 @@ object StreamingDedup {
                        sig: Seq[Long])
   case class BandedDocT(ts: java.sql.Timestamp, band: Int, bandHash: Long,
                         docId: String, sig: Seq[Long])
-  case class BucketState(sigs: List[(String, Seq[Long])])
+  /** `expireAtMs` mirrors the event-time timeout registered for the
+    * bucket ([[nearDupFlagsEvicting]]); the processing-time variant
+    * leaves it at the unset default. */
+  case class BucketState(sigs: List[(String, Seq[Long])],
+                         expireAtMs: Long = Long.MaxValue)
   case class NearDupFlag(docId: String, band: Int, matchedDocId: String,
                          similarity: Double)
 
@@ -152,13 +156,33 @@ object StreamingDedup {
     * engine. This bounds the bucket COUNT by (arrival rate ×
     * watermark horizon) instead of by distinct corpus content — the
     * same state contract as [[exactDedup]]'s digest state — at the
-    * documented semantic trade: near-duplicates arriving more than
-    * the horizon apart are not flagged against each other.
+    * documented semantic trade: near-duplicates are not flagged
+    * against each other once the watermark has passed the bucket's
+    * horizon (last arrival + `evictAfterMs`). The horizon is honoured
+    * in the DATA branch too: when new data for a lapsed bucket lands
+    * in the same micro-batch its timeout would have fired, the engine
+    * delivers it with `hasTimedOut=false` and the stale state intact —
+    * the kernel checks the stored expiry against the current watermark
+    * and drops the lapsed signatures before comparing, so past-horizon
+    * flagging cannot depend on micro-batch boundaries. (Arrivals
+    * between the horizon and horizon + watermark delay may still
+    * compare — watermark granularity, the same slack every
+    * watermark-bounded operator carries.)
     *
     * Unlike a processing-time timeout, event-time expiry is driven by
     * the data's own watermark, so `processAllAvailable` settles and
     * the eviction is deterministic and testable (see the operator
-    * spec and STREAMBENCH state maxima). */
+    * spec and STREAMBENCH state maxima).
+    *
+    * The registered expiry is COARSENED to `evictAfterMs / 4`
+    * granularity (rounded up), and state + timeout are re-written only
+    * when the signature list or the coarsened expiry actually changes —
+    * a hot bucket at its cap pays one state write per granularity step
+    * of event time instead of one per micro-batch. The trade is
+    * retention, not flags: a bucket may outlive its exact horizon by
+    * up to one granularity step (the state bound gains a constant
+    * ≤ 25% slack; flags can only move TOWARD the non-evicting
+    * variant's, never drop). */
   def nearDupFlagsEvicting(docs: DataFrame, textCol: String, idCol: String,
                            tsCol: String = "ts",
                            threshold: Double = 0.7, maxBucket: Int = 64,
@@ -190,32 +214,68 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         (key: (Int, Long), batch: Iterator[BandedDocT],
-         state: GroupState[BucketState]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
-            var maxTs = Long.MinValue
-            batch.foreach { d =>
-              if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              sigs = compareAndStore(d.docId, d.sig, key._1, sigs,
-                threshold, maxBucket, out)
-            }
-            state.update(BucketState(sigs))
-            // expire once the WATERMARK passes last-arrival + horizon;
-            // fall back to watermark + horizon for all-null-ts batches
-            // (the timestamp must be over the current watermark)
-            val base =
-              if (maxTs != Long.MinValue) maxTs
-              else state.getCurrentWatermarkMs()
-            // the engine requires a timeout strictly beyond the
-            // current watermark (a late straggler's ts can sit behind)
-            state.setTimeoutTimestamp(math.max(base + evictAfterMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-        })
+         state: GroupState[BucketState]) =>
+          evictingKernel(key, batch, state, threshold, maxBucket,
+            evictAfterMs))
+  }
+
+  /** The per-bucket kernel of [[nearDupFlagsEvicting]], extracted so
+    * the same-micro-batch lapse path is directly unit-testable with
+    * `TestGroupState` — through `processAllAvailable` the engine's
+    * extra timeout batch always runs before new data can reach a
+    * lapsed bucket, so that path can never be exercised end-to-end
+    * deterministically. */
+  private[streaming] def evictingKernel(
+      key: (Int, Long), batch: Iterator[BandedDocT],
+      state: GroupState[BucketState],
+      threshold: Double, maxBucket: Int, evictAfterMs: Long)
+    : Iterator[NearDupFlag] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption
+      val wm = state.getCurrentWatermarkMs()
+      // honour the horizon in the data branch: a lapsed bucket
+      // (stored expiry behind the watermark) receiving data in the
+      // very micro-batch its timeout would have fired gets
+      // hasTimedOut=false with the stale state intact — drop the
+      // lapsed signatures BEFORE comparing
+      val sigs0 = prior match {
+        case Some(s) if s.expireAtMs <= wm => Nil
+        case Some(s)                       => s.sigs
+        case None                          => Nil
+      }
+      var sigs = sigs0
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+      var maxTs = Long.MinValue
+      batch.foreach { d =>
+        if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
+        sigs = compareAndStore(d.docId, d.sig, key._1, sigs,
+          threshold, maxBucket, out)
+      }
+      // expire once the WATERMARK passes last-arrival + horizon; fall
+      // back to watermark + horizon for all-null-ts batches. The
+      // expiry is rounded UP to evictAfterMs/4 granularity so a hot
+      // bucket's horizon advances once per granularity step, not once
+      // per micro-batch. The engine requires a timeout strictly beyond
+      // the current watermark (a late straggler's ts can sit behind
+      // it).
+      val base = if (maxTs != Long.MinValue) maxTs else wm
+      val g = math.max(1L, evictAfterMs / 4)
+      val exact = math.max(base + evictAfterMs, wm + 1)
+      val expireAt = ((exact + g - 1) / g) * g
+      // write state + timeout only when something changed:
+      // compareAndStore conses only when it stores, so reference
+      // equality detects an unchanged signature list; a capped hot
+      // bucket with a non-advancing coarsened horizon pays zero state
+      // writes per batch
+      if (prior.isEmpty || !(sigs eq prior.get.sigs) ||
+          expireAt != prior.get.expireAtMs) {
+        state.update(BucketState(sigs, expireAt))
+        state.setTimeoutTimestamp(expireAt)
+      }
+      out.iterator
+    }
   }
 }

@@ -107,6 +107,41 @@ class CarmaSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-deficient block (duplicate variants) still removes the candidate") {
+    // |r|=1 duplicate columns make Σ_S singular: at x=1 the eigen path
+    // drops a spectral dimension and olik(1.0) is exactly −∞. Before
+    // the non-finite guard, a −∞ − −∞ difference turned into NaN and
+    // exp(NaN) < outlierBFIndex was false — the candidate was KEPT,
+    // diverging from the matrix path which removes it. The contract is
+    // DECISION parity on singular blocks: both paths must remove.
+    val outlierBFIndex = 1.0 / 3.2
+    val sigma = DenseMatrix(
+      (1.0, 1.0, 0.3),
+      (1.0, 1.0, 0.3),
+      (0.3, 0.3, 1.0))
+    val zv = DenseVector(4.0, 4.0, 0.5)
+    val testS = Array(0, 1, 2)
+    val tau = 0.04
+    val got = Carma.outlierTestEigen(testS, sigma, zv, tau)
+    assert(!got.isNaN, s"eigen path returned NaN on a singular block")
+    assert(math.exp(got) < outlierBFIndex,
+      s"eigen path kept the candidate on a singular block: got=$got")
+    // matrix-path decision on the same block
+    val n = testS.length
+    val modiLdS0 = DenseMatrix.tabulate(n, n)((x, y) => sigma(testS(x), testS(y)))
+    val xOpt = SusieInf.minimizeScalar(
+      x => Carma.ridgeFun(x, sigma, modiLdS0, testS, zv, tau), 0.0, 1.0)
+    val modiLd = modiLdS0 * xOpt + DenseMatrix.eye[Double](n) * (1.0 - xOpt)
+    val modiSigma = sigma.copy
+    for (x <- 0 until n; y <- 0 until n)
+      modiSigma(testS(x), testS(y)) = modiLd(x, y)
+    val matrixBF = -math.abs(
+      Carma.outlierLikelihood(testS, sigma, zv, tau) -
+        Carma.outlierLikelihood(testS, modiSigma, zv, tau))
+    assert(matrixBF.isNaN || math.exp(matrixBF) < outlierBFIndex,
+      s"matrix path kept the candidate: $matrixBF — decision parity broken")
+  }
+
   test("priors and marginal likelihood match reference doctest values") {
     // reference: src/gentropy/method/carma.py doctests
     assert(math.abs(Carma.priorDist(3, 1.0, 4) - (-3.17805)) < 1e-4)

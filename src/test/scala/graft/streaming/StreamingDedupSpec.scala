@@ -88,6 +88,77 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("evicting kernel drops lapsed signatures when data and timeout collide") {
+    // The engine delivers data for a lapsed bucket with
+    // hasTimedOut=false and the stale state intact when new rows land
+    // in the same micro-batch the timeout would have fired (in real
+    // streaming, data racing the watermark-advancing batch). The
+    // kernel's data-branch watermark check must drop the lapsed
+    // signatures BEFORE comparing — past-horizon flagging must not
+    // depend on micro-batch boundaries. processAllAvailable cannot
+    // reproduce this (the extra timeout batch always runs first), so
+    // the kernel is driven directly via TestGroupState.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def doc(id: String, tsMs: Long, sig: Seq[Long]) =
+      BandedDocT(new java.sql.Timestamp(tsMs), 0, 42L, id, sig)
+    val sig = Seq.tabulate(8)(_.toLong)
+    val evictAfterMs = 10 * 60 * 1000L
+    val storedExpire = 1000000L + evictAfterMs // d1's horizon
+    // watermark has passed the stored expiry: the bucket is lapsed
+    val wm = storedExpire + 1
+    val lapsed = TestGroupState.create[BucketState](
+      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), false)
+    val flags = StreamingDedup.evictingKernel(
+      (0, 42L), Iterator(doc("d3", wm + 1000L, sig)), lapsed,
+      threshold = 0.7, maxBucket = 64, evictAfterMs = evictAfterMs).toList
+    assert(flags.isEmpty,
+      s"past-horizon arrival flagged against lapsed signatures: $flags")
+    val after = lapsed.get
+    assert(after.sigs.map(_._1) == List("d3"),
+      s"lapsed signatures must be replaced, got ${after.sigs.map(_._1)}")
+    assert(after.expireAtMs > wm, "new expiry must sit beyond the watermark")
+    // control: same arrival while the bucket is still within horizon
+    val live = TestGroupState.create[BucketState](
+      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(storedExpire - 1)), false)
+    val flags2 = StreamingDedup.evictingKernel(
+      (0, 42L), Iterator(doc("d3", storedExpire, sig)), live,
+      threshold = 0.7, maxBucket = 64, evictAfterMs = evictAfterMs).toList
+    assert(flags2.exists(f => f.docId == "d3" && f.matchedDocId == "d1"),
+      s"in-horizon arrival must flag: $flags2")
+  }
+
+  test("evicting kernel skips state writes when nothing advances") {
+    // a capped hot bucket receiving a same-coarsened-horizon arrival
+    // must not rewrite state: the coarsened expiry only advances once
+    // per evictAfterMs/4 of event time
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val sig = Seq.tabulate(8)(_.toLong)
+    val otherSig = Seq.tabulate(8)(i => 100L + i) // below threshold
+    val evictAfterMs = 10 * 60 * 1000L
+    val g = evictAfterMs / 4
+    val baseTs = 1000000L
+    val storedExpire = ((baseTs + evictAfterMs + g - 1) / g) * g
+    // bucket at cap 1, holding d1; d2 arrives within the SAME
+    // granularity step with a non-matching signature → no flag, no
+    // store (cap), no horizon advance → state must stay untouched
+    val st = TestGroupState.create[BucketState](
+      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(baseTs - 1)), false)
+    val flags = StreamingDedup.evictingKernel(
+      (0, 42L),
+      Iterator(BandedDocT(new java.sql.Timestamp(baseTs + 1), 0, 42L,
+        "d2", otherSig)),
+      st, threshold = 0.7, maxBucket = 1, evictAfterMs = evictAfterMs).toList
+    assert(flags.isEmpty)
+    assert(!st.isUpdated,
+      "state rewritten although neither signatures nor coarsened horizon advanced")
+  }
+
   test("near-dup flags fire for bucket-mates above the signature threshold") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 5
