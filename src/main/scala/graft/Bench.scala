@@ -97,6 +97,11 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         best = -1.0
+        // a query that threw mid-rep may have left query-scoped
+        // persisted frames behind — tear down here too, or they
+        // pollute every later measurement in this child JVM
+        graft.core.CacheHandle.releaseQueryScoped()
+        spark.sharedState.cacheManager.clearCache()
       }
       println(f"BENCHQ $name $best%.6f rows=$n")
       profiler.foreach(_.dump(name))

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   */
 object ChainBench {
 
-  private def timed[T](body: => T): (T, Double) = {
+  private[graft] def timed[T](body: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = body
     (r, (System.nanoTime() - t0) / 1e9)

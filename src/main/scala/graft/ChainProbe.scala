@@ -34,11 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object ChainProbe {
 
-  private def timed[T](body: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = body
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  private def timed[T](body: => T): (T, Double) = ChainBench.timed(body)
 
   /** Clone `in` `factor`× by suffixing `keyCol` with the clone index
     * (factor 1 = pass-through rewrite, so both scales pay identical
@@ -119,9 +115,12 @@ object ChainProbe {
       val runsJson = rs.map { case (f, s, n) =>
         f"""{"factor":$f,"sec":$s%.2f,"rows":$n}"""
       }.mkString("[", ",", "]")
-      // ratio = 10×-point wall / warm-baseline wall
+      // ratio = 10×-point wall / warm-baseline wall. findLast: with
+      // factor=1 every run matches, and the FIRST is the deliberately
+      // discarded JIT-cold one — the last matching run is the honest
+      // numerator (for factor=1 it equals the warm baseline, ratio 1).
       val warmBase = rs.last._2
-      val big = rs.find(_._1 == factor).map(_._2).getOrElse(-1.0)
+      val big = rs.findLast(_._1 == factor).map(_._2).getOrElse(-1.0)
       val ratio = if (warmBase > 0 && big > 0) big / warmBase else -1.0
       "\"" + stage + "\":{\"runs\":" + runsJson +
         f""","decade_ratio":$ratio%.2f}"""

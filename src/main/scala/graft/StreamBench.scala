@@ -104,9 +104,47 @@ object StreamBench {
           id, text)
       }
 
+    // SPARK_GRAFT_STREAM_ONLY=name1,name2 runs a subset (attribution
+    // experiments); SPARK_GRAFT_STACKPROF=1 samples all runnable
+    // threads during each workload and dumps the top frames — the
+    // poor-man's profiler that attributes where a micro-batch loop's
+    // CPU actually goes (state-store scans vs kernel vs shuffle).
+    val onlyW = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val stackProf = sys.env.get("SPARK_GRAFT_STACKPROF").contains("1")
+
     def run(name: String, feed: Array[(Long, String)],
             build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (String, Long, Long, Double, Long, Double) = {
+      if (onlyW.exists(!_.contains(name)))
+        return (name, 0L, 0L, -1.0, 0L, 0.0)
+      val samples = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      @volatile var sampling = stackProf
+      val sampler = new Thread(() => {
+        while (sampling) {
+          Thread.getAllStackTraces.forEach { (t, frames) =>
+            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+              // first interesting frame: graft kernel, state store, or
+              // streaming-exec machinery; fall back to the top frame's
+              // package so unattributed time still shows up
+              val hit = frames.find { f =>
+                val c = f.getClassName
+                c.startsWith("graft.") ||
+                  c.contains("state.HDFSBackedStateStore") ||
+                  c.contains("streaming.state") ||
+                  c.contains("FlatMapGroupsWithState") ||
+                  c.contains("WatermarkTracker")
+              }.orElse(frames.headOption.filter(_ => false))
+              hit.foreach { f =>
+                val key = f.getClassName.replaceAll("\\$.*", "") + "." + f.getMethodName
+                samples.merge(key, 1L, (a, b) => a + b)
+              }
+            }
+          }
+          Thread.sleep(5)
+        }
+      })
+      if (stackProf) { sampler.setDaemon(true); sampler.start() }
       val source = MemoryStream[Arrival]
       val out = build(source.toDF().toDF("ts", "doc_id", "text"))
       var rowsOut = 0L
@@ -147,6 +185,16 @@ object StreamBench {
       drainAndSample()
       val sec = (System.nanoTime() - t0) / 1e9
       query.stop()
+      sampling = false
+      if (stackProf) {
+        import scala.jdk.CollectionConverters._
+        val top = samples.asScala.toSeq.sortBy(-_._2).take(16)
+        val tot = math.max(1L, samples.asScala.values.map(Long2long).sum)
+        System.err.println(s"[stackprof] $name (${tot} samples)")
+        top.foreach { case (k, v) =>
+          System.err.println(f"[stackprof]   ${v * 100.0 / tot}%5.1f%% $k")
+        }
+      }
       System.err.println(f"[stream] $name%-24s in=${feed.length} out=$rowsOut " +
         f"${feed.length / sec}%.0f rows/s stateRows=$stateRowsMax " +
         f"stateMB=${stateBytesMax / 1e6}%.1f")
@@ -210,6 +258,37 @@ object StreamBench {
         .select(col("docId").cast("long").as("doc_id"),
           col("band"), col("matchedDocId"), col("similarity")))
 
+    // workload 3c: the same eviction semantics on the arbitrary-state
+    // v2 API (transformWithState, RocksDB provider): eviction via
+    // PER-KEY TIMERS indexed by expiry — O(expired) per batch — where
+    // the v1 event-time timeout above deserializes every live bucket
+    // every micro-batch (profiled at 53% of workload 3b's CPU). The
+    // overhead gap between 3b and 3c IS that scan, measured.
+    val r3c = {
+      val prev = spark.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit the per-batch DELTA instead of
+      // re-snapshotting the full RocksDB instance every micro-batch —
+      // the per-batch fixed cost that dominates at bench-sized batches
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      try run("minhash_near_dup_evict_tws", corpus, in =>
+        graft.streaming.StreamingDedup
+          .nearDupFlagsEvictingTws(in, "text", "doc_id")
+          .toDF()
+          .select(col("docId").cast("long").as("doc_id"),
+            col("band"), col("matchedDocId"), col("similarity")))
+      finally prev match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+
     // workload 4: the degenerate hot bucket, streamed — 2,000 copies
     // of one document appended to the corpus, all landing in the same
     // 16 band buckets. The cap bounds BOTH state (≤ maxBucket stored
@@ -235,7 +314,9 @@ object StreamBench {
         org.apache.spark.sql.functions
           .when(col("doc_id") % keySpace % 23 === 0, "D").otherwise("U")
           .as("op"))
-    val r5 = {
+    val r5 = if (onlyW.exists(!_.contains("streaming_upsert")))
+      (("streaming_upsert", 0L, 0L, -1.0, 0L, 0.0), "")
+    else {
       val source = MemoryStream[Arrival]
       val delta = asDelta(source.toDF().toDF("ts", "doc_id", "text"))
       val query = graft.streaming.StreamingUpsert.maintain(
@@ -283,7 +364,10 @@ object StreamBench {
         snapBytes / 1e6), s""","generation":$gen,"snapshot_ok":$ok""")
     }
 
-    val js = (Seq(r1, r2, r3, r3b, r4).map(entry(_)) :+ entry(r5._1, r5._2))
+    // skipped workloads (SPARK_GRAFT_STREAM_ONLY filter) report sec<0
+    // and are left out of the artifact line
+    val js = (Seq(r1, r2, r3, r3b, r3c, r4).filter(_._4 >= 0).map(entry(_)) ++
+      (if (r5._1._4 >= 0) Seq(entry(r5._1, r5._2)) else Nil))
       .mkString("{", ",", "}")
     println(s"""{"stream_bench":$js,"scale":$factor,"docs":$total,""" +
       f""""canary":{"ref_sec":${MachineCanary.refSec}%.2f,""" +

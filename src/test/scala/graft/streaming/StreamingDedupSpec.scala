@@ -88,6 +88,50 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState evicting near-dup matches the v1 semantics") {
+    // same scenario as the v1 evicting test: d2 flags against d1;
+    // d3 (same text, 40 min later, past the horizon) must not flag.
+    // The v2 operator runs eviction on per-key RocksDB timers instead
+    // of a full-state timeout scan — semantics must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog " * 5
+      def ts(min: Int) = java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+      val input = MemoryStream[(java.sql.Timestamp, String, String)]
+      val q = nearDupFlagsEvictingTws(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "doc_id")
+        .writeStream.format("memory").queryName("neardupevicttws")
+        .outputMode("append").start()
+      try {
+        input.addData((ts(0), "d1", base))
+        q.processAllAvailable()
+        input.addData((ts(1), "d2", base + "extra tail token"))
+        q.processAllAvailable()
+        input.addData((ts(35), "w1", "completely unrelated words here"))
+        q.processAllAvailable()
+        input.addData((ts(40), "d3", base))
+        q.processAllAvailable()
+        val flags = spark.table("neardupevicttws")
+          .select("docId", "matchedDocId").as[(String, String)]
+          .collect().toSet
+        assert(flags.exists { case (a, b) => Set(a, b) == Set("d1", "d2") },
+          s"d2 must flag against d1: $flags")
+        assert(!flags.exists { case (a, b) => a == "d3" || b == "d3" },
+          s"d3 arrived past the evict horizon and must not flag: $flags")
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("evicting kernel drops lapsed signatures when data and timeout collide") {
     // The engine delivers data for a lapsed bucket with
     // hasTimedOut=false and the stale state intact when new rows land
@@ -106,8 +150,8 @@ class StreamingDedupSpec extends SparkSpec {
     val storedExpire = 1000000L + evictAfterMs // d1's horizon
     // watermark has passed the stored expiry: the bucket is lapsed
     val wm = storedExpire + 1
-    val lapsed = TestGroupState.create[BucketState](
-      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+    val lapsed = TestGroupState.create[EvictBucketState](
+      org.apache.spark.api.java.Optional.of(EvictBucketState(Array("d1"), sig.toArray, storedExpire)),
       GroupStateTimeout.EventTimeTimeout, 0L,
       org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), false)
     val flags = StreamingDedup.evictingKernel(
@@ -116,12 +160,12 @@ class StreamingDedupSpec extends SparkSpec {
     assert(flags.isEmpty,
       s"past-horizon arrival flagged against lapsed signatures: $flags")
     val after = lapsed.get
-    assert(after.sigs.map(_._1) == List("d3"),
-      s"lapsed signatures must be replaced, got ${after.sigs.map(_._1)}")
+    assert(after.docIds.toList == List("d3"),
+      s"lapsed signatures must be replaced, got ${after.docIds.toList}")
     assert(after.expireAtMs > wm, "new expiry must sit beyond the watermark")
     // control: same arrival while the bucket is still within horizon
-    val live = TestGroupState.create[BucketState](
-      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+    val live = TestGroupState.create[EvictBucketState](
+      org.apache.spark.api.java.Optional.of(EvictBucketState(Array("d1"), sig.toArray, storedExpire)),
       GroupStateTimeout.EventTimeTimeout, 0L,
       org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(storedExpire - 1)), false)
     val flags2 = StreamingDedup.evictingKernel(
@@ -139,14 +183,16 @@ class StreamingDedupSpec extends SparkSpec {
     val sig = Seq.tabulate(8)(_.toLong)
     val otherSig = Seq.tabulate(8)(i => 100L + i) // below threshold
     val evictAfterMs = 10 * 60 * 1000L
-    val g = evictAfterMs / 4
     val baseTs = 1000000L
-    val storedExpire = ((baseTs + evictAfterMs + g - 1) / g) * g
-    // bucket at cap 1, holding d1; d2 arrives within the SAME
-    // granularity step with a non-matching signature → no flag, no
-    // store (cap), no horizon advance → state must stay untouched
-    val st = TestGroupState.create[BucketState](
-      org.apache.spark.api.java.Optional.of(BucketState(List("d1" -> sig), storedExpire)),
+    // stored expiry = what the kernel computes for an arrival at
+    // baseTs + 1 (last-arrival + horizon); re-delivering at the same
+    // event time must then change nothing
+    val storedExpire = baseTs + 1 + evictAfterMs
+    // bucket at cap 1, holding d1; d2 arrives at the same horizon
+    // with a non-matching signature → no flag, no store (cap), no
+    // horizon advance → state must stay untouched
+    val st = TestGroupState.create[EvictBucketState](
+      org.apache.spark.api.java.Optional.of(EvictBucketState(Array("d1"), sig.toArray, storedExpire)),
       GroupStateTimeout.EventTimeTimeout, 0L,
       org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(baseTs - 1)), false)
     val flags = StreamingDedup.evictingKernel(
@@ -156,7 +202,33 @@ class StreamingDedupSpec extends SparkSpec {
       st, threshold = 0.7, maxBucket = 1, evictAfterMs = evictAfterMs).toList
     assert(flags.isEmpty)
     assert(!st.isUpdated,
-      "state rewritten although neither signatures nor coarsened horizon advanced")
+      "state rewritten although neither signatures nor horizon advanced")
+  }
+
+  test("evicting kernel never shrinks a live bucket's stored horizon") {
+    // an out-of-order straggler (old event time) must not re-register
+    // an EARLIER expiry: the bucket's bound is last arrival + horizon,
+    // and regressing it would evict signatures before their documented
+    // lifetime (and could drop flags the capped variant emits)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val sig = Seq.tabulate(8)(_.toLong)
+    val otherSig = Seq.tabulate(8)(i => 100L + i)
+    val evictAfterMs = 10 * 60 * 1000L
+    val freshTs = 10000000L
+    val storedExpire = freshTs + evictAfterMs
+    val st = TestGroupState.create[EvictBucketState](
+      org.apache.spark.api.java.Optional.of(EvictBucketState(Array("d1"), sig.toArray, storedExpire)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(freshTs - 1)), false)
+    // straggler: event time far BEHIND the fresh arrival that set the
+    // stored horizon (its own base + evict would be much earlier)
+    StreamingDedup.evictingKernel(
+      (0, 42L),
+      Iterator(BandedDocT(new java.sql.Timestamp(freshTs - 5 * 60 * 1000L), 0, 42L,
+        "d2", otherSig)),
+      st, threshold = 0.7, maxBucket = 64, evictAfterMs = evictAfterMs).toList
+    assert(st.get.expireAtMs >= storedExpire,
+      s"straggler shrank the horizon: ${st.get.expireAtMs} < $storedExpire")
   }
 
   test("near-dup flags fire for bucket-mates above the signature threshold") {
