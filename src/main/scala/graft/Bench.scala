@@ -99,9 +99,13 @@ object Bench {
         best = -1.0
         // a query that threw mid-rep may have left query-scoped
         // persisted frames behind — tear down here too, or they
-        // pollute every later measurement in this child JVM
-        graft.core.CacheHandle.releaseQueryScoped()
-        spark.sharedState.cacheManager.clearCache()
+        // pollute every later measurement in this child JVM. Guarded:
+        // if the SESSION is what died, the teardown must not escape
+        // this catch and abort the batch's remaining queries.
+        try {
+          graft.core.CacheHandle.releaseQueryScoped()
+          spark.sharedState.cacheManager.clearCache()
+        } catch { case _: Throwable => () }
       }
       println(f"BENCHQ $name $best%.6f rows=$n")
       profiler.foreach(_.dump(name))

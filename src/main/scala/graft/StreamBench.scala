@@ -123,22 +123,41 @@ object StreamBench {
       val sampler = new Thread(() => {
         while (sampling) {
           Thread.getAllStackTraces.forEach { (t, frames) =>
-            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+            // threads blocked in native waits (epoll, process pipes,
+            // parked pools, GC reference handling) report RUNNABLE —
+            // drop them so percentages are of CPU-burning samples
+            def idleNative(f: StackTraceElement): Boolean = {
+              val c = f.getClassName
+              val m = f.getMethodName
+              f.isNativeMethod && (
+                m.contains("epoll") || m.contains("Wait") ||
+                m.contains("wait") || m.contains("park") ||
+                m.contains("sleep") || m.contains("read") ||
+                m.contains("accept") || m.contains("poll") ||
+                c.startsWith("java.lang.Process") ||
+                c.startsWith("java.lang.ref."))
+            }
+            if (t.getState == Thread.State.RUNNABLE && frames.nonEmpty &&
+                !idleNative(frames.head)) {
               // first interesting frame: graft kernel, state store, or
-              // streaming-exec machinery; fall back to the top frame's
-              // package so unattributed time still shows up
-              val hit = frames.find { f =>
+              // streaming-exec machinery; samples matching none are
+              // tallied under "(other)" so the printed percentages are
+              // of ALL runnable samples, not just the attributed ones
+              val key = frames.find { f =>
                 val c = f.getClassName
                 c.startsWith("graft.") ||
                   c.contains("state.HDFSBackedStateStore") ||
                   c.contains("streaming.state") ||
                   c.contains("FlatMapGroupsWithState") ||
                   c.contains("WatermarkTracker")
-              }.orElse(frames.headOption.filter(_ => false))
-              hit.foreach { f =>
-                val key = f.getClassName.replaceAll("\\$.*", "") + "." + f.getMethodName
-                samples.merge(key, 1L, (a, b) => a + b)
+              } match {
+                case Some(f) =>
+                  f.getClassName.replaceAll("\\$.*", "") + "." + f.getMethodName
+                case None =>
+                  "(other) " + frames.head.getClassName
+                    .split("\\.").take(4).mkString(".")
               }
+              samples.merge(key, 1L, (a, b) => a + b)
             }
           }
           Thread.sleep(5)
@@ -281,11 +300,17 @@ object StreamBench {
           .toDF()
           .select(col("docId").cast("long").as("doc_id"),
             col("band"), col("matchedDocId"), col("similarity")))
-      finally prev match {
-        case Some(p) => spark.conf
-          .set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf
-          .unset("spark.sql.streaming.stateStore.providerClass")
+      finally {
+        prev match {
+          case Some(p) => spark.conf
+            .set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf
+            .unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        // restore the changelog knob too — leaking it would run later
+        // workloads under a different config than a filtered run
+        spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
 
