@@ -99,7 +99,7 @@ object StreamingDedup {
     * operators: compare `sig` against every stored bucket-mate
     * (flagging estimated Jaccard ≥ threshold), then store it under the
     * per-bucket cap. Returns the updated signature list. */
-  private def compareAndStore(
+  private[streaming] def compareAndStore(
       docId: String, sig: Seq[Long], band: Int,
       sigs0: List[(String, Seq[Long])], threshold: Double, maxBucket: Int,
       out: scala.collection.mutable.ArrayBuffer[NearDupFlag])

@@ -231,6 +231,53 @@ class StreamingDedupSpec extends SparkSpec {
       s"straggler shrank the horizon: ${st.get.expireAtMs} < $storedExpire")
   }
 
+  test("flat evictStep kernel is flag-parity with the list kernel on random feeds") {
+    // the v1/v2 evicting operators share evictStep, whose flat
+    // (stride-packed) compare+store is a port of the processing-time
+    // variant's List-based compareAndStore — random feeds (duplicate
+    // ids, varying bucket pressure, thresholds) must produce the SAME
+    // flag multiset and the same stored membership, or the two
+    // operator families silently diverge
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 50) {
+      val sigLen = 4 + rnd.nextInt(5)
+      val maxBucket = 1 + rnd.nextInt(4)
+      val threshold = 0.4 + rnd.nextDouble() * 0.5
+      val nDocs = 1 + rnd.nextInt(10)
+      val docs = (0 until nDocs).map { i =>
+        val id = "d" + rnd.nextInt(6) // collisions on purpose
+        val sig = Seq.tabulate(sigLen)(j =>
+          (rnd.nextInt(3) + j * 10).toLong) // overlapping minima
+        BandedDocT(new java.sql.Timestamp(1000000L + i * 1000L), 0, 7L,
+          id, sig)
+      }
+      // list kernel (the processing-time variant's path)
+      val outList = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+      var sigs = List.empty[(String, Seq[Long])]
+      docs.foreach { d =>
+        sigs = StreamingDedup.compareAndStore(d.docId, d.sig, 0, sigs,
+          threshold, maxBucket, outList)
+      }
+      // flat kernel (fresh state, watermark far behind — no lapse)
+      val st = TestGroupState.create[EvictBucketState](
+        org.apache.spark.api.java.Optional.empty[EvictBucketState](),
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)),
+        false)
+      val outFlat = StreamingDedup.evictingKernel(
+        (0, 7L), docs.iterator, st, threshold, maxBucket,
+        evictAfterMs = 600000L).toList
+      def canon(fs: Iterable[NearDupFlag]) =
+        fs.map(f => (f.docId, f.matchedDocId,
+          math.round(f.similarity * 1e9))).toSeq.sorted
+      assert(canon(outFlat) == canon(outList),
+        s"trial $trial: flags diverged\nflat=$outFlat\nlist=$outList")
+      assert(st.get.docIds.toSet == sigs.map(_._1).toSet,
+        s"trial $trial: stored membership diverged")
+    }
+  }
+
   test("near-dup flags fire for bucket-mates above the signature threshold") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog " * 5
