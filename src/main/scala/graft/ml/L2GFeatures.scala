@@ -323,11 +323,15 @@ object L2GFeatures {
     val coding = wide.join(
       broadcast(genes.filter(col("biotype") === "protein_coding")
         .select(col("id").as("geneId"))), Seq("geneId"))
-    featureCols.foldLeft(coding) { (df, c) =>
-      df.withColumn(s"${c}Neighbourhood",
-        ratioToRegionalMax(col(c), max(col(c)).over(w)))
-    }.select(col("studyLocusId") +: col("geneId") +:
-      featureCols.map(c => col(s"${c}Neighbourhood")): _*)
+    // all ratios in ONE select: every window expression shares the same
+    // spec, so Catalyst plans a single Window operator — a per-column
+    // withColumn fold interleaves Projects that defeat CollapseWindow
+    // and stack one Window pass per feature (measured on the factory's
+    // in-frame twin below)
+    coding.select(col("studyLocusId") +: col("geneId") +:
+      featureCols.map(c =>
+        ratioToRegionalMax(col(c), max(col(c)).over(w))
+          .as(s"${c}Neighbourhood")): _*)
   }
 
   /** Back-compat single-feature neighbourhood wrapper. */
@@ -351,12 +355,17 @@ object L2GFeatures {
       broadcast(genes.select(col("id").as("geneId"),
         (col("biotype") === "protein_coding").as("_coding"))),
       Seq("geneId"), "left")
-    featureCols.foldLeft(coded) { (df, c) =>
-      df.withColumn(s"${c}Neighbourhood",
-        when(col("_coding"),
-          ratioToRegionalMax(col(c), max(when(col("_coding"), col(c))).over(w)))
-          .otherwise(lit(0.0)))
-    }.drop("_coding")
+    // ONE select carrying every ratio: the window expressions all share
+    // the same spec, so they land in a single Window operator (one
+    // buffered pass per partition). The previous per-column withColumn
+    // fold inserted a Project between consecutive Window nodes,
+    // defeating CollapseWindow — the plan carried SIX stacked Window
+    // passes per family leg, each re-copying every row.
+    val neigh = featureCols.map(c =>
+      when(col("_coding"),
+        ratioToRegionalMax(col(c), max(when(col("_coding"), col(c))).over(w)))
+        .otherwise(lit(0.0)).as(s"${c}Neighbourhood"))
+    coded.select(wide.columns.map(col).toIndexedSeq ++ neigh: _*)
   }
 
   // ---------------------------------------------------------------- //
@@ -367,24 +376,59 @@ object L2GFeatures {
     * (studyLocusId, geneId), zero-filled.
     *
     * Shape (measured at sf0.1, in order tried): a melt+re-pivot was
-    * ~40% slower than an outer-join reduce (explode overhead); the
-    * null-padded union + one first(ignoreNulls) groupBy used here
-    * beats the join reduce by another ~30% — ONE shuffle of the
-    * padded union with map-side partial aggregation, instead of one
-    * sort-merge pass per family over the accumulated (widening)
-    * frame. Each feature column is non-null in exactly one source
-    * frame, and frames are unique per key (families guarantee both),
-    * so first(ignoreNulls) is deterministic. */
+    * ~40% slower than an outer-join reduce (explode overhead); a
+    * null-padded union + one merging groupBy beats the join reduce by
+    * another ~30% — ONE shuffle of the padded union with map-side
+    * partial aggregation, instead of one sort-merge pass per family
+    * over the accumulated (widening) frame. The merge aggregates are
+    * scalar max() so the groupBy stays a codegen'd HashAggregate (see
+    * the in-body note for the SortAggregate trap this replaces). */
   def featureMatrix(features: Seq[DataFrame]): DataFrame = {
+    val keys = Seq("studyLocusId", "geneId")
+    // FLAT null-padded scalar columns merged by max(): every feature
+    // column is non-null in exactly one source frame and frames are
+    // unique per key (families guarantee both), so max over the union
+    // returns the single non-null value — identical to first(ignoreNulls).
+    // Scalar max keeps every aggregation buffer slot a MUTABLE primitive,
+    // so the merge runs as a codegen'd HashAggregate; the r12 shape
+    // (one struct slot per family, [[featureMatrixStruct]]) had immutable
+    // buffer types and silently planned as Sort + SortAggregate — a full
+    // sort of the multi-million-row union (its stage: 25.2 of 48 steady
+    // CPU-s at sf0.1; the HashAggregate stage measures 14.6). Recorded
+    // fresh-JVM walls are statistically equal on a quiet box (both
+    // ~7-8 s, within the ±1 s run spread) — the win is the plan shape:
+    // at 100 TB the union is billions of rows, where an O(n log n)
+    // spill-prone sort loses to streaming hash aggregation outright.
+    val famCols: Seq[Seq[String]] =
+      features.map(_.columns.toSeq.filterNot(keys.contains))
+    val featCols = famCols.flatten.distinct
+    // a column owned by several families (allowed by the contract, not
+    // used by the factory) must agree across owners up to nulls; the
+    // merge takes its max. Types resolve to the first owner's.
+    val colType = featCols.map { c =>
+      c -> features(famCols.indexWhere(_.contains(c))).schema(c).dataType
+    }.toMap
+    val padded = features.zip(famCols).map { case (f, fc) =>
+      f.select(col("studyLocusId") +: col("geneId") +:
+        featCols.map { c =>
+          (if (fc.contains(c)) col(c).cast(colType(c))
+           else lit(null).cast(colType(c))).as(c)
+        }: _*)
+    }
+    padded
+      .reduce(_.unionByName(_))
+      .groupBy("studyLocusId", "geneId")
+      .agg(max(col(featCols.head)).as(featCols.head),
+        featCols.tail.map(c => max(col(c)).as(c)): _*)
+      .na.fill(0.0)
+  }
+
+  /** A/B twin of [[featureMatrix]] kept for measurement: the r12 shape
+    * (one nullable struct slot per family, merged by first(ignoreNulls)).
+    * Plans as Sort + SortAggregate — struct buffers are immutable. */
+  def featureMatrixStruct(features: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val keys = Seq("studyLocusId", "geneId")
-    // ONE nullable struct column per source family instead of one
-    // scalar column per feature: the union carries F struct slots, and
-    // the merging groupBy runs F first(ignoreNulls) aggregates instead
-    // of ~30 — fewer buffer slots, fewer null checks, smaller codegen
-    // (the widest generated method of the query). Values are unchanged:
-    // frames are unique per key, so at most one non-null struct per
-    // (key, family) reaches first().
     val famCols: Seq[Seq[String]] =
       features.map(_.columns.toSeq.filterNot(keys.contains))
     val famType: Seq[StructType] = features.zip(famCols).map { case (f, fc) =>
@@ -404,9 +448,6 @@ object L2GFeatures {
       .agg(first(col("_fam0"), ignoreNulls = true).as("_fam0"),
         features.indices.tail.map(j =>
           first(col(s"_fam$j"), ignoreNulls = true).as(s"_fam$j")): _*)
-    // expand the family structs back to the flat feature columns; a
-    // column owned by several families (allowed by the contract, not
-    // used by the factory) resolves by first-owner coalesce
     val featCols = famCols.flatten.distinct
     val expanded = featCols.map { c =>
       val owners = features.indices.filter(j => famCols(j).contains(c))
@@ -569,6 +610,11 @@ object L2GFeatures {
     // racing a still-uncached parent would recompute its partitions
     // redundantly (measured 2x end-to-end at sf0.1)
     if (persistShared) cache.materialize()
-    featureMatrix(frames.toSeq)
+    // -Dgraft.l2g.merge=struct / GRAFT_L2G_MERGE=struct replays the
+    // r12 merge shape (A/B measurement hook)
+    if (sys.props.get("graft.l2g.merge")
+        .orElse(sys.env.get("GRAFT_L2G_MERGE")).contains("struct"))
+      featureMatrixStruct(frames.toSeq)
+    else featureMatrix(frames.toSeq)
   }
 }

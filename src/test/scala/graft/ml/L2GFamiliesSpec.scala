@@ -108,6 +108,37 @@ class L2GFamiliesSpec extends SparkSpec {
     assert(out(("sl1", "g1")).getAs[Long]("proteinGeneCount500kb") == 1)
   }
 
+  test("flat-max matrix merge ≡ the struct-first r12 shape, and plans " +
+    "as a HashAggregate (no sort of the union)") {
+    // three families with overlapping and disjoint keys, nulls inside a
+    // family frame, and a long count column — the shapes the factory
+    // actually produces
+    val famA = Seq(("sl1", "g1", 0.5, 0.25), ("sl1", "g2", 0.9, 0.1),
+      ("sl2", "g1", 0.3, 0.0))
+      .toDF("studyLocusId", "geneId", "distanceTssMean", "vepMean")
+    val famB = Seq(("sl1", "g1", Some(0.7)), ("sl3", "g4", None))
+      .toDF("studyLocusId", "geneId", "eQtlColocH4Maximum")
+    val famC = Seq(("sl1", "g2", 3L), ("sl2", "g1", 1L))
+      .toDF("studyLocusId", "geneId", "geneCount500kb")
+    val fams = Seq(famA, famB, famC)
+    val flat = L2GFeatures.featureMatrix(fams)
+    val structShape = L2GFeatures.featureMatrixStruct(fams)
+    assert(flat.columns.toSeq == structShape.columns.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
+    val fm = flat.collect().map(r => key(r) -> r.toSeq).toMap
+    val sm = structShape.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(fm == sm, s"flat=$fm\nstruct=$sm")
+    // zero-fill covers keys absent from a family, and nulls INSIDE a
+    // family frame fill too
+    assert(fm(("sl3", "g4")) == Seq("sl3", "g4", 0.0, 0.0, 0.0, 0L))
+    // the plan promise: mutable primitive buffers keep the merge a
+    // hash aggregate — no Sort + SortAggregate over the padded union
+    val p = flat.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"no HashAggregate in:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"matrix merge demoted to a sort aggregate:\n$p")
+  }
+
   test("GBT model trains on the feature matrix and separates classes") {
     val n = 200
     val rng = new scala.util.Random(7)
