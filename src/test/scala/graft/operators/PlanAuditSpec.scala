@@ -299,6 +299,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
   }
 
+  test("registry sweep: no registered query plans a SortAggregate, a " +
+    "cartesian, a nested-loop join, or stacked same-spec Windows") {
+    // the generalisation of every audit above, over the WHOLE driver
+    // contract: a refactor anywhere in the library cannot silently
+    // demote a registered query's plan. Traps this catches:
+    // - SortAggregate: an aggregate whose buffer type went immutable
+    //   (struct/array first(), etc.) — a full sort of the aggregation
+    //   input (exactly how the r12 L2G matrix merge regressed).
+    // - CartesianProduct / BroadcastNestedLoopJoin: a join that lost
+    //   its equi keys. (sf0.001 broadcasts freely, so a BNLJ here is a
+    //   genuinely non-equi join, not a size accident.)
+    // - Window chains: >1 consecutive Window (Projects between them)
+    //   means a withColumn fold defeated CollapseWindow and the plan
+    //   re-buffers every row once per chained window.
+    // Whitelist (name -> reason) for documented exceptions; currently
+    // empty — keep it that way.
+    val whitelist = Map.empty[String, String]
+    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def windowChain(p: SparkPlan): Int = {
+      def through(p: SparkPlan): Int = p match {
+        case pr: ProjectExec => through(pr.child)
+        case w: WindowExec => 1 + through(w.child)
+        case _ => 0
+      }
+      val chains = p.collect { case w: WindowExec => 1 + through(w.child) }
+      if (chains.isEmpty) 0 else chains.max
+    }
+    val dir = "/root/testdata/sf0.001"
+    val bad = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(whitelist.contains).flatMap { n =>
+        val p = try graft.SparkEntry.queries(n)(spark, dir)
+          .queryExecution.executedPlan
+        finally {
+          graft.core.CacheHandle.releaseQueryScoped()
+          spark.sharedState.cacheManager.clearCache()
+        }
+        val sortAgg = p.collect { case s: SortAggregateExec => s }.size
+        val cart = p.collect { case c: CartesianProductExec => c }.size
+        val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }.size
+        val wc = windowChain(p)
+        if (sortAgg > 0 || cart > 0 || bnlj > 0 || wc > 1)
+          Some(s"$n: sortAgg=$sortAgg cartesian=$cart nestedLoop=$bnlj " +
+            s"windowChain=$wc")
+        else None
+      }
+    assert(bad.isEmpty, s"plan traps in registered queries:\n${bad.mkString("\n")}")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
