@@ -394,11 +394,17 @@ object L2GFeatures {
     // (one struct slot per family, [[featureMatrixStruct]]) had immutable
     // buffer types and silently planned as Sort + SortAggregate — a full
     // sort of the multi-million-row union (its stage: 25.2 of 48 steady
-    // CPU-s at sf0.1; the HashAggregate stage measures 14.6). Recorded
-    // fresh-JVM walls are statistically equal on a quiet box (both
-    // ~7-8 s, within the ±1 s run spread) — the win is the plan shape:
-    // at 100 TB the union is billions of rows, where an O(n log n)
-    // spill-prone sort loses to streaming hash aggregation outright.
+    // CPU-s at sf0.1; the HashAggregate stage measures 14.6).
+    // Measured trade (sf0.1, fresh-JVM bench protocol): the struct
+    // shape RECORDS 1-3 s faster — SortAggregate is pre-compiled
+    // library code with zero per-query JIT warmup, while the wide
+    // codegen'd projections + 30-slot hash aggregate pay compilation
+    // on every fresh JVM, and at 7M rows warmup is a visible share of
+    // the wall. The hash shape is kept anyway because the steady-state
+    // CPU is ~1.7x lower on the merge stage and the 100 TB shape is
+    // categorical: a billions-of-rows union must stream through a hash
+    // aggregate, not an O(n log n) spill-prone sort; per-query codegen
+    // warmup amortizes to nothing on a long-lived cluster session.
     val famCols: Seq[Seq[String]] =
       features.map(_.columns.toSeq.filterNot(keys.contains))
     val featCols = famCols.flatten.distinct
