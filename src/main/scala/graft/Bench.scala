@@ -62,7 +62,13 @@ object Bench {
   private def runSingle(csv: String): Unit = {
     val spark = session()
     val minReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "4").toInt
+    // 6 (was 4): the improving-while->20% loop exists to report
+    // steady-state cost, but codegen-wide plans (e.g. the 30-slot l2g
+    // matrix merge) still improve >20% at rep 4 — the old cap recorded
+    // compiler residue as query cost for exactly the plans that are
+    // fastest at scale. The loop still stops the moment improvement
+    // flattens, so narrow plans pay nothing extra.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "6").toInt
     // SPARK_GRAFT_PROFILE=1: dump each query's costliest stages to
     // stderr (executor-CPU-ranked) — profiling in the REAL bench JVM
     // (24g, local[16]); a small-heap test JVM GC-distorts attribution
