@@ -250,7 +250,10 @@ object Bench {
           val n = try SparkEntry.queries(name)(spark, sfDir).count()
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-          val s = (System.nanoTime() - t0) / 1e9
+          // a failed query records -1 (matching the forked path), not
+          // its time-to-failure — which would otherwise enter the
+          // total and the repeat protocol as a legitimate measurement
+          val s = if (n < 0) -1.0 else (System.nanoTime() - t0) / 1e9
           graft.core.CacheHandle.releaseQueryScoped()
           spark.sharedState.cacheManager.clearCache()
           System.err.println(f"[bench] $name%-28s $s%8.2f s  rows=$n (in-process)")

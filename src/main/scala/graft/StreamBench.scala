@@ -286,6 +286,8 @@ object StreamBench {
     val r3c = {
       val prev = spark.conf
         .getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevChangelog = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // changelog checkpointing: commit the per-batch DELTA instead of
@@ -307,10 +309,15 @@ object StreamBench {
           case None => spark.conf
             .unset("spark.sql.streaming.stateStore.providerClass")
         }
-        // restore the changelog knob too — leaking it would run later
-        // workloads under a different config than a filtered run
-        spark.conf.unset(
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        // restore the changelog knob to its PRIOR value (not a blind
+        // unset — a session launched with the knob pinned must leave
+        // r3c under the same config it entered with)
+        prevChangelog match {
+          case Some(p) => spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        }
       }
     }
 

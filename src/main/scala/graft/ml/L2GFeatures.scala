@@ -408,6 +408,8 @@ object L2GFeatures {
     val famCols: Seq[Seq[String]] =
       features.map(_.columns.toSeq.filterNot(keys.contains))
     val featCols = famCols.flatten.distinct
+    require(featCols.nonEmpty,
+      "featureMatrix needs at least one non-key feature column")
     // a column owned by several families (allowed by the contract, not
     // used by the factory) must agree across owners up to nulls; the
     // merge takes its max. Types resolve to the first owner's.

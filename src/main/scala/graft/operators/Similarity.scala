@@ -213,12 +213,21 @@ object Similarity {
     // heap-aggregate ranking: after the OR-amplified candidate dedup,
     // only k entries per (partition, query) shuffle — not the
     // candidate set a window rank would re-shuffle
+    // score BEFORE the candidate dedup, then dedup with a scalar
+    // max(similarity): dropDuplicates on a frame carrying the vectors
+    // plans as first() over array columns — an immutable-buffer
+    // SortAggregate that sorts the whole candidate set WITH both
+    // embeddings riding the shuffle. Scoring first re-computes the
+    // cosine once per colliding table (bounded by `tables`), but the
+    // dedup becomes a codegen'd HashAggregate over three scalars and
+    // the vectors never leave the map side. Values are unchanged:
+    // every collision of a pair scores identically.
     rankTopKAgg(
       sigQ.join(sigC, Seq("table", "key"))
         .filter(col("queryId") =!= col("neighbourId"))
-        .select(col("queryId"), col("neighbourId"), col("q"), col("c"))
-        .dropDuplicates("queryId", "neighbourId")
-        .withColumn("similarity", cosine(col("q"), col("c"))), k)
+        .withColumn("similarity", cosine(col("q"), col("c")))
+        .groupBy("queryId", "neighbourId")
+        .agg(max(col("similarity")).as("similarity")), k)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are partitioned into
@@ -253,13 +262,16 @@ object Similarity {
       col("embedding").cast("array<double>").as("q"),
       norm(col("embedding")).as("_nq"),
       explode(cellsOf(col("embedding"), nProbe)).as("cell"))
+    // same shape as lshTopK: score, then dedup multi-probe collisions
+    // with a scalar max — never a first()-over-arrays SortAggregate
     rankTopKAgg(
       queryCells
         .join(corpusCells, Seq("cell"))
         .filter(col("queryId") =!= col("neighbourId"))
-        .dropDuplicates("queryId", "neighbourId")
         .withColumn("similarity",
-          cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc"))), k)
+          cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
+        .groupBy("queryId", "neighbourId")
+        .agg(max(col("similarity")).as("similarity")), k)
   }
 
   // ------------------------------------------------ distributed k-means

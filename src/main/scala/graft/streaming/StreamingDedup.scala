@@ -195,7 +195,16 @@ object StreamingDedup {
     * bulk array copy. A stack profile attributed 53% of this
     * operator's CPU to the nested-state deserialization before the
     * change. State + timeout are also re-written only when the
-    * signature rows or the horizon actually change. */
+    * signature rows or the horizon actually change — on a feed whose
+    * max event time advances every batch the horizon moves with it,
+    * so this skip pays off mainly for capped hot buckets and same-ts
+    * redeliveries; the flat layout is the structural win.
+    *
+    * Note: this variant's state schema changed in r13 (flat
+    * [[EvictBucketState]] replaces the nested signature list) — a
+    * streaming job restarted over a pre-r13 checkpoint of THIS
+    * operator must start a fresh checkpoint dir. The capped
+    * processing-time variant's schema is untouched. */
   def nearDupFlagsEvicting(docs: DataFrame, textCol: String, idCol: String,
                            tsCol: String = "ts",
                            threshold: Double = 0.7, maxBucket: Int = 64,
@@ -305,8 +314,13 @@ object StreamingDedup {
       }
       if (n < maxBucket && !ids.contains(d.docId) && stride > 0) {
         // keep the flat layout rectangular: pad/trim a signature of
-        // a different length to the bucket's stride (all real feeds
-        // share one numHashes, so this is a no-op in practice)
+        // a different length to the bucket's stride. The public
+        // operator always emits fixed-length (numHashes) signatures,
+        // so this is a no-op there; for a hand-fed heterogeneous
+        // bucket this DIVERGES from the list kernel (trimming changes
+        // the similarity denominator, zero-padding can match zero
+        // minima) and an empty signature is never stored — documented
+        // contract: one signature length per feed, non-empty.
         val row = java.util.Arrays.copyOf(sig.toArray, stride)
         ids = ids :+ d.docId
         flat = flat ++ row

@@ -31,10 +31,28 @@ object StatMathProps extends Properties("StatMath") {
     p == q || (p < q) == (normPpf(p) < normPpf(q))
   }
 
-  property("chi2Sf decreases in x") = forAll(Gen.choose(0.01, 100.0),
+  // non-increase is the property provable at double precision: for
+  // x << df the survival function saturates to exactly 1.0 (the
+  // complement P is below the double grid), so two distinct x can
+  // legitimately tie — a strict-decrease forAll falsifies on rare
+  // seeds (observed: sf(1.87, df=46.8) == sf(3.85, df=46.8) == 1.0).
+  // Strictness is pinned separately at interior points where the
+  // density is representable.
+  property("chi2Sf non-increasing in x") = forAll(Gen.choose(0.01, 100.0),
     Gen.choose(0.01, 100.0), dfGen) { (a, b, df) =>
-    a == b || (a < b) == (chi2Sf(a, df) > chi2Sf(b, df))
+    val lo = math.min(a, b); val hi = math.max(a, b)
+    chi2Sf(lo, df) >= chi2Sf(hi, df)
   }
+
+  property("chi2Sf strictly decreasing where the density is representable") =
+    Prop {
+      Seq(0.5, 1.0, 4.0, 10.0, 30.0).forall { df =>
+        val xs = Seq(df / 4, df / 2, df, 2 * df, 4 * df)
+        xs.zip(xs.tail).forall { case (a, b) =>
+          chi2Sf(a, df) > chi2Sf(b, df)
+        }
+      }
+    }
 
   property("chi2Ppf inverts 1 - chi2Sf") =
     forAll(Gen.choose(1e-6, 1.0 - 1e-6), dfGen) { (p, df) =>

@@ -308,27 +308,35 @@ class PlanAuditSpec extends SparkSpec {
     //   (struct/array first(), etc.) — a full sort of the aggregation
     //   input (exactly how the r12 L2G matrix merge regressed).
     // - CartesianProduct / BroadcastNestedLoopJoin: a join that lost
-    //   its equi keys. (sf0.001 broadcasts freely, so a BNLJ here is a
-    //   genuinely non-equi join, not a size accident.)
-    // - Window chains: >1 consecutive Window (Projects between them)
-    //   means a withColumn fold defeated CollapseWindow and the plan
-    //   re-buffers every row once per chained window.
-    // Whitelist (name -> reason) for documented exceptions; currently
-    // empty — keep it that way.
-    val whitelist = Map.empty[String, String]
-    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
-    import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    def windowChain(p: SparkPlan): Int = {
-      def through(p: SparkPlan): Int = p match {
-        case pr: ProjectExec => through(pr.child)
-        case w: WindowExec => 1 + through(w.child)
-        case _ => 0
-      }
-      val chains = p.collect { case w: WindowExec => 1 + through(w.child) }
-      if (chains.isEmpty) 0 else chains.max
-    }
+    //   its equi keys — EXCEPT a nested-loop whose build side is a
+    //   global (no-grouping) aggregate: that is the one-row
+    //   stats-attach pattern (bm25's N/avgdl, DSIR totals, mixing
+    //   temperatures), a broadcast of exactly one row at any scale.
+    // - Window chains: >2 consecutive Windows (Projects between them)
+    //   means a withColumn fold defeated CollapseWindow. Chains of
+    //   exactly 2 are idiomatic frame splits (lag + running aggregate
+    //   carry different frames — see the clumping audit above).
+    // Whitelist (name -> reason) for documented exceptions.
+    val whitelist = Map[String, String](
+      "q_dedup_spans" -> ("argmin-by-composite (min(struct(doc, idx)) " +
+        "canonical occurrence): lexicographic argmin cannot decompose " +
+        "into scalar aggregates; the SortAggregate keeps map-side " +
+        "partial combine and ships one row per digest per partition"),
+      "q_gx_ld_clump_join" -> ("argmin-by-composite (min(struct(exp, " +
+        "mantissa)) strongest lead appearance): same shape as above"),
+      // the six below carry ONE BroadcastNestedLoopJoin each whose
+      // broadcast side is a BOUNDED probe/query set scanning the
+      // corpus linearly — the documented brute-force baselines the
+      // ANN/search operators are measured against (recall ground
+      // truth), not decayed equi joins. Boundedness is semantic (a
+      // probe set, not a corpus), so it cannot be detected
+      // structurally the way the one-row stats attach can.
+      "q_ann_topk" -> "brute-force cosine top-k baseline (by definition)",
+      "q_ann_topk_agg" -> "brute-force baseline through the heap aggregate",
+      "q_ann_sq8" -> "SQ8 scan baseline: bounded query set x quantized corpus",
+      "q_dedup_embedding" -> "embedding near-dup: bounded probe broadcast",
+      "q_search_hybrid" -> "dense leg scores a bounded query set",
+      "q_sim_hard_negatives" -> "retrieval over-fetch vs bounded query set")
     val dir = "/root/testdata/sf0.001"
     val bad = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(whitelist.contains).flatMap { n =>
@@ -338,16 +346,99 @@ class PlanAuditSpec extends SparkSpec {
           graft.core.CacheHandle.releaseQueryScoped()
           spark.sharedState.cacheManager.clearCache()
         }
-        val sortAgg = p.collect { case s: SortAggregateExec => s }.size
-        val cart = p.collect { case c: CartesianProductExec => c }.size
-        val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }.size
-        val wc = windowChain(p)
-        if (sortAgg > 0 || cart > 0 || bnlj > 0 || wc > 1)
-          Some(s"$n: sortAgg=$sortAgg cartesian=$cart nestedLoop=$bnlj " +
-            s"windowChain=$wc")
-        else None
+        planTraps(p).map(t => s"$n: $t")
       }
     assert(bad.isEmpty, s"plan traps in registered queries:\n${bad.mkString("\n")}")
+  }
+
+  test("registry sweep negative control: the sweep sees through the AQE " +
+    "wrapper and catches the r12 SortAggregate + stacked-Window shapes") {
+    // executedPlan under AQE is an AdaptiveSparkPlanExec, which is a
+    // LEAF node — a naive plan.collect never descends into the real
+    // plan and the sweep would pass vacuously. Prove the detector
+    // actually sees the inner plan by feeding it the r12 regression
+    // shapes it exists to catch.
+    import graft.ml.L2GFeatures
+    val famA = Seq(("sl1", "g1", 0.5)).toDF("studyLocusId", "geneId", "f1")
+    val famB = Seq(("sl1", "g1", 0.7)).toDF("studyLocusId", "geneId", "f2")
+    val structPlan = L2GFeatures.featureMatrixStruct(Seq(famA, famB))
+      .queryExecution.executedPlan
+    assert(planTraps(structPlan).exists(_.contains("sortAgg=")),
+      s"sweep failed to see the SortAggregate through AQE:\n$structPlan")
+    // stacked same-spec windows via the defeat-CollapseWindow fold
+    // (each withColumn interleaves a Project between Window nodes;
+    // physical plans additionally wrap the Project in WholeStageCodegen)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("studyLocusId")
+    val stacked = Seq("f1", "f2", "f3").foldLeft(
+      Seq(("sl1", 1.0)).toDF("studyLocusId", "v")) { (df, c) =>
+        df.withColumn(c, max(col("v") + lit(c.length)).over(w))
+          .withColumn(s"${c}_r", col(c) * 2) // Project between windows
+      }
+    val wcTrap = planTraps(stacked.queryExecution.executedPlan)
+    assert(wcTrap.exists(_.contains("windowChain=3")),
+      s"sweep failed to count stacked windows through codegen wrappers: $wcTrap")
+  }
+
+  /** Shared detector for the registry sweep + its negative control:
+    * returns a description of every plan trap found, or Nil. Descends
+    * through the AQE wrapper (AdaptiveSparkPlanExec is a LEAF — a
+    * naive collect sees nothing), query stages, and codegen wrappers. */
+  private def planTraps(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.execution.{InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(all)
+    // chain length through the wrappers CollapseCodegenStages inserts
+    // between a Window and the next (Project / WholeStageCodegen /
+    // InputAdapter)
+    def through(p: SparkPlan): Int = p match {
+      case pr: ProjectExec => through(pr.child)
+      case cg: WholeStageCodegenExec => through(cg.child)
+      case ia: InputAdapter => through(ia.child)
+      case q: QueryStageExec => through(q.plan)
+      case w: WindowExec => 1 + through(w.child)
+      case _ => 0
+    }
+    // a nested-loop join is benign when its broadcast side is a GLOBAL
+    // aggregate — exactly one row at any scale (the stats-attach
+    // pattern); anything else is a decayed equi join
+    def globalAgg(p: SparkPlan): Boolean = all(p).exists {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec => s.groupingExpressions.isEmpty
+      case _ => false
+    }
+    def bnljBad(b: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case _ => b.right
+      }
+      !globalAgg(build)
+    }
+    val nodes = all(root)
+    val sortAgg = nodes.count(_.isInstanceOf[SortAggregateExec])
+    val cart = nodes.count(_.isInstanceOf[CartesianProductExec])
+    val bnlj = nodes.collect {
+      case b: BroadcastNestedLoopJoinExec if bnljBad(b) => b
+    }.size
+    val chains = nodes.collect { case w: WindowExec => 1 + through(w.child) }
+    val wc = if (chains.isEmpty) 0 else chains.max
+    val traps = Seq(
+      (sortAgg > 0) -> s"sortAgg=$sortAgg",
+      (cart > 0) -> s"cartesian=$cart",
+      (bnlj > 0) -> s"nestedLoop=$bnlj",
+      (wc > 2) -> s"windowChain=$wc")
+    traps.collect { case (true, msg) => msg }
   }
 
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {

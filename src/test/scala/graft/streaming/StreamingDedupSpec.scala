@@ -176,9 +176,10 @@ class StreamingDedupSpec extends SparkSpec {
   }
 
   test("evicting kernel skips state writes when nothing advances") {
-    // a capped hot bucket receiving a same-coarsened-horizon arrival
-    // must not rewrite state: the coarsened expiry only advances once
-    // per evictAfterMs/4 of event time
+    // a capped hot bucket receiving an arrival at the SAME event time
+    // as its stored horizon base must not rewrite state: no new
+    // signature stored (cap), no horizon advance (same last-arrival)
+    // — the write-skip fires exactly when neither component moved
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val sig = Seq.tabulate(8)(_.toLong)
     val otherSig = Seq.tabulate(8)(i => 100L + i) // below threshold
