@@ -202,30 +202,34 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, planesPerTable: Int = 4,
               seed: Long = 42L): DataFrame = {
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    def banded(df: DataFrame, idAs: String, vecAs: String,
+               normAs: String): DataFrame =
       df.select(col("id").as(idAs), col("embedding").as(vecAs),
+        norm(col("embedding")).as(normAs),
         posexplode(graft.plans.SketchFunctions
           .rhpTableKeys(col("embedding"), tables, planesPerTable, seed)))
         .withColumnsRenamed(Map("pos" -> "table", "col" -> "key"))
-        .select(col(idAs), col(vecAs), col("table"), col("key"))
-    val sigC = banded(corpus, "neighbourId", "c")
-    val sigQ = banded(queries, "queryId", "q")
+        .select(col(idAs), col(vecAs), col(normAs), col("table"), col("key"))
+    val sigC = banded(corpus, "neighbourId", "c", "_nc")
+    val sigQ = banded(queries, "queryId", "q", "_nq")
     // heap-aggregate ranking: after the OR-amplified candidate dedup,
     // only k entries per (partition, query) shuffle — not the
-    // candidate set a window rank would re-shuffle
-    // score BEFORE the candidate dedup, then dedup with a scalar
+    // candidate set a window rank would re-shuffle.
+    // Score BEFORE the candidate dedup, then dedup with a scalar
     // max(similarity): dropDuplicates on a frame carrying the vectors
     // plans as first() over array columns — an immutable-buffer
     // SortAggregate that sorts the whole candidate set WITH both
     // embeddings riding the shuffle. Scoring first re-computes the
-    // cosine once per colliding table (bounded by `tables`), but the
-    // dedup becomes a codegen'd HashAggregate over three scalars and
-    // the vectors never leave the map side. Values are unchanged:
-    // every collision of a pair scores identically.
+    // score once per colliding table (bounded by `tables`) — one
+    // precomputed-norm dot each, not the 3-dot naive cosine — and the
+    // dedup becomes a codegen'd HashAggregate over three scalars: the
+    // vectors never leave the map side. Values are unchanged: every
+    // collision of a pair scores identically.
     rankTopKAgg(
       sigQ.join(sigC, Seq("table", "key"))
         .filter(col("queryId") =!= col("neighbourId"))
-        .withColumn("similarity", cosine(col("q"), col("c")))
+        .withColumn("similarity",
+          cosineWithNorms(dot(col("q"), col("c")), col("_nq"), col("_nc")))
         .groupBy("queryId", "neighbourId")
         .agg(max(col("similarity")).as("similarity")), k)
   }
