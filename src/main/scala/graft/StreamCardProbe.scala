@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** Live-bucket-cardinality decade probe for the two evicting near-dup
+  * variants (verdict r13 #4): the stack profiler attributed v1's
+  * ([[graft.streaming.StreamingDedup.nearDupFlagsEvicting]]) 2x
+  * overhead to Spark's per-micro-batch timed-out-key pass, which
+  * deserializes EVERY live bucket's state each batch — O(batches x
+  * live buckets). The v2 timer-indexed variant
+  * ([[graft.streaming.StreamingDedup.nearDupFlagsEvictingTws]]) claims
+  * timer fires are O(expired). This probe converts that design
+  * argument into measurement:
+  *
+  *  - fixed arrival count and micro-batch count per decade;
+  *  - distinct-DOCUMENT count grows 10x per decade (100 / 1,000 /
+  *    10,000), so the live band-bucket cardinality grows ~a decade per
+  *    step (each doc populates ~`bands` buckets);
+  *  - event time advances 10 s per chunk against a 10-minute
+  *    watermark, so NOTHING expires mid-run: every bucket stays live,
+  *    v1 pays its full per-batch state scan, v2's timers never fire —
+  *    the maximal, cleanest contrast for exactly the disputed term.
+  *
+  * Per-arrival kernel work (signature comparisons, flag emission) is
+  * IDENTICAL between v1 and v2 at each decade — both run the same
+  * LSH/MinHash kernel on the same feed — so the v1-minus-v2 per-batch
+  * gap across decades isolates the state-scan term. Kernel work moves
+  * in the OPPOSITE direction to the scan term as cardinality grows
+  * (more distinct docs = fewer same-bucket comparisons), which makes a
+  * growing v1 gap attributable to the scan, not the kernel.
+  *
+  * Flags are cross-checked for count equality per decade (same feed,
+  * same semantics → same flags).
+  *
+  * Prints one JSON line:
+  * {"bucket_cardinality_probe":{...,"decades":[...]},"canary":{...}}
+  */
+object StreamCardProbe {
+
+  private type Arrival = (java.sql.Timestamp, Long, String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val arrivals = args.lift(1).map(_.toInt).getOrElse(10000)
+    val chunks = args.lift(2).map(_.toInt).getOrElse(20)
+    val decades = Seq(100, 1000, 10000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-stream-card-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val canaryRatio = MachineCanary.gatedRatio(spark)
+
+    // distinct text pool: the sf0.1 corpus (5,000 docs) cloned 2x
+    // covers the 10,000-doc decade with real (near-dup-structured) text
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val pool = ScaleUp.scaleDocuments(docs0, 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    require(pool.length >= decades.max,
+      s"text pool ${pool.length} < largest decade ${decades.max}")
+    val chunk = math.max(1, arrivals / chunks)
+
+    // every arrival gets a UNIQUE doc id; its text cycles over the
+    // decade's distinct pool — the many-near-identical-docs shape
+    def feedFor(d: Int): Array[(Long, String)] =
+      Array.tabulate(arrivals)(i => (i.toLong, pool(i % d)))
+
+    def arrivalsOf(rows: Array[(Long, String)], chunkIdx: Int): Seq[Arrival] =
+      rows.toSeq.map { case (id, text) =>
+        (new java.sql.Timestamp(1700000000000L + chunkIdx * 10000L), id, text)
+      }
+
+    // (sec, flags, stateRowsMax)
+    def run(name: String, feed: Array[(Long, String)],
+            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Double, Long, Long) = {
+      val source = MemoryStream[Arrival]
+      val out = build(source.toDF().toDF("ts", "doc_id", "text"))
+      var rowsOut = 0L
+      val query = out.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rowsOut += df.count()
+        }
+        .queryName(name)
+        .start()
+      var stateRowsMax = 0L
+      val t0 = System.nanoTime()
+      feed.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+        source.addData(arrivalsOf(rows, i))
+        query.processAllAvailable()
+        Option(query.lastProgress).foreach(_.stateOperators.foreach(so =>
+          stateRowsMax = math.max(stateRowsMax, so.numRowsTotal)))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      query.stop()
+      System.err.println(f"[card] $name%-10s ${feed.length} arrivals " +
+        f"$sec%.2f s flags=$rowsOut stateRows=$stateRowsMax")
+      (sec, rowsOut, stateRowsMax)
+    }
+
+    val entries = decades.map { d =>
+      val feed = feedFor(d)
+      val (v1Sec, v1Flags, v1Rows) = run(s"v1_d$d", feed, in =>
+        graft.streaming.StreamingDedup
+          .nearDupFlagsEvicting(in, "text", "doc_id")
+          .toDF()
+          .select(col("docId"), col("band"), col("matchedDocId")))
+      // v2 runs on the RocksDB provider it is written for (same config
+      // as the StreamBench r3c workload)
+      val prev = spark.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevChangelog = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      val (v2Sec, v2Flags, v2Rows) =
+        try run(s"v2_d$d", feed, in =>
+          graft.streaming.StreamingDedup
+            .nearDupFlagsEvictingTws(in, "text", "doc_id")
+            .toDF()
+            .select(col("docId"), col("band"), col("matchedDocId")))
+        finally {
+          prev match {
+            case Some(p) => spark.conf
+              .set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf
+              .unset("spark.sql.streaming.stateStore.providerClass")
+          }
+          prevChangelog match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+          }
+        }
+      val gapMs = (v1Sec - v2Sec) * 1000.0 / chunks
+      f"""{"distinct_docs":$d,"v1_sec":$v1Sec%.2f,"v2_sec":$v2Sec%.2f,""" +
+        f""""v1_state_rows":$v1Rows,"v2_state_rows":$v2Rows,""" +
+        f""""flags_v1":$v1Flags,"flags_v2":$v2Flags,""" +
+        s""""flags_equal":${v1Flags == v2Flags},""" +
+        f""""v1_minus_v2_per_batch_ms":$gapMs%.0f}"""
+    }
+
+    println(s"""{"bucket_cardinality_probe":{"arrivals":$arrivals,""" +
+      s""""chunks":$chunks,"event_step_sec":10,"watermark":"10 minutes",""" +
+      """"note":"nothing expires mid-run (event time never reaches the """ +
+      """horizon): v1 pays its per-batch full-state timed-out-key scan """ +
+      """on every live bucket, v2 timers never fire; the v1-minus-v2 """ +
+      """per-batch gap across decades isolates the scan term (kernel """ +
+      """work is identical per decade and moves the other way)",""" +
+      s""""decades":[${entries.mkString(",")}]},""" +
+      f""""canary":{"ref_sec":${MachineCanary.refSec}%.2f,""" +
+      f""""ratio":$canaryRatio%.2f}}""")
+    spark.stop()
+  }
+}

@@ -49,9 +49,17 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
     * cost rivals the compute itself; overlapping the jobs collapses it
     * to ~max instead of sum. Worst case a dependent recomputes a few
     * parent partitions the parent's own count has not cached yet —
-    * duplicated work, never wrong results. */
+    * duplicated work, never wrong results.
+    *
+    * The parent-first head start is not left to caller convention: the
+    * frames are topologically reordered here (parents — frames whose
+    * analyzed plan is a subtree of another registered frame's plan —
+    * submitted first; stable, so already-parent-first registration
+    * order is unchanged). A caller that registers a dependent before
+    * its parent no longer silently grows the duplicated-compute
+    * window. */
   def materialize(): Unit = {
-    val fs = synchronized { frames.toList }
+    val fs = CacheHandle.parentsFirst(synchronized { frames.toList })
     if (fs.sizeIs <= 1) fs.foreach(_.count())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -75,6 +83,23 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
 object CacheHandle {
   def apply(): CacheHandle = new CacheHandle()
   def apply(level: StorageLevel): CacheHandle = new CacheHandle(level)
+
+  /** Topological order for [[CacheHandle.materialize]]: parents (frames
+    * whose analyzed plan is a subtree of another frame's plan) first.
+    * Containment COUNT is a valid topological key — if A's plan is a
+    * subtree of B's, anything containing B also contains A, so
+    * count(A) >= count(B) + 1 and descending-count order puts every
+    * parent before its dependents; the sort is stable, so an
+    * already-parent-first registration order is unchanged. */
+  private[graft] def parentsFirst(fs0: List[DataFrame]): List[DataFrame] =
+    if (fs0.sizeIs <= 1) fs0
+    else {
+      val plans = fs0.map(_.queryExecution.analyzed)
+      val contained = fs0.indices.map(i =>
+        fs0.indices.count(j => j != i &&
+          plans(j).exists(_.sameResult(plans(i)))))
+      fs0.indices.sortBy(i => -contained(i)).map(fs0).toList
+    }
 
   /** Handles owned by lazily-built registered queries (object-level
     * singletons with no terminal-action hook of their own). A

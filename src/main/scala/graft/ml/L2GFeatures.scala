@@ -410,9 +410,17 @@ object L2GFeatures {
     val featCols = famCols.flatten.distinct
     require(featCols.nonEmpty,
       "featureMatrix needs at least one non-key feature column")
-    // a column owned by several families (allowed by the contract, not
-    // used by the factory) must agree across owners up to nulls; the
-    // merge takes its max. Types resolve to the first owner's.
+    // Multi-owner columns are REJECTED, not resolved: the factory never
+    // produces them, and the two merge shapes would resolve them
+    // differently (max-across-owners here vs first-owner coalesce in
+    // [[featureMatrixStruct]]) — silently divergent semantics for the
+    // flat/struct parity the A/B twin exists to guarantee.
+    require(famCols.flatten.size == featCols.size,
+      "feature columns must be owned by exactly one family; multi-owner: " +
+        famCols.flatten.groupBy(identity).collect {
+          case (c, owners) if owners.size > 1 => c
+        }.mkString(", "))
+    // types resolve to the (single) owner's
     val colType = featCols.map { c =>
       c -> features(famCols.indexWhere(_.contains(c))).schema(c).dataType
     }.toMap
@@ -439,6 +447,13 @@ object L2GFeatures {
     val keys = Seq("studyLocusId", "geneId")
     val famCols: Seq[Seq[String]] =
       features.map(_.columns.toSeq.filterNot(keys.contains))
+    // same single-owner contract as [[featureMatrix]], so the A/B twins
+    // are defined on exactly the same input space
+    require(famCols.flatten.size == famCols.flatten.distinct.size,
+      "feature columns must be owned by exactly one family; multi-owner: " +
+        famCols.flatten.groupBy(identity).collect {
+          case (c, owners) if owners.size > 1 => c
+        }.mkString(", "))
     val famType: Seq[StructType] = features.zip(famCols).map { case (f, fc) =>
       StructType(fc.map(c => StructField(c, f.schema(c).dataType,
         nullable = true)))
@@ -458,9 +473,8 @@ object L2GFeatures {
           first(col(s"_fam$j"), ignoreNulls = true).as(s"_fam$j")): _*)
     val featCols = famCols.flatten.distinct
     val expanded = featCols.map { c =>
-      val owners = features.indices.filter(j => famCols(j).contains(c))
-      (if (owners.size == 1) col(s"_fam${owners.head}.$c")
-       else coalesce(owners.map(j => col(s"_fam$j.$c")): _*)).as(c)
+      val owner = features.indices.find(j => famCols(j).contains(c)).get
+      col(s"_fam$owner.$c").as(c)
     }
     merged
       .select(col("studyLocusId") +: col("geneId") +: expanded: _*)

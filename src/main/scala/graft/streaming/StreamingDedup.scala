@@ -204,7 +204,12 @@ object StreamingDedup {
     * [[EvictBucketState]] replaces the nested signature list) — a
     * streaming job restarted over a pre-r13 checkpoint of THIS
     * operator must start a fresh checkpoint dir. The capped
-    * processing-time variant's schema is untouched. */
+    * processing-time variant's schema is untouched. Checkpoint
+    * continuity across library upgrades is NOT a supported contract
+    * for this library's stateful operators: a restart over a
+    * checkpoint written by an older state schema is expected to FAIL
+    * Spark's state-schema compatibility check — a deliberate breaking
+    * change recorded in CHANGELOG.md, not an incidental one. */
   def nearDupFlagsEvicting(docs: DataFrame, textCol: String, idCol: String,
                            tsCol: String = "ts",
                            threshold: Double = 0.7, maxBucket: Int = 64,

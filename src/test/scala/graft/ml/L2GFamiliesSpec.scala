@@ -139,6 +139,23 @@ class L2GFamiliesSpec extends SparkSpec {
       s"matrix merge demoted to a sort aggregate:\n$p")
   }
 
+  test("both matrix merge shapes reject a column owned by two families") {
+    // multi-owner columns were previously resolved DIFFERENTLY by the
+    // two shapes (max-across-owners vs first-owner coalesce), which
+    // would have silently broken the flat ≡ struct parity above; the
+    // factory never produces them, so the contract now rejects them
+    val famA = Seq(("sl1", "g1", 0.5)).toDF("studyLocusId", "geneId", "f1")
+    val famB = Seq(("sl1", "g1", 0.7)).toDF("studyLocusId", "geneId", "f1")
+    val eFlat = intercept[IllegalArgumentException] {
+      L2GFeatures.featureMatrix(Seq(famA, famB))
+    }
+    assert(eFlat.getMessage.contains("f1"))
+    val eStruct = intercept[IllegalArgumentException] {
+      L2GFeatures.featureMatrixStruct(Seq(famA, famB))
+    }
+    assert(eStruct.getMessage.contains("f1"))
+  }
+
   test("GBT model trains on the feature matrix and separates classes") {
     val n = 200
     val rng = new scala.util.Random(7)
