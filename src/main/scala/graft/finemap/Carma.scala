@@ -120,6 +120,31 @@ object Carma {
   private[finemap] def outlierTestEigen(testS: Array[Int], sigma: DenseMatrix[Double],
                                z: DenseVector[Double],
                                tau: Double): Double = {
+    // Fast path (r14): a duplicate variant pair inside the test set
+    // (|r| = 1 up to double noise) makes Σ_S provably rank-deficient at
+    // x = 1 — the spectral path below then finds a zero eigenvalue,
+    // olik(1.0) lands at −∞ and the non-finite guard returns −∞. The
+    // direct pair scan reaches the SAME decision without paying the
+    // eigendecomposition + scalar search (decision parity covered by
+    // CarmaSpec). NOTE measured honestly: this does NOT recover the
+    // 9x x10-chain susie cost the r13 guard introduced (504.7 s vs
+    // 55.7 s pre-guard, identical 52,625 credible sets both ways —
+    // CHAIN_r14.json attribution) — there the cost is the
+    // outlier-switch drain loop's search expansion (each −∞ removes a
+    // candidate, grows conditionalS and re-samples), not per-test
+    // eigen work. The structural fix is upstream: deduplicate
+    // |r|=1 variants at LD-block build so rank-deficient configs never
+    // enter the search (next-round item).
+    var da = 0
+    while (da < testS.length) {
+      var db = da + 1
+      while (db < testS.length) {
+        if (math.abs(sigma(testS(da), testS(db))) >= 1.0 - 1e-9)
+          return Double.NegativeInfinity
+        db += 1
+      }
+      da += 1
+    }
     val lam = breeze.linalg.eigSym(subMatrix(sigma, testS))
     val w: DenseVector[Double] = lam.eigenvectors.t * subVector(z, testS)
     val n = testS.length
