@@ -281,17 +281,21 @@ object Bench {
     // single-shot sub-2 s queries on untouched code (q_profile_documents
     // +0.73 s etc.) — noise a one-shot number cannot distinguish from a
     // regression. Queries in (tailThreshold, repThreshold] are re-run
-    // (repeatRuns - 1) more times in BATCHED forks — the same fork
-    // context as their first pass, so the median stays comparable —
-    // and recorded as median-of-runs with a spread, same as the heavy
-    // set. Below the tail threshold a query's absolute movement is
+    // (repeatRuns - 1) more times in BATCHED forks — batched-fork
+    // context like their first pass (the tail-only batch membership is
+    // not identical to the first pass's full-light-set batches, so the
+    // comparability is approximate, not exact) — and recorded as
+    // median-of-runs with a spread, same as the heavy set. heavySolo
+    // queries are excluded like r_ names: their first pass was a SOLO
+    // fork, and a batched repeat would mix two fork contexts in one
+    // median. Below the tail threshold a query's absolute movement is
     // bounded by its own size and stays single-shot.
     val tailThreshold =
       sys.env.getOrElse("SPARK_GRAFT_TAIL_THRESHOLD", "0.8").toDouble
     val repeatNames = if (only.nonEmpty) Seq.empty[String]
       else names.filter(n => firstPass.get(n).exists(_ > repThreshold))
     val tailNames = if (only.nonEmpty) Seq.empty[String]
-      else names.filter(n => !n.startsWith("r_") &&
+      else names.filter(n => !n.startsWith("r_") && !heavySolo.contains(n) &&
         firstPass.get(n).exists(v => v > tailThreshold && v <= repThreshold))
     val extraRuns: Map[String, Seq[Double]] =
       if ((repeatNames.isEmpty && tailNames.isEmpty) || repeatRuns <= 1)
@@ -325,8 +329,13 @@ object Bench {
     val runsMap: Map[String, Seq[Double]] = (repeatNames ++ tailNames).map { n =>
       n -> (firstPass.get(n).toSeq ++ extraRuns.getOrElse(n, Nil))
     }.toMap
+    // a repeat fork that fails records the -1 sentinel into its runs;
+    // the median must be taken over the SUCCESSFUL runs only (else one
+    // failed repeat flips median([3.0,-1,-1]) to -1 and silently drops
+    // a query that produced a valid first-pass measurement), falling
+    // back to -1 only when no run succeeded
     val results = firstPass ++ runsMap.collect {
-      case (n, runs) if runs.nonEmpty => n -> median(runs)
+      case (n, runs) if runs.nonEmpty => n -> median(runs.filter(_ >= 0))
     }
     // failed queries record the -1 sentinel; it must not enter the
     // total (which would otherwise shift by -1 s per failure)
@@ -352,9 +361,12 @@ object Bench {
     // canary-normalised figure and say so in the artifact itself.
     val normTotal = if (canaryRatio > 0) total / canaryRatio else -1.0
     val repeatsJson = runsMap.toSeq.sortBy(_._1).map { case (n, runs) =>
-      val spread = if (runs.nonEmpty) runs.max - runs.min else -1.0
+      // "runs" lists every attempt verbatim (incl. -1 failures, so the
+      // artifact shows them); median/spread cover the successes only
+      val ok = runs.filter(_ >= 0)
+      val spread = if (ok.nonEmpty) ok.max - ok.min else -1.0
       "\"" + n + "\":{\"runs\":[" + runs.map(f2c).mkString(",") +
-        s"],\"median\":${f2c(median(runs))},\"spread\":${f2c(spread)}}"
+        s"],\"median\":${f2c(median(ok))},\"spread\":${f2c(spread)}}"
     }.mkString("{", ",", "}")
     val protocolJson =
       s""""protocol":{"repeat_threshold_sec":$repThreshold,""" +

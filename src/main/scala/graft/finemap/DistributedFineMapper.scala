@@ -86,7 +86,18 @@ object DistributedFineMapper {
     * admitted when `imputationR2 ≥ imputedR2Threshold` and
     * `ldScore ≥ ldScoreThreshold` — the reference's
     * run_sumstat_imputation branch (susie_finemapper.py:566-608).
-    * Without the flag, NULL-z variants are dropped. */
+    * Without the flag, NULL-z variants are dropped.
+    *
+    * With `dedupPerfectLd`, perfectly-correlated variant groups
+    * (pairwise |r| ≥ [[PerfectLdThreshold]]) collapse to one
+    * representative at LD-block materialisation, BEFORE CARMA/RAISS/
+    * SuSiE — see [[perfectLdKeepIdx]]. Recommended ON for real LD
+    * panels (perfectly-linked SNPs are common in high-LD regions and
+    * make every containing CARMA configuration rank-deficient). The
+    * default is OFF only to preserve the reference-shaped semantics
+    * the long-pinned correctness anchors lock: keep-both duplicates
+    * with split posterior mass (the reference has no dedup either —
+    * susie_finemapper.py:461-691). */
   def finemapAll(spark: SparkSession, variants: DataFrame, ld: DataFrame,
                  n: Int = 100000, L: Int = 10,
                  coverage: Double = 0.99,
@@ -95,13 +106,15 @@ object DistributedFineMapper {
                  carmaTau: Double = 0.04,
                  imputeMissing: Boolean = false,
                  imputedR2Threshold: Double = 0.9,
-                 ldScoreThreshold: Double = 5.0): Dataset[FineMapped] = {
+                 ldScoreThreshold: Double = 5.0,
+                 dedupPerfectLd: Boolean = false): Dataset[FineMapped] = {
     import spark.implicits._
     bundleLoci(spark, variants, ld).flatMap { b =>
       prepareLocus(b.vs.iterator,
         b.lds.iterator.map(c => LdEntry(b.locusId, c.i, c.j, c.r)),
         runCarma, carmaTimeLimitSec, carmaTau,
-        imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+        imputeMissing, imputedR2Threshold, ldScoreThreshold,
+        dedupPerfectLd) match {
         case None => Iterator.empty
         case Some((variantsArr, ldM, z)) =>
           val res = SusieInf.susieInf(z, ldM, n = n, L = L)
@@ -116,22 +129,79 @@ object DistributedFineMapper {
     }
   }
 
-  /** Per-locus CARMA outlier expulsion + optional RAISS imputation:
-    * the shared front half of both fine-mapping surfaces. Returns the
-    * retained variants, their LD block and z vector. */
+  /** Pairwise |r| at or above this makes the pair's 2×2 LD block
+    * numerically rank-deficient under the CARMA outlier test's
+    * pseudo-inverse cutoff (rtol = 1e-5: a pair drops a spectral
+    * dimension when 1−|r| ≤ rtol·(1+|r|), i.e. |r| ≳ 1−2e-5), so every
+    * configuration containing both variants fails the test with a
+    * non-finite likelihood. Statistically such a pair IS one variant:
+    * an LD panel cannot distinguish them. */
+  private[finemap] val PerfectLdThreshold = (1.0 - 1e-5) / (1.0 + 1e-5)
+
+  /** Deduplicate perfectly-correlated variants: keep ONE representative
+    * per |r|≈1 group, preferring observed-z members (a NULL-z duplicate
+    * of an observed variant carries no extra information — RAISS would
+    * impute it as a copy), then variantId order. Returns the kept
+    * indices into the idx-sorted variant array.
+    *
+    * Why upstream of CARMA: with duplicates present, the shotgun search
+    * discovers the rank deficiency one configuration at a time — each
+    * sampled config containing a duplicate pair fails the outlier test
+    * (non-finite likelihood → candidate removed, [[Carma.outlierTestEigen]]),
+    * which drains the candidate group, grows conditionalS and re-samples:
+    * a per-locus search expansion that repeats for every affected locus.
+    * The reference never faces this structurally — its NumPy comparison
+    * `np.exp(nan) < index` is False, so it silently KEEPS the undefined
+    * configs (reference: src/gentropy/method/carma.py:458-502) — and its
+    * per-locus driver loop would die on corpus-scale duplicate loci long
+    * before. Removing the degenerate class at LD-block materialisation
+    * keeps rank-deficient configs out of the search entirely; CARMA's
+    * own non-finite guard stays as the backstop for rank deficiency
+    * that pairwise screening cannot see (3+-variant degeneracies). */
+  private[finemap] def perfectLdKeepIdx(
+      variantsAll: Array[LocusVariant],
+      ld: DenseMatrix[Double]): Array[Int] = {
+    val pAll = variantsAll.length
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val kept = new Array[Boolean](pAll)
+    // observed-z variants claim representative slots first
+    val order = variantsAll.indices.sortBy(i => (variantsAll(i).z.isEmpty, i))
+    order.foreach { i =>
+      val dup = reps.exists(r => math.abs(ld(r, i)) >= PerfectLdThreshold)
+      if (!dup) { reps += i; kept(i) = true }
+    }
+    Array.range(0, pAll).filter(kept)
+  }
+
+  /** Per-locus perfect-LD dedup + CARMA outlier expulsion + optional
+    * RAISS imputation: the shared front half of both fine-mapping
+    * surfaces. Returns the retained variants, their LD block and z
+    * vector. Dropped duplicates leave the output exactly like CARMA
+    * outliers do (the reference drops outlier rows too —
+    * susie_finemapper.py:546-560). */
   private def prepareLocus(
       vs: Iterator[LocusVariant], ldEntries: Iterator[LdEntry],
       runCarma: Boolean, carmaTimeLimitSec: Double, carmaTau: Double,
       imputeMissing: Boolean, imputedR2Threshold: Double,
-      ldScoreThreshold: Double)
+      ldScoreThreshold: Double, dedupPerfectLd: Boolean)
     : Option[(Array[LocusVariant], DenseMatrix[Double], DenseVector[Double])] = {
-    val variantsArr0 = vs.toArray.sortBy(_.idx)
-    val p0 = variantsArr0.length
-    if (p0 == 0) return None
-    val ldM0 = DenseMatrix.eye[Double](p0)
+    val variantsAll = vs.toArray.sortBy(_.idx)
+    val pAll = variantsAll.length
+    if (pAll == 0) return None
+    val ldFull = DenseMatrix.eye[Double](pAll)
     ldEntries.foreach { e =>
-      if (e.i < p0 && e.j < p0) { ldM0(e.i, e.j) = e.r; ldM0(e.j, e.i) = e.r }
+      if (e.i < pAll && e.j < pAll) { ldFull(e.i, e.j) = e.r; ldFull(e.j, e.i) = e.r }
     }
+    val keepIdx: Array[Int] =
+      if (!dedupPerfectLd) Array.range(0, pAll)
+      else perfectLdKeepIdx(variantsAll, ldFull)
+    val variantsArr0 = keepIdx.map(variantsAll(_))
+    val p0 = variantsArr0.length
+    val ldM0 =
+      if (p0 == pAll) ldFull
+      else DenseMatrix.tabulate[Double](p0, p0) {
+        (a, b) => ldFull(keepIdx(a), keepIdx(b))
+      }
     def subLd(keep: Array[Int]): DenseMatrix[Double] =
       DenseMatrix.tabulate[Double](keep.length, keep.length) {
         (a, b) => ldM0(keep(a), keep(b))
@@ -302,13 +372,15 @@ object DistributedFineMapper {
       carmaTau: Double = 0.04,
       imputeMissing: Boolean = false,
       imputedR2Threshold: Double = 0.9,
-      ldScoreThreshold: Double = 5.0): Dataset[CredibleSetRow] = {
+      ldScoreThreshold: Double = 5.0,
+      dedupPerfectLd: Boolean = false): Dataset[CredibleSetRow] = {
     import spark.implicits._
     bundleLoci(spark, variants, ld).flatMap { b =>
       prepareLocus(b.vs.iterator,
         b.lds.iterator.map(c => LdEntry(b.locusId, c.i, c.j, c.r)),
         runCarma, carmaTimeLimitSec, carmaTau,
-        imputeMissing, imputedR2Threshold, ldScoreThreshold) match {
+        imputeMissing, imputedR2Threshold, ldScoreThreshold,
+        dedupPerfectLd) match {
         case None => Iterator.empty
         case Some((variantsArr, ldM, z)) =>
           val res = SusieInf.susieInf(z, ldM, n = n, L = L)

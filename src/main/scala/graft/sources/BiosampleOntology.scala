@@ -30,9 +30,26 @@ object BiosampleOntology {
   }
 
   /** Annotate each node row with the transitive closure over
-    * `linkCol` (an array of directly linked node ids). */
+    * `linkCol` (an array of directly linked node ids).
+    *
+    * The adjacency map is COLLECTED to the driver and broadcast — the
+    * right plan for an ontology (Uberon + Cell Ontology ≈ 50k nodes),
+    * and a driver-killer if someone points it at a corpus-scale frame.
+    * `maxNodes` guards that: the node count is checked with a cheap
+    * distributed count BEFORE the collect, and an over-cap input fails
+    * loudly instead of OOMing the driver mid-collect. Real ontologies
+    * sit 3 orders of magnitude under the default cap — zero behavior
+    * change there. */
   def graphTraversal(spark: SparkSession, df: DataFrame, nodeCol: String,
-                     linkCol: String, resultCol: String): DataFrame = {
+                     linkCol: String, resultCol: String,
+                     maxNodes: Long = 1000000L): DataFrame = {
+    val nodeCount = df.select(col(nodeCol)).count()
+    require(nodeCount <= maxNodes,
+      s"BiosampleOntology.graphTraversal: input has $nodeCount nodes, " +
+        s"over the $maxNodes driver-collect cap. This operator collects " +
+        "the adjacency map to the driver (ontologies are ~50k nodes); " +
+        "a frame this size is not an ontology — use a distributed " +
+        "iterative closure instead, or raise maxNodes deliberately.")
     val adjacency = df.select(col(nodeCol), col(linkCol))
       .collect()
       .map(r => r.getString(0) ->

@@ -111,7 +111,8 @@ object Steps {
           runCarma = a.bool("run_carma", false),
           imputeMissing = a.bool("run_sumstat_imputation", false),
           imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
-          ldScoreThreshold = a.double("ld_score_threshold", 5.0)).toDF(),
+          ldScoreThreshold = a.double("ld_score_threshold", 5.0),
+          dedupPerfectLd = a.bool("dedup_perfect_ld", false)).toDF(),
         a("out"))),
 
     Step("susie_credible_sets",
@@ -129,7 +130,8 @@ object Steps {
           runCarma = a.bool("run_carma", false),
           imputeMissing = a.bool("run_sumstat_imputation", false),
           imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
-          ldScoreThreshold = a.double("ld_score_threshold", 5.0)).toDF(),
+          ldScoreThreshold = a.double("ld_score_threshold", 5.0),
+          dedupPerfectLd = a.bool("dedup_perfect_ld", false)).toDF(),
         a("out"))),
 
     Step("variant_index",

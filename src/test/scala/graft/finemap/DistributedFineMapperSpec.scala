@@ -148,4 +148,90 @@ class DistributedFineMapperSpec extends SparkSpec {
     val v9 = out.find(_.variantId == "v09").get
     assert(v9.pValueExponent == -15, s"expo=${v9.pValueExponent}")
   }
+
+  test("perfect-LD dedup: a planted duplicate-variant locus produces the " +
+    "SAME credible sets with and without the dedup") {
+    // v00 is the causal signal; v01 is its |r|=1 duplicate carrying a
+    // (discordant) weaker z — the rank-deficient class. WITHOUT the
+    // dedup, CARMA's outlier search discovers the degeneracy one
+    // config at a time: {v00,v01} fails the outlier test (non-finite
+    // likelihood on the singular 2x2 block) and v01 is drained into
+    // conditionalS, leaving the locus. WITH the dedup, v01 is dropped
+    // at LD-block materialisation before the search ever runs. Both
+    // paths must retain the identical variant set and hence emit
+    // bit-identical credible sets.
+    val variants = (Seq(("A", "v00", 6.0), ("A", "v01", 2.0)) ++
+      (2 until 8).map(i => ("A", f"v$i%02d", 0.1))
+      ).toDF("locusId", "variantId", "z")
+    val ld = (Seq(("A", 0, 1, 1.0)) ++
+      (for (i <- 0 until 8; j <- (i + 1) until 8 if (i, j) != ((0, 1)))
+        yield ("A", i, j, 0.2))).toDF("locusId", "i", "j", "r")
+
+    def run(dedup: Boolean) = DistributedFineMapper
+      .finemapCredibleSets(spark, variants, ld, n = 10000, L = 3,
+        runCarma = true, dedupPerfectLd = dedup)
+      .collect()
+      .sortBy(cs => (cs.locusId, cs.credibleSetIndex, cs.variantId))
+
+    val withDedup = run(dedup = true)
+    val without = run(dedup = false)
+    // the duplicate leaves the output on BOTH paths (upfront vs drained)
+    assert(!withDedup.exists(cs => cs.variantId == "v01" ||
+      cs.locus.exists(_.variantId == "v01")))
+    assert(!without.exists(cs => cs.variantId == "v01" ||
+      cs.locus.exists(_.variantId == "v01")), s"got ${without.toSeq}")
+    assert(withDedup.nonEmpty && withDedup.exists(_.variantId == "v00"))
+    assert(withDedup.toSeq == without.toSeq)
+  }
+
+  test("perfect-LD dedup collapses a NULL-z duplicate into its observed " +
+    "representative instead of imputing it as a copy") {
+    // v01 has no z but is |r|=1 with observed v00: RAISS would impute
+    // it as an information-free copy and SuSiE would split the PIP
+    // across the pair. The dedup collapses the pair to the OBSERVED
+    // member — deliberately different from the dedup-off default,
+    // which keeps both with split posterior mass (the reference-shaped
+    // behavior the q_gx_finemap_e2e golden pins).
+    val variants = (Seq(("B", "v00", Some(5.0)),
+      ("B", "v01", None: Option[Double])) ++
+      (2 until 6).map(i => ("B", f"v$i%02d", Some(0.1)))
+      ).toDF("locusId", "variantId", "z")
+    val ld = (Seq(("B", 0, 1, 1.0)) ++
+      (for (i <- 0 until 6; j <- (i + 1) until 6 if (i, j) != ((0, 1)))
+        yield ("B", i, j, 0.15))).toDF("locusId", "i", "j", "r")
+
+    val dedup = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3, imputeMissing = true, imputedR2Threshold = 0.5,
+      ldScoreThreshold = 0.5, dedupPerfectLd = true).collect()
+    assert(!dedup.exists(_.variantId == "v01"))
+    val pipOn = dedup.find(_.variantId == "v00").get.pip
+
+    val off = DistributedFineMapper.finemapAll(spark, variants, ld,
+      n = 10000, L = 3, imputeMissing = true, imputedR2Threshold = 0.5,
+      ldScoreThreshold = 0.5, dedupPerfectLd = false).collect()
+    assert(off.exists(_.variantId == "v01")) // imputed copy kept
+    val pipOffPair = off.filter(v => v.variantId == "v00" || v.variantId == "v01")
+      .map(_.pip)
+    // split mass off vs concentrated mass on: the collapsed
+    // representative carries at least what the pair shared
+    assert(pipOn >= pipOffPair.max - 1e-9,
+      s"pipOn=$pipOn split=${pipOffPair.toSeq}")
+  }
+
+  test("perfectLdKeepIdx: groups, |r|=-1 pairs, observed-z preference") {
+    import breeze.linalg.DenseMatrix
+    def v(id: String, z: Option[Double], idx: Int) =
+      DistributedFineMapper.LocusVariant("L", id, z, idx)
+    // 5 variants: {0,1,2} one perfect group (0~1 at r=1, 0~2 at r=-1),
+    // {3,4} independent; 0 is NULL-z so the observed 1 must represent
+    val vs = Array(v("a", None, 0), v("b", Some(2.0), 1),
+      v("c", Some(1.0), 2), v("d", Some(0.5), 3), v("e", None, 4))
+    val ld = DenseMatrix.eye[Double](5)
+    ld(0, 1) = 1.0; ld(1, 0) = 1.0
+    ld(0, 2) = -1.0; ld(2, 0) = -1.0
+    ld(1, 2) = -1.0; ld(2, 1) = -1.0
+    ld(3, 4) = 0.99; ld(4, 3) = 0.99 // high but not perfect: kept
+    val keep = DistributedFineMapper.perfectLdKeepIdx(vs, ld)
+    assert(keep.toSeq == Seq(1, 3, 4), s"keep=${keep.toSeq}")
+  }
 }

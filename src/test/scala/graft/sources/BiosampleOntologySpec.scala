@@ -37,4 +37,22 @@ class BiosampleOntologySpec extends SparkSpec {
     assert(byId("UBERON_3")._1 == Set("UBERON_0"))
     assert(byId("UBERON_2")._2.isEmpty)
   }
+
+  test("graphTraversal refuses an over-cap input loudly (driver-collect guard)") {
+    val big = spark.range(50)
+      .select(concat(lit("N"), col("id")).as("node"),
+        array().cast("array<string>").as("links"))
+    // under the cap: traverses fine
+    val ok = BiosampleOntology.graphTraversal(spark, big, "node", "links",
+      "closure", maxNodes = 50)
+    assert(ok.count() == 50)
+    // over the cap: fails BEFORE collecting, with the node count and
+    // cap in the message
+    val e = intercept[IllegalArgumentException] {
+      BiosampleOntology.graphTraversal(spark, big, "node", "links",
+        "closure", maxNodes = 49)
+    }
+    assert(e.getMessage.contains("50 nodes"))
+    assert(e.getMessage.contains("49"))
+  }
 }
