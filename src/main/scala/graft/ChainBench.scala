@@ -259,10 +259,19 @@ object ChainBench {
 
     // ---- executor-parallel CARMA→RAISS→SuSiE-inf credible sets ------
     val credRaw = s"$work/susie_credsets"
+    // dedup_perfect_ld: the scale-safe configuration — collapses |r|~1
+    // duplicate variants before CARMA so rank-deficient configs never
+    // enter the outlier search. On THIS synthesis it is a verified
+    // no-op (positions are unique per (study, chromosome) after the
+    // sumstats dedup, max |r| = exp(-240/500) ~ 0.62; x10 credible-set
+    // count 52,625 identical with and without), but a real LD panel
+    // carries perfectly-linked SNPs and a chain run is the shape that
+    // meets them at scale.
     val (_, t3) = timed(Steps.runFromArgs(spark, Seq("susie_credible_sets",
       s"in=$lociIn", s"ld=$ldBlocks", s"out=$credRaw", "l=5",
       "run_carma=true", "run_sumstat_imputation=true",
-      "imputed_r2_threshold=0.5", "ld_score_threshold=0.5")))
+      "imputed_r2_threshold=0.5", "ld_score_threshold=0.5",
+      "dedup_perfect_ld=true")))
     record("susie_credible_sets", t3, credRaw)
 
     // ---- credible sets → StudyLocus projection (coloc's input) ------

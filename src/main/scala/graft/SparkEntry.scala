@@ -144,6 +144,7 @@ object SparkEntry {
     "q_gx_ecaviar_fused_e2e" -> (Q.ecaviarFusedE2E _),
     "q_gx_pics" -> (Q.picsFinemap _),
     "q_gx_finemap_e2e" -> (Q.finemapE2e _),
+    "q_gx_credset_extraction" -> (Q.credsetExtraction _),
     "q_gx_locus_breaker" -> (Q.locusBreaker _),
     "q_gx_qc_battery_full" -> (Q.qcBatteryFull _),
     "q_dedup_minhash" -> (Q.minhashPairs _),

@@ -269,7 +269,7 @@ object DistributedFineMapper {
     * logBF/p-value/purity filters, lead dedup and high-LD lead
     * removal) without its per-set `createDataFrame` round-trips.
     * reference: src/gentropy/susie_finemapper.py:188-456 */
-  private[finemap] def assembleCredibleSets(
+  private[graft] def assembleCredibleSets(
       locusId: String, variantsArr: Array[LocusVariant],
       z: DenseVector[Double], ldM: DenseMatrix[Double],
       res: SusieInf.Result,

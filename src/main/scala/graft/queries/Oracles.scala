@@ -419,6 +419,105 @@ object Oracles {
       |  AND mant * POWER(10.0, expo) > 0 AND mant * POWER(10.0, expo) <= 1
       |  AND NOT isnan(beta) AND NOT isnan(se)""".stripMargin
 
+  /** Mirrors Q.credsetExtraction: the credible-set extraction suffix
+    * (per-effect 99%-PIP cumsum sets, lead election, purity over the
+    * LD block, logBF filter, lead dedup, high-LD lead removal) over
+    * the SAME planted kernel outputs. Every planted quantity is
+    * integer-derived so both engines compute bit-identical doubles;
+    * Scala's stable sort ties (equal pip) resolve to ascending index —
+    * replicated by the explicit `pip DESC, i ASC` orderings. The skip
+    * rule (only the top effect is exempt from the lbf threshold) and
+    * the later logBF filter collapse to `lbf >= 2.0` because the index
+    * is consumed either way and the exempt top set is then filtered by
+    * the same bound. With L = 2 the iterative high-LD removal scan
+    * reduces to one pairwise test: doom the weaker lead (|z| desc,
+    * cs_index asc — neglogp is monotone in |z|) when the leads sit
+    * within r² ≥ 0.9. */
+  val credsetExtraction: String =
+    s"""WITH vars AS (
+      |  SELECT CAST(l_orderkey % 8 AS INT) AS k,
+      |         'v' || CAST(l_orderkey AS VARCHAR) AS variant_id
+      |  FROM lineitem
+      |  WHERE l_orderkey % 13 = 0 AND l_linenumber = 1
+      |    AND l_orderkey <= 26000),
+      |idxed AS (
+      |  SELECT k, variant_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY variant_id)
+      |              - 1 AS INT) AS i
+      |  FROM vars),
+      |base AS (
+      |  SELECT k, variant_id, i, l,
+      |         CAST(((i*7 + l*3 + k*5) % 11) + 1 AS DOUBLE) AS r1,
+      |         1.0 + ((k + 2*l) % 4) AS lbf,
+      |         (i - 2*l) * 0.1 AS mu,
+      |         1.0 + (i % 5) * 1.5 AS z
+      |  FROM idxed CROSS JOIN (SELECT 0 AS l UNION ALL SELECT 1) eff),
+      |raws AS (SELECT *, r1*r1*r1*r1 AS raw4 FROM base),
+      |pips AS (
+      |  SELECT *, raw4 / SUM(raw4) OVER (PARTITION BY k, l) AS pip
+      |  FROM raws),
+      |ordered AS (
+      |  SELECT *,
+      |         COALESCE(SUM(pip) OVER (PARTITION BY k, l
+      |           ORDER BY pip DESC, i ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_before,
+      |         ROW_NUMBER() OVER (PARTITION BY k, l
+      |           ORDER BY pip DESC, i ASC) AS rk
+      |  FROM pips),
+      |kept AS (SELECT * FROM ordered WHERE cum_before < 0.99),
+      |eff AS (
+      |  SELECT k, l, lbf,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY k
+      |           ORDER BY lbf DESC, l ASC) AS BIGINT) AS cs_index
+      |  FROM (SELECT DISTINCT k, l, lbf FROM base)),
+      |leadrow AS (SELECT k, l, variant_id, i, mu, z FROM kept WHERE rk = 1),
+      |purity AS (
+      |  SELECT a.k, a.l,
+      |         SUM(EXP(-ABS(a.i - b.i) / 60.0)
+      |             * EXP(-ABS(a.i - b.i) / 60.0)) AS s,
+      |         MIN(EXP(-ABS(a.i - b.i) / 60.0)
+      |             * EXP(-ABS(a.i - b.i) / 60.0)) AS mn,
+      |         COUNT(*) AS npairs
+      |  FROM kept a JOIN kept b ON a.k = b.k AND a.l = b.l
+      |  GROUP BY a.k, a.l),
+      |tagagg AS (
+      |  SELECT k, l, COUNT(*) AS tag_count,
+      |         STRING_AGG(variant_id, ',' ORDER BY pip DESC, i ASC) AS tags
+      |  FROM kept GROUP BY k, l),
+      |sets AS (
+      |  SELECT e.k, e.cs_index, lr.variant_id, lr.i AS lead_i,
+      |         lr.mu AS beta, e.lbf * 0.4342944819 AS lbf10,
+      |         p.s / p.npairs AS pur_mean, p.mn AS pur_min, lr.z,
+      |         t.tag_count, t.tags
+      |  FROM eff e
+      |  JOIN leadrow lr ON lr.k = e.k AND lr.l = e.l
+      |  JOIN purity p ON p.k = e.k AND p.l = e.l
+      |  JOIN tagagg t ON t.k = e.k AND t.l = e.l
+      |  WHERE e.lbf >= 2.0),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k, variant_id
+      |      ORDER BY cs_index) AS dr FROM sets) WHERE dr = 1),
+      |doomed AS (
+      |  SELECT b.k, b.cs_index
+      |  FROM dedup a JOIN dedup b ON a.k = b.k
+      |  WHERE (ABS(a.z) > ABS(b.z)
+      |         OR (ABS(a.z) = ABS(b.z) AND a.cs_index < b.cs_index))
+      |    AND EXP(-ABS(a.lead_i - b.lead_i) / 60.0)
+      |        * EXP(-ABS(a.lead_i - b.lead_i) / 60.0) >= 0.9)
+      |SELECT 'LK' || CAST(d.k AS VARCHAR) AS locus_id, d.cs_index,
+      |       d.variant_id,
+      |       ${q("d.beta", 6)} AS beta_q6,
+      |       ${q("d.lbf10", 6)} AS lbf_q6,
+      |       ${q("d.pur_mean", 6)} AS purity_mean_q6,
+      |       ${q("d.pur_min", 6)} AS purity_min_q6,
+      |       ${q("d.z", 6)} AS z_q6,
+      |       d.tag_count, d.tags
+      |FROM dedup d
+      |LEFT JOIN doomed x ON x.k = d.k AND x.cs_index = d.cs_index
+      |WHERE x.k IS NULL""".stripMargin
+
   val dedupExact: String =
     """SELECT doc_id, lang, n_chars FROM documents
       |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin
@@ -3572,6 +3671,7 @@ object Oracles {
     "q_f3_pvalue_codec" -> pvalueCodec,
     "q_gx_coloc" -> coloc,
     "q_gx_ecaviar" -> ecaviar,
+    "q_gx_credset_extraction" -> credsetExtraction,
     "q_gx_cluster_top1" -> clusterTop1,
     "q_gx_qc_metrics" -> qcMetrics,
     "q_p2_sanity_filter" -> sanityFilter,

@@ -1078,6 +1078,83 @@ object Q {
         col("inCredibleSet").cast("int").as("in_credible_set"))
   }
 
+  /** Credible-set EXTRACTION suffix over PLANTED kernel outputs — the
+    * relational back half of the fine-mapper
+    * ([[graft.finemap.DistributedFineMapper.assembleCredibleSets]]:
+    * per-effect 99%-PIP cumsum sets, lead election, purity stats over
+    * the LD block, logBF filter, lead dedup, high-LD lead removal —
+    * reference: src/gentropy/susie_finemapper.py:188-456) driven by
+    * deterministic fake SuSiE outputs instead of the Breeze solver, so
+    * a DuckDB oracle can replay it end to end. This narrows the
+    * q_gx_finemap_e2e golden blind spot: only the iterative kernels
+    * (CARMA/RAISS/SuSiE-inf) stay golden-locked; the extraction logic
+    * gets a full value-level SQL oracle.
+    *
+    * Planted per locus k (8 loci over a fixed lineitem slice), L = 2
+    * effects, all integer-derived so Spark and DuckDB compute
+    * bit-identical doubles: pip ∝ (((7i+3l+5k) mod 11)+1)^4 (column-
+    * normalised; quartic so the 99% cut falls at varied depths),
+    * lbf(l) = 1 + ((k+2l) mod 4) (exercises the keep/skip threshold at
+    * exactly 2.0), mu = (i−2l)/10, z = 1 + 1.5·(i mod 5), LD(i,j) =
+    * exp(−|i−j|/60) (r² ≥ 0.9 within 3 indices; the two effects'
+    * leads land exactly 2 or 9 indices apart by construction, so the
+    * high-LD lead removal fires on some loci and spares others). The p-value codec columns are excluded
+    * from the projection (erfc has no DuckDB builtin; the codec is
+    * oracle-checked by q_f3_pvalue_codec and the lead ORDER the
+    * removal scan needs is replicated exactly by |z| — neglogp is
+    * monotone in |z|). */
+  def credsetExtraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    import graft.finemap.{DistributedFineMapper, SusieInf}
+    val vars = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 13 === 0 && col("l_linenumber") === 1 &&
+        col("l_orderkey") <= 26000)
+      .select((col("l_orderkey") % 8).cast("int").as("k"),
+        concat(lit("v"), col("l_orderkey")).as("variantId"))
+    val bundled = vars.groupBy("k")
+      .agg(sort_array(collect_list(col("variantId"))).as("ids"))
+      .as[(Int, Seq[String])]
+    val rows = bundled.flatMap { case (k, ids) =>
+      val p = ids.length
+      val L = 2
+      def raw(i: Int, l: Int): Double = {
+        // quartic of a small int: exact in double, any summation order
+        val r = ((i * 7 + l * 3 + k * 5) % 11 + 1).toDouble
+        r * r * r * r
+      }
+      val colSum = Array.tabulate(L)(l => (0 until p).map(raw(_, l)).sum)
+      val pip = DenseMatrix.tabulate(p, L)((i, l) => raw(i, l) / colSum(l))
+      val mu = DenseMatrix.tabulate(p, L)((i, l) => (i - 2 * l) * 0.1)
+      val lbfVar = DenseMatrix.tabulate(p, L)((i, l) => (i + l) * 0.01)
+      val lbf = DenseVector.tabulate(L)(l => 1.0 + ((k + 2 * l) % 4))
+      val z = DenseVector.tabulate(p)(i => 1.0 + (i % 5) * 1.5)
+      val ld = DenseMatrix.tabulate(p, p)((a, b) =>
+        math.exp(-math.abs(a - b) / 60.0))
+      val res = SusieInf.Result(pip, mu, DenseMatrix.ones[Double](p, L),
+        lbfVar, DenseVector.ones[Double](L), 1.0, 1.0,
+        DenseVector.zeros[Double](p), lbf, 1)
+      val variantsArr = ids.toArray.zipWithIndex.map { case (id, i) =>
+        DistributedFineMapper.LocusVariant(s"LK$k", id, Some(z(i)), i)
+      }
+      DistributedFineMapper
+        .assembleCredibleSets(s"LK$k", variantsArr, z, ld, res)
+        .iterator
+    }
+    rows.toDF().select(
+      col("locusId").as("locus_id"),
+      col("credibleSetIndex").cast("long").as("cs_index"),
+      col("variantId").as("variant_id"),
+      q(col("beta"), 6).as("beta_q6"),
+      q(col("credibleSetLog10BF"), 6).as("lbf_q6"),
+      q(col("purityMeanR2"), 6).as("purity_mean_q6"),
+      q(col("purityMinR2"), 6).as("purity_min_q6"),
+      q(col("zScore"), 6).as("z_q6"),
+      size(col("locus")).cast("long").as("tag_count"),
+      array_join(transform(col("locus"),
+        tg => tg.getField("variantId")), ",").as("tags"))
+  }
+
   /** Embedding cosine near-dup pairs, exact (oracle-checked baseline
     * of the LSH-blocked embeddingDupPairs path). */
   def embeddingDup(s: SparkSession, dir: String): DataFrame =

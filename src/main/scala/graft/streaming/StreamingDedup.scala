@@ -348,6 +348,68 @@ object StreamingDedup {
     EvictStep(EvictBucketState(ids, flat, expireAt), write, out.toSeq)
   }
 
+  /** Live-bucket cardinality above which the v2 (timer-indexed)
+    * eviction wins: STREAMBENCH_r14.json's equal-semantics decade
+    * table measured v2 costing ~1.4 s/batch MORE at 1.6k live buckets
+    * (RocksDB per-arrival get/put constant dominates when the state is
+    * small and hot) and v1 costing a sustained ~0.3-0.4 s/batch more
+    * from ~16k buckets up with nothing expiring — v1's per-micro-batch
+    * timed-out-key pass deserializes every live bucket, O(batches ×
+    * live buckets), while v2's expiry-indexed timers fire O(expired).
+    * Each document populates ~`bands` buckets, so live buckets ≈
+    * distinct live docs × bands. */
+  val EvictionAutoLiveBucketThreshold = 16000L
+
+  /** [[nearDupFlagsEvicting]] (v1) / [[nearDupFlagsEvictingTws]] (v2)
+    * behind one selector:
+    *
+    *  - `eviction = "v1"`: event-time-timeout eviction on the
+    *    flatMapGroupsWithState API. Cheapest at LOW live-bucket
+    *    cardinality; pays a per-micro-batch full-state timed-out-key
+    *    scan that grows with live buckets.
+    *  - `eviction = "v2"`: timer-indexed eviction on the
+    *    transformWithState API — O(expired) expiry, the 100 TB scale
+    *    path. Requires the RocksDB state store provider.
+    *  - `eviction = "auto"`: picks by DECLARED cardinality —
+    *    `declaredDistinctDocs × bands` live buckets against
+    *    [[EvictionAutoLiveBucketThreshold]] (the measured
+    *    STREAMBENCH_r14 crossover). A stream cannot observe its own
+    *    future cardinality, so the declaration is the caller's; left
+    *    undeclared (-1), auto takes the scale-safe side (v2): the v1
+    *    penalty is unbounded in cardinality while the v2 penalty is a
+    *    bounded per-batch constant.
+    *
+    * Flags are identical between the two variants on the same feed
+    * (same [[evictStep]] kernel; STREAMBENCH_r14 cross-checked flag
+    * equality at every decade). */
+  def nearDupFlagsEvictingAuto(docs: DataFrame, textCol: String,
+                               idCol: String, tsCol: String = "ts",
+                               eviction: String = "auto",
+                               declaredDistinctDocs: Long = -1L,
+                               threshold: Double = 0.7, maxBucket: Int = 64,
+                               shingleSize: Int = 3, numHashes: Int = 64,
+                               bands: Int = 16,
+                               watermark: String = "10 minutes",
+                               evictAfterMs: Long = 10 * 60 * 1000L)
+    : Dataset[NearDupFlag] = {
+    val pick = eviction.toLowerCase match {
+      case "v1" | "v2" => eviction.toLowerCase
+      case "auto" =>
+        if (declaredDistinctDocs < 0) "v2"
+        else if (declaredDistinctDocs * bands <
+          EvictionAutoLiveBucketThreshold) "v1"
+        else "v2"
+      case other => throw new IllegalArgumentException(
+        s"eviction must be v1|v2|auto, got '$other'")
+    }
+    if (pick == "v1")
+      nearDupFlagsEvicting(docs, textCol, idCol, tsCol, threshold,
+        maxBucket, shingleSize, numHashes, bands, watermark, evictAfterMs)
+    else
+      nearDupFlagsEvictingTws(docs, textCol, idCol, tsCol, threshold,
+        maxBucket, shingleSize, numHashes, bands, watermark, evictAfterMs)
+  }
+
   /** [[nearDupFlagsEvicting]] on the arbitrary-state v2 API
     * (`transformWithState`): identical semantics (same [[evictStep]]
     * kernel), but eviction runs on PER-KEY TIMERS indexed by expiry in

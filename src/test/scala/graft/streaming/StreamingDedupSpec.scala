@@ -302,4 +302,26 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!flags.exists { case (a, b) => a == "dX" || b == "dX" })
     } finally q.stop()
   }
+
+  test("eviction selector: v1|v2|auto routes to the right variant, " +
+    "auto by declared cardinality") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // the two variants sit on different streaming APIs, visible in the
+    // logical plan: v1 = FlatMapGroupsWithState, v2 = TransformWithState
+    def planOf(eviction: String, declared: Long = -1L): String =
+      nearDupFlagsEvictingAuto(docs, "text", "doc_id",
+        eviction = eviction, declaredDistinctDocs = declared)
+        .queryExecution.logical.toString()
+    assert(planOf("v1").contains("FlatMapGroupsWithState"))
+    assert(planOf("v2").contains("TransformWithState"))
+    // auto: below the measured crossover (16k live buckets at 16
+    // bands = 1000 docs) -> v1; above -> v2; undeclared -> scale-safe v2
+    assert(planOf("auto", declared = 100).contains("FlatMapGroupsWithState"))
+    assert(planOf("auto", declared = 100000).contains("TransformWithState"))
+    assert(planOf("auto").contains("TransformWithState"))
+    val e = intercept[IllegalArgumentException](planOf("v3"))
+    assert(e.getMessage.contains("v1|v2|auto"))
+  }
 }
