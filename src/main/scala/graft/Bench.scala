@@ -297,26 +297,38 @@ object Bench {
     val tailNames = if (only.nonEmpty) Seq.empty[String]
       else names.filter(n => !n.startsWith("r_") && !heavySolo.contains(n) &&
         firstPass.get(n).exists(v => v > tailThreshold && v <= repThreshold))
+    // Per-query repeat overrides: queries whose recorded spread has
+    // repeatedly exceeded ~20% of their median need more fresh-JVM
+    // samples for the median to converge. q_gx_overlaps_coloc_e2e is
+    // multi-cache dependent (fused-tags + peak-pair frames) and was
+    // the widest spread-to-median heavy query in r14 (2.23 s on a
+    // 5.90 s median); its materialization tail needs >3 samples.
+    val perQueryRepeats: Map[String, Int] =
+      Map("q_gx_overlaps_coloc_e2e" -> math.max(repeatRuns, 5))
+    def repeatsFor(name: String): Int =
+      perQueryRepeats.getOrElse(name, repeatRuns)
+    val maxRepeatRuns = (perQueryRepeats.values.toSeq :+ repeatRuns).max
     val extraRuns: Map[String, Seq[Double]] =
-      if ((repeatNames.isEmpty && tailNames.isEmpty) || repeatRuns <= 1)
+      if ((repeatNames.isEmpty && tailNames.isEmpty) || maxRepeatRuns <= 1)
         Map.empty
       else {
         val collected = scala.collection.mutable.Map
           .empty[String, List[Double]].withDefaultValue(Nil)
-        for (round <- 2 to repeatRuns) {
-          for (name <- repeatNames) {
-            System.err.println(s"[bench] repeat $round/$repeatRuns $name")
+        for (round <- 2 to maxRepeatRuns) {
+          for (name <- repeatNames if round <= repeatsFor(name)) {
+            System.err.println(s"[bench] repeat $round/${repeatsFor(name)} $name")
             runForked(base :+ name).foreach { case (n, s) =>
               collected(n) = collected(n) :+ s
             }
           }
-          tailNames.grouped(batchSize).foreach { batch =>
-            System.err.println(
-              s"[bench] tail repeat $round/$repeatRuns ${batch.mkString(",")}")
-            runForked(base :+ batch.mkString(",")).foreach { case (n, s) =>
-              collected(n) = collected(n) :+ s
+          if (round <= repeatRuns)
+            tailNames.grouped(batchSize).foreach { batch =>
+              System.err.println(
+                s"[bench] tail repeat $round/$repeatRuns ${batch.mkString(",")}")
+              runForked(base :+ batch.mkString(",")).foreach { case (n, s) =>
+                collected(n) = collected(n) :+ s
+              }
             }
-          }
         }
         collected.toMap
       }

@@ -44,6 +44,45 @@ object ChainBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Process-CPU seconds (all JVM threads) — in local mode this is the
+    * whole cluster's CPU, so a stage whose wall ≫ cpu/32 was WAITING
+    * (hypervisor steal, GC pause storms), not computing. Recorded per
+    * stage so an artifact reader can tell an episode-inflated stage
+    * from a genuinely expensive one without a re-run: this host's
+    * recurring steal episodes have repeatedly inflated single stages
+    * 5-10x (r13-r15 chain recordings) while the same stage's CPU
+    * stayed flat. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  private def gcSec(): Double =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .toArray.map {
+        case g: java.lang.management.GarbageCollectorMXBean =>
+          math.max(0L, g.getCollectionTime)
+        case _ => 0L
+      }.sum / 1e3
+
+  /** Hypervisor steal seconds across all vCPUs (/proc/stat cpu-line
+    * field 8, USER_HZ=100). The missing half of the cpu_sec
+    * diagnostic: this guest's JVM-visible process CPU time has been
+    * observed to INFLATE 2-5x during neighbor episodes (the same
+    * standalone stage measured 515 vs 1168 user-CPU seconds across
+    * windows), so wall ≈ cpu/32 alone cannot prove real compute —
+    * a nonzero per-stage steal delta marks the recording as
+    * episode-contaminated directly. -1 when /proc/stat is absent. */
+  private def stealSec(): Double =
+    try {
+      val line = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toDouble / 100.0 else -1.0
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("target/chainbench")
@@ -80,14 +119,33 @@ object ChainBench {
     // stage-cost gaps.
     val profiler = graft.core.StageProfiler.ifEnabled(spark, "chainprofile")
 
-    val stages = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    val stages = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Long, Double, Double, Double)]
+    var lastCpu = processCpuSec()
+    var lastGc = gcSec()
+    var lastSteal = stealSec()
     def record(name: String, sec: Double, outPath: String): Long = {
       // dump BEFORE the row-count job below, so the count's scan
       // stages don't pollute the stage being profiled
       profiler.foreach(_.dump(name, n = 8))
+      // CPU/GC/steal deltas sampled BEFORE the count job so they
+      // bracket the stage body (the count's small cost lands on the
+      // NEXT stage's delta — bounded, and the same for every recording)
+      val cpuNow = processCpuSec()
+      val gcNow = gcSec()
+      val stealNow = stealSec()
+      val cpu = if (cpuNow >= 0 && lastCpu >= 0) cpuNow - lastCpu else -1.0
+      val gc = gcNow - lastGc
+      val steal =
+        if (stealNow >= 0 && lastSteal >= 0) stealNow - lastSteal else -1.0
+      lastCpu = cpuNow
+      lastGc = gcNow
+      lastSteal = stealNow
       val n = spark.read.parquet(outPath).count()
-      stages(name) = (sec, n)
-      System.err.println(f"[chain] $name%-24s $sec%8.2f s  rows=$n")
+      stages(name) = (sec, n, cpu, gc, steal)
+      System.err.println(
+        f"[chain] $name%-24s $sec%8.2f s  rows=$n  cpu=$cpu%.1f " +
+          f"gc=$gc%.1f steal=$steal%.1f")
       n
     }
 
@@ -342,7 +400,15 @@ object ChainBench {
     val (_, t6) = timed(Steps.runFromArgs(spark, Seq("l2g_train",
       s"in=$labelledIn", s"out=$modelOut", "cross_validate=false",
       "max_iter=10", "max_depth=3")))
-    stages("l2g_train") = (t6, -1L)
+    val cpuT = processCpuSec()
+    val gcT = gcSec()
+    val stealT = stealSec()
+    stages("l2g_train") = (t6, -1L,
+      if (cpuT >= 0 && lastCpu >= 0) cpuT - lastCpu else -1.0, gcT - lastGc,
+      if (stealT >= 0 && lastSteal >= 0) stealT - lastSteal else -1.0)
+    lastCpu = cpuT
+    lastGc = gcT
+    lastSteal = stealT
     System.err.println(f"[chain] l2g_train               $t6%8.2f s")
 
     val scoresOut = s"$work/l2g_scores"
@@ -364,8 +430,10 @@ object ChainBench {
       f"chain sanity: near-gene mean score $near%.3f !> far $far%.3f")
     System.err.println(f"[chain] sanity: mean(score) near=$near%.3f far=$far%.3f leads=$nLeads")
 
-    val js = stages.map { case (k, (s, n)) =>
-      "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n + "}"
+    val js = stages.map { case (k, (s, n, cpu, gc, steal)) =>
+      "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n +
+        ",\"cpu_sec\":" + f"$cpu%.1f" + ",\"gc_sec\":" + f"$gc%.1f" +
+        ",\"steal_sec\":" + f"$steal%.1f" + "}"
     }.mkString("{", ",", "}")
     val total = stages.values.map(_._1).sum
     println(s"""{"chain":"genetics","dir":"$dir","stages":$js,""" +
