@@ -159,6 +159,39 @@ object Bench {
   private val CanaryMaxRatio = 1.25
 
   private def runSuite(): Unit = {
+    // Wall-clock budget (r16): the r15 driver bench was killed at its
+    // timeout (rc=124, parsed=null) because the repeat protocol outgrew
+    // the wall window — leaving the round with NO independent perf
+    // record, which is strictly worse than a lower-repeat one. The suite
+    // now carries its own deadline and degrades instead of dying:
+    // per-query repeat overrides are skipped first, then tail-band
+    // repeats, then heavy repeats (each fork is budget-checked before
+    // launch), and if even the FIRST pass runs low the remaining
+    // children fall back to single-shot reps. Every drop is recorded in
+    // the artifact ("degraded":true + "dropped" list) so a reader knows
+    // which figures are single-shot. <= 0 disables the budget.
+    val wallBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "2700").toDouble
+    val suiteStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - suiteStart) / 1e9
+    def remainingSec: Double = wallBudgetSec - elapsedSec
+    // reserve keeps room for the fallback pass + artifact write after
+    // the last allowed fork; est is a deliberate over-estimate (reps x
+    // first-pass cost + JVM/session startup) so degradation starts
+    // before the deadline, never after
+    val BudgetReserveSec = 60.0
+    val ForkOverheadSec = 15.0
+    val dropped = scala.collection.mutable.ListBuffer.empty[String]
+    def budgetAllows(est: Double, what: String): Boolean = {
+      val ok = wallBudgetSec <= 0 || remainingSec - BudgetReserveSec > est
+      if (!ok) {
+        dropped += what
+        System.err.println(f"[bench] budget: dropping $what " +
+          f"(est $est%.0f s, remaining $remainingSec%.0f s)")
+      }
+      ok
+    }
+
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     // rehearsal-only names (r_*) run ONLY when explicitly requested —
     // the default suite stays exactly the registered driver contract
@@ -231,8 +264,23 @@ object Bench {
       // suite-context drift solo forks exist to remove
       heavySolo.contains(n) || n.startsWith("r_"))
     val batches = heavy.map(Seq(_)) ++ light.grouped(batchSize).toSeq
+    // First pass always runs to completion — without it there is no
+    // artifact at all — but if the budget is already 3/4 spent the
+    // remaining children degrade to single-rep mode (weaker protocol,
+    // full coverage) rather than let the parent be killed mid-suite.
+    var fastMode = false
     val fromForks: Map[String, Double] = batches.flatMap { batch =>
-      runForked(base :+ batch.mkString(","))
+      if (!fastMode && wallBudgetSec > 0 &&
+          remainingSec < wallBudgetSec * 0.25) {
+        fastMode = true
+        dropped += "first_pass_multi_rep"
+        System.err.println(f"[bench] budget: first pass degrading to " +
+          f"single-rep children (remaining $remainingSec%.0f s)")
+      }
+      val env = if (fastMode)
+        Map("SPARK_GRAFT_REPS" -> "1", "SPARK_GRAFT_MAX_REPS" -> "1")
+      else Map.empty[String, String]
+      runForked(base :+ batch.mkString(","), env)
     }.toMap
     fromForks.toSeq.sortBy(_._1).foreach { case (n, s) =>
       System.err.println(f"[bench] $n%-28s $s%8.2f s")
@@ -303,33 +351,58 @@ object Bench {
     // multi-cache dependent (fused-tags + peak-pair frames) and was
     // the widest spread-to-median heavy query in r14 (2.23 s on a
     // 5.90 s median); its materialization tail needs >3 samples.
+    // Gated on repeats being enabled: SPARK_GRAFT_REPEATS=1 means "no
+    // repeats", so the override must not force 4 extra solo forks.
     val perQueryRepeats: Map[String, Int] =
-      Map("q_gx_overlaps_coloc_e2e" -> math.max(repeatRuns, 5))
+      if (repeatRuns > 1)
+        Map("q_gx_overlaps_coloc_e2e" -> math.max(repeatRuns, 5))
+      else Map.empty
     def repeatsFor(name: String): Int =
       perQueryRepeats.getOrElse(name, repeatRuns)
     val maxRepeatRuns = (perQueryRepeats.values.toSeq :+ repeatRuns).max
+    // estimated fork wall cost: child reps x first-pass cost + startup;
+    // deliberately conservative so budget degradation leads the deadline
+    def estSolo(name: String): Double =
+      firstPass.getOrElse(name, 3.0) * 2.5 + ForkOverheadSec
+    def estBatch(batch: Seq[String]): Double =
+      batch.map(firstPass.getOrElse(_, 1.0)).sum * 2.5 + ForkOverheadSec
     val extraRuns: Map[String, Seq[Double]] =
       if ((repeatNames.isEmpty && tailNames.isEmpty) || maxRepeatRuns <= 1)
         Map.empty
       else {
         val collected = scala.collection.mutable.Map
           .empty[String, List[Double]].withDefaultValue(Nil)
-        for (round <- 2 to maxRepeatRuns) {
-          for (name <- repeatNames if round <= repeatsFor(name)) {
+        // Phase order = inverse drop priority under the wall budget:
+        // heavy repeats run first (most protocol value per second), tail
+        // repeats second, per-query override rounds last — so when the
+        // deadline bites, overrides are skipped first, then tail, then
+        // heavy, matching the degradation the artifact promises. Heavy
+        // rounds stay interleaved round-robin across the heavy set so
+        // slow machine-state drift decorrelates from any one query.
+        for (round <- 2 to repeatRuns; name <- repeatNames)
+          if (budgetAllows(estSolo(name), s"repeat:$name:$round")) {
             System.err.println(s"[bench] repeat $round/${repeatsFor(name)} $name")
             runForked(base :+ name).foreach { case (n, s) =>
               collected(n) = collected(n) :+ s
             }
           }
-          if (round <= repeatRuns)
-            tailNames.grouped(batchSize).foreach { batch =>
-              System.err.println(
-                s"[bench] tail repeat $round/$repeatRuns ${batch.mkString(",")}")
-              runForked(base :+ batch.mkString(",")).foreach { case (n, s) =>
-                collected(n) = collected(n) :+ s
-              }
+        for (round <- 2 to repeatRuns; batch <- tailNames.grouped(batchSize))
+          if (budgetAllows(estBatch(batch),
+              s"tail:${batch.head}+${batch.size - 1}:$round")) {
+            System.err.println(
+              s"[bench] tail repeat $round/$repeatRuns ${batch.mkString(",")}")
+            runForked(base :+ batch.mkString(",")).foreach { case (n, s) =>
+              collected(n) = collected(n) :+ s
             }
-        }
+          }
+        for (round <- (repeatRuns + 1) to maxRepeatRuns;
+             name <- repeatNames if round <= repeatsFor(name))
+          if (budgetAllows(estSolo(name), s"override:$name:$round")) {
+            System.err.println(s"[bench] repeat $round/${repeatsFor(name)} $name")
+            runForked(base :+ name).foreach { case (n, s) =>
+              collected(n) = collected(n) :+ s
+            }
+          }
         collected.toMap
       }
     def median(xs: Seq[Double]): Double = {
@@ -380,15 +453,31 @@ object Bench {
       "\"" + n + "\":{\"runs\":[" + runs.map(f2c).mkString(",") +
         s"],\"median\":${f2c(median(ok))},\"spread\":${f2c(spread)}}"
     }.mkString("{", ",", "}")
+    val degraded = dropped.nonEmpty
+    val droppedJson = dropped.take(40).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val perQueryJson = perQueryRepeats.toSeq.sortBy(_._1)
+      .map { case (n, k) => "\"" + n + "\":" + k }.mkString("{", ",", "}")
     val protocolJson =
       s""""protocol":{"repeat_threshold_sec":$repThreshold,""" +
         s""""tail_threshold_sec":$tailThreshold,""" +
-        s""""repeat_runs":$repeatRuns,"note":"queries over """ +
+        s""""repeat_runs":$repeatRuns,""" +
+        s""""per_query_repeats":$perQueryJson,""" +
+        s""""wall_budget_sec":$wallBudgetSec,""" +
+        s""""elapsed_sec":${f2c(elapsedSec)},""" +
+        s""""degraded":$degraded,"dropped_forks":${dropped.size},""" +
+        s""""dropped":$droppedJson,"note":"queries over """ +
         """repeat_threshold are recorded as the median of repeat_runs """ +
-        """interleaved solo fresh-JVM runs; queries in the """ +
+        """interleaved solo fresh-JVM runs (per_query_repeats overrides """ +
+        """the run count for the named queries); queries in the """ +
         """(tail_threshold, repeat_threshold] band as the median of """ +
         """repeat_runs batched-fork runs (spread = max - min for """ +
-        """both); totals are comparable across rounds only at equal """ +
+        """both); when elapsed approaches wall_budget_sec the suite """ +
+        """degrades instead of dying — override rounds drop first, """ +
+        """then tail repeats, then heavy repeats (each listed in """ +
+        """dropped, degraded=true) — so a degraded artifact has """ +
+        """fewer samples, never missing queries; totals are """ +
+        """comparable across rounds only at equal """ +
         """canary ratio — use normalized_total (= value / """ +
         """canary.ratio) for cross-round reads"}"""
     if (only.isEmpty)
@@ -410,7 +499,8 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val lineTail =
       s"""},"nq":${results.size},"normalized_total":${f2(normTotal)},""" +
-        s"""$canaryJson,"detail":"BENCH_full.json","sf":"$sfDir"}"""
+        s"""$canaryJson,"degraded":$degraded,""" +
+        s""""detail":"BENCH_full.json","sf":"$sfDir"}"""
     val sb = new StringBuilder(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{""")
     var full = false
     var first = true
@@ -429,9 +519,11 @@ object Bench {
   /** Launch one child JVM over a batch; parse its BENCHQ lines. Queries the
     * child never reported (crash before reaching them) are simply absent.
     */
-  private def runForked(cmd: Seq[String]): Seq[(String, Double)] =
+  private def runForked(cmd: Seq[String],
+      env: Map[String, String] = Map.empty): Seq[(String, Double)] =
     try {
       val pb = new ProcessBuilder(cmd: _*)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
