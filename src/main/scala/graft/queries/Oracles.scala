@@ -432,7 +432,21 @@ object Oracles {
     * the same bound. With L = 2 the iterative high-LD removal scan
     * reduces to one pairwise test: doom the weaker lead (|z| desc,
     * cs_index asc — neglogp is monotone in |z|) when the leads sit
-    * within r² ≥ 0.9. */
+    * within r² ≥ 0.9.
+    *
+    * BOUNDARY-MARGIN REQUIREMENT for the planted pip constants: the
+    * kept-set cut compares the windowed cumulative SUM(pip) against
+    * 0.99 unquantized, and windowed-sum float association can differ
+    * between DuckDB (segment-tree aggregation) and Scala's sequential
+    * loop — a planted pip whose cumsum lands ulp-close to 0.99 would
+    * flip set membership between the engines. Anyone re-planting the
+    * `r1`/`raw4` distribution must keep every per-(k,l) cum_before
+    * comfortably away from the boundary: CredsetExtractionMarginSpec
+    * asserts min |cum_before − 0.99| > 1e-7 over the locus sizes that
+    * occur at sf0.001/0.01/0.1 (the current plant's floor is 8.6e-7 at
+    * a 155-variant locus — ~1e9 ulps of guard band against the ~1e-14
+    * scale of summation-order drift); keep it green after any
+    * replant. */
   val credsetExtraction: String =
     s"""WITH vars AS (
       |  SELECT CAST(l_orderkey % 8 AS INT) AS k,

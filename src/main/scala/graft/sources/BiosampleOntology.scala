@@ -35,17 +35,21 @@ object BiosampleOntology {
     * The adjacency map is COLLECTED to the driver and broadcast — the
     * right plan for an ontology (Uberon + Cell Ontology ≈ 50k nodes),
     * and a driver-killer if someone points it at a corpus-scale frame.
-    * `maxNodes` guards that: the node count is checked with a cheap
-    * distributed count BEFORE the collect, and an over-cap input fails
-    * loudly instead of OOMing the driver mid-collect. Real ontologies
+    * `maxNodes` guards that: the guard counts a `limit(maxNodes + 1)`
+    * of the node column BEFORE the collect, so an over-cap input fails
+    * loudly instead of OOMing the driver mid-collect — and the limit
+    * short-circuits the scan, so a corpus-scale misuse pays only
+    * maxNodes+1 rows of work to be refused (a full count would
+    * evaluate the whole upstream plan twice per call). Real ontologies
     * sit 3 orders of magnitude under the default cap — zero behavior
     * change there. */
   def graphTraversal(spark: SparkSession, df: DataFrame, nodeCol: String,
                      linkCol: String, resultCol: String,
                      maxNodes: Long = 1000000L): DataFrame = {
-    val nodeCount = df.select(col(nodeCol)).count()
-    require(nodeCount <= maxNodes,
-      s"BiosampleOntology.graphTraversal: input has $nodeCount nodes, " +
+    val capPlusOne = math.min(maxNodes, Int.MaxValue - 1L).toInt + 1
+    val probed = df.select(col(nodeCol)).limit(capPlusOne).count()
+    require(probed < capPlusOne,
+      s"BiosampleOntology.graphTraversal: input has >$maxNodes nodes, " +
         s"over the $maxNodes driver-collect cap. This operator collects " +
         "the adjacency map to the driver (ontologies are ~50k nodes); " +
         "a frame this size is not an ontology — use a distributed " +

@@ -371,24 +371,47 @@ object StreamingDedup {
     * buckets, so live buckets ≈ distinct live docs × bands. */
   val EvictionAutoLiveBucketThreshold = 16000L
 
+  /** The provider class the v2 (transformWithState) path requires. */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def sessionOnRocksDb(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB"))
+
   /** [[nearDupFlagsEvicting]] (v1) / [[nearDupFlagsEvictingTws]] (v2)
-    * behind one selector:
+    * behind one selector, keyed on (SESSION STATE-STORE PROVIDER,
+    * declared cardinality):
     *
     *  - `eviction = "v1"`: event-time-timeout eviction on the
     *    flatMapGroupsWithState API. Cheapest at LOW live-bucket
-    *    cardinality; pays a per-micro-batch full-state timed-out-key
-    *    scan that grows with live buckets.
+    *    cardinality on the DEFAULT in-memory provider; pays a
+    *    per-micro-batch full-state timed-out-key scan that grows with
+    *    live buckets.
     *  - `eviction = "v2"`: timer-indexed eviction on the
     *    transformWithState API — O(expired) expiry, the 100 TB scale
-    *    path. Requires the RocksDB state store provider.
-    *  - `eviction = "auto"`: picks by DECLARED cardinality —
-    *    `declaredDistinctDocs × bands` live buckets against
-    *    [[EvictionAutoLiveBucketThreshold]] (the measured
-    *    STREAMBENCH_r14 crossover). A stream cannot observe its own
-    *    future cardinality, so the declaration is the caller's; left
-    *    undeclared (-1), auto takes the scale-safe side (v2): the v1
-    *    penalty is unbounded in cardinality while the v2 penalty is a
-    *    bounded per-batch constant.
+    *    path. Requires the RocksDB state store provider; validated
+    *    here at plan-construction time (the engine otherwise fails at
+    *    query start with a provider error that doesn't name the fix).
+    *  - `eviction = "auto"`:
+    *      - session already on RocksDB → v2 unconditionally: the
+    *        same-provider decade table (STREAMBENCH_r15, both variants
+    *        on RocksDB) shows v2 equal-or-faster at EVERY decade
+    *        (19.6 vs 35.6 s at 153k live buckets), so once the
+    *        provider constant is paid there is no cardinality at which
+    *        v1 wins.
+    *      - default in-memory provider → picks by DECLARED cardinality:
+    *        `declaredDistinctDocs × bands` live buckets against
+    *        [[EvictionAutoLiveBucketThreshold]] (the measured
+    *        STREAMBENCH_r14 deployment-config crossover — v1's
+    *        in-memory map beats any store constant when state is small
+    *        and hot). A stream cannot observe its own future
+    *        cardinality, so the declaration is the caller's; left
+    *        undeclared (-1), auto takes the scale-safe side (v2): the
+    *        v1 penalty is unbounded in cardinality while the v2
+    *        penalty is a bounded per-batch constant. The v2 pick on a
+    *        non-RocksDB session FAILS here with the conf to set —
+    *        silently proceeding would error at query start anyway.
     *
     * Flags are identical between the two variants on the same feed
     * (same [[evictStep]] kernel; STREAMBENCH_r14 cross-checked flag
@@ -403,16 +426,27 @@ object StreamingDedup {
                                watermark: String = "10 minutes",
                                evictAfterMs: Long = 10 * 60 * 1000L)
     : Dataset[NearDupFlag] = {
+    val onRocksDb = sessionOnRocksDb(docs.sparkSession)
     val pick = eviction.toLowerCase match {
       case "v1" | "v2" => eviction.toLowerCase
       case "auto" =>
-        if (declaredDistinctDocs < 0) "v2"
-        else if (declaredDistinctDocs * bands <
+        if (onRocksDb) "v2" // same-provider table: v2 >= v1 everywhere
+        else if (declaredDistinctDocs >= 0 && declaredDistinctDocs * bands <
           EvictionAutoLiveBucketThreshold) "v1"
         else "v2"
       case other => throw new IllegalArgumentException(
         s"eviction must be v1|v2|auto, got '$other'")
     }
+    require(pick == "v1" || onRocksDb,
+      s"nearDupFlagsEvictingAuto picked eviction=v2 (requested " +
+        s"'$eviction', declaredDistinctDocs=$declaredDistinctDocs, " +
+        s"bands=$bands) which requires the RocksDB state store " +
+        "provider, but this session's " +
+        "spark.sql.streaming.stateStore.providerClass is not set to " +
+        s"it. Set it to $RocksDbProviderClass before starting the " +
+        "query, or declare a sub-threshold cardinality " +
+        s"(declaredDistinctDocs x bands < " +
+        s"$EvictionAutoLiveBucketThreshold) to select v1.")
     if (pick == "v1")
       nearDupFlagsEvicting(docs, textCol, idCol, tsCol, threshold,
         maxBucket, shingleSize, numHashes, bands, watermark, evictAfterMs)
@@ -441,6 +475,12 @@ object StreamingDedup {
                               evictAfterMs: Long = 10 * 60 * 1000L)
     : Dataset[NearDupFlag] = {
     val spark = docs.sparkSession
+    require(sessionOnRocksDb(spark),
+      "nearDupFlagsEvictingTws requires the RocksDB state store " +
+        "provider — set spark.sql.streaming.stateStore.providerClass " +
+        s"to $RocksDbProviderClass before starting the query (the " +
+        "engine would otherwise fail at query start with a provider " +
+        "error that doesn't name the fix).")
     import spark.implicits._
     val rowsPerBand = numHashes / bands
     val banded = docs

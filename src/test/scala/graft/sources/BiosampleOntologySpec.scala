@@ -46,13 +46,14 @@ class BiosampleOntologySpec extends SparkSpec {
     val ok = BiosampleOntology.graphTraversal(spark, big, "node", "links",
       "closure", maxNodes = 50)
     assert(ok.count() == 50)
-    // over the cap: fails BEFORE collecting, with the node count and
-    // cap in the message
+    // over the cap: fails BEFORE collecting. The guard probes only
+    // limit(maxNodes + 1) rows (short-circuits on corpus-scale
+    // misuse), so the message reports ">cap nodes", not an exact count
     val e = intercept[IllegalArgumentException] {
       BiosampleOntology.graphTraversal(spark, big, "node", "links",
         "closure", maxNodes = 49)
     }
-    assert(e.getMessage.contains("50 nodes"))
-    assert(e.getMessage.contains("49"))
+    assert(e.getMessage.contains(">49 nodes"))
+    assert(e.getMessage.contains("49 driver-collect cap"))
   }
 }

@@ -304,7 +304,7 @@ class StreamingDedupSpec extends SparkSpec {
   }
 
   test("eviction selector: v1|v2|auto routes to the right variant, " +
-    "auto by declared cardinality") {
+    "auto by (provider, declared cardinality)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
     val docs = input.toDF().toDF("doc_id", "text", "ts")
@@ -314,14 +314,39 @@ class StreamingDedupSpec extends SparkSpec {
       nearDupFlagsEvictingAuto(docs, "text", "doc_id",
         eviction = eviction, declaredDistinctDocs = declared)
         .queryExecution.logical.toString()
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    // --- default (in-memory) provider session ---
     assert(planOf("v1").contains("FlatMapGroupsWithState"))
-    assert(planOf("v2").contains("TransformWithState"))
-    // auto: below the measured crossover (16k live buckets at 16
-    // bands = 1000 docs) -> v1; above -> v2; undeclared -> scale-safe v2
+    // auto below the measured deployment crossover (16k live buckets
+    // at 16 bands = 1000 docs) -> v1
     assert(planOf("auto", declared = 100).contains("FlatMapGroupsWithState"))
-    assert(planOf("auto", declared = 100000).contains("TransformWithState"))
-    assert(planOf("auto").contains("TransformWithState"))
-    val e = intercept[IllegalArgumentException](planOf("v3"))
-    assert(e.getMessage.contains("v1|v2|auto"))
+    // any v2 pick on a non-RocksDB session fails AT CONSTRUCTION with
+    // a message naming the conf to set (the engine would otherwise
+    // fail at query start with an error that doesn't name the fix)
+    for ((ev, decl) <- Seq(("v2", -1L), ("auto", 100000L), ("auto", -1L))) {
+      val e = intercept[IllegalArgumentException](planOf(ev, decl))
+      assert(e.getMessage.contains(providerConf), s"($ev, $decl)")
+      assert(e.getMessage.contains("RocksDB"), s"($ev, $decl)")
+    }
+    val bad = intercept[IllegalArgumentException](planOf("v3"))
+    assert(bad.getMessage.contains("v1|v2|auto"))
+    // --- RocksDB provider session ---
+    val prior = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf, StreamingDedup.RocksDbProviderClass)
+    try {
+      assert(planOf("v2").contains("TransformWithState"))
+      assert(planOf("auto", declared = 100000).contains("TransformWithState"))
+      assert(planOf("auto").contains("TransformWithState"))
+      // provider already RocksDB -> v2 even below the cardinality
+      // crossover: the same-provider decade table (STREAMBENCH_r15)
+      // shows v2 equal-or-faster at every decade once the store
+      // constant is paid
+      assert(planOf("auto", declared = 100).contains("TransformWithState"))
+      // explicit v1 stays honored regardless of provider
+      assert(planOf("v1").contains("FlatMapGroupsWithState"))
+    } finally prior match {
+      case Some(p) => spark.conf.set(providerConf, p)
+      case None => spark.conf.unset(providerConf)
+    }
   }
 }
