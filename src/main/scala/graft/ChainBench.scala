@@ -119,11 +119,20 @@ object ChainBench {
     // stage-cost gaps.
     val profiler = graft.core.StageProfiler.ifEnabled(spark, "chainprofile")
 
+    // Effective-frequency probe (see MachineCanary.SpinProbe): per
+    // stage, million xorshift iterations per thread-cpu-second. The
+    // reading that tells an episode-inflated cpu_sec from an honest
+    // one — this host's episodes collapse the guest's effective
+    // frequency while /proc/stat steal stays ~0.
+    val spin = new MachineCanary.SpinProbe
+    spin.start()
+
     val stages = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Long, Double, Double, Double)]
+      .empty[String, (Double, Long, Double, Double, Double, Double)]
     var lastCpu = processCpuSec()
     var lastGc = gcSec()
     var lastSteal = stealSec()
+    var lastSpin = spin.snapshot()
     def record(name: String, sec: Double, outPath: String): Long = {
       // dump BEFORE the row-count job below, so the count's scan
       // stages don't pollute the stage being profiled
@@ -134,18 +143,21 @@ object ChainBench {
       val cpuNow = processCpuSec()
       val gcNow = gcSec()
       val stealNow = stealSec()
+      val spinNow = spin.snapshot()
       val cpu = if (cpuNow >= 0 && lastCpu >= 0) cpuNow - lastCpu else -1.0
       val gc = gcNow - lastGc
       val steal =
         if (stealNow >= 0 && lastSteal >= 0) stealNow - lastSteal else -1.0
+      val spinMips = spin.mips(lastSpin, spinNow)
       lastCpu = cpuNow
       lastGc = gcNow
       lastSteal = stealNow
+      lastSpin = spinNow
       val n = spark.read.parquet(outPath).count()
-      stages(name) = (sec, n, cpu, gc, steal)
+      stages(name) = (sec, n, cpu, gc, steal, spinMips)
       System.err.println(
         f"[chain] $name%-24s $sec%8.2f s  rows=$n  cpu=$cpu%.1f " +
-          f"gc=$gc%.1f steal=$steal%.1f")
+          f"gc=$gc%.1f steal=$steal%.1f spin=$spinMips%.0f")
       n
     }
 
@@ -403,12 +415,15 @@ object ChainBench {
     val cpuT = processCpuSec()
     val gcT = gcSec()
     val stealT = stealSec()
+    val spinT = spin.snapshot()
     stages("l2g_train") = (t6, -1L,
       if (cpuT >= 0 && lastCpu >= 0) cpuT - lastCpu else -1.0, gcT - lastGc,
-      if (stealT >= 0 && lastSteal >= 0) stealT - lastSteal else -1.0)
+      if (stealT >= 0 && lastSteal >= 0) stealT - lastSteal else -1.0,
+      spin.mips(lastSpin, spinT))
     lastCpu = cpuT
     lastGc = gcT
     lastSteal = stealT
+    lastSpin = spinT
     System.err.println(f"[chain] l2g_train               $t6%8.2f s")
 
     val scoresOut = s"$work/l2g_scores"
@@ -430,10 +445,12 @@ object ChainBench {
       f"chain sanity: near-gene mean score $near%.3f !> far $far%.3f")
     System.err.println(f"[chain] sanity: mean(score) near=$near%.3f far=$far%.3f leads=$nLeads")
 
-    val js = stages.map { case (k, (s, n, cpu, gc, steal)) =>
+    spin.shutdown()
+    val js = stages.map { case (k, (s, n, cpu, gc, steal, spinMips)) =>
       "\"" + k + "\":{\"sec\":" + f"$s%.2f" + ",\"rows\":" + n +
         ",\"cpu_sec\":" + f"$cpu%.1f" + ",\"gc_sec\":" + f"$gc%.1f" +
-        ",\"steal_sec\":" + f"$steal%.1f" + "}"
+        ",\"steal_sec\":" + f"$steal%.1f" +
+        ",\"spin_mips\":" + f"$spinMips%.0f" + "}"
     }.mkString("{", ",", "}")
     val total = stages.values.map(_._1).sum
     println(s"""{"chain":"genetics","dir":"$dir","stages":$js,""" +

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_gx_overlaps_coloc_e2e" -> (Q.overlapsColocE2E _),
     "q_gx_ecaviar_fused_e2e" -> (Q.ecaviarFusedE2E _),
     "q_gx_pics" -> (Q.picsFinemap _),
+    "q_gx_pics_relational" -> (Q.picsRelational _),
     "q_gx_finemap_e2e" -> (Q.finemapE2e _),
     "q_gx_credset_extraction" -> (Q.credsetExtraction _),
     "q_gx_locus_breaker" -> (Q.locusBreaker _),

@@ -65,8 +65,18 @@ object PICS {
     * window sum keyed on `studyLocusId` — which reuses the upstream
     * partitioning when the credible sets were just grouped on the same
     * key, adding a sort but no exchange. Prefer this whenever the
-    * consumer explodes the locus anyway (e.g. tag-level joins). */
-  def finemapFlat(df: DataFrame, k: Double = 6.4): DataFrame = {
+    * consumer explodes the locus anyway (e.g. tag-level joins).
+    *
+    * `sf` is the survival-function kernel applied to the standardised
+    * deviate — [[graft.functions.StatFns.normSf]] (the real Gaussian
+    * sf) by default, overridable so the relational wrapper (the r²
+    * filter, μ/σ algebra, window normalisation, projection) can be
+    * oracle-checked under a SQL-expressible surrogate while only the
+    * erfc evaluation stays golden-locked (q_gx_pics_relational does
+    * exactly that with exp(−x²/2)). Production callers never pass
+    * it. */
+  def finemapFlat(df: DataFrame, k: Double = 6.4,
+                  sf: Column => Column = StatFns.normSf(_)): DataFrame = {
     val carried = df.columns.filterNot(_ == "ldSet").map(col).toSeq
     val ex = df
       .withColumn("_nlp",
@@ -79,7 +89,7 @@ object PICS {
     val mu = col("_nlp") * r2
     val std0 = abs(sqrt(lit(1.0) - pow(sqrt(r2), lit(k))) * sqrt(col("_nlp")) / 2)
     val std = when(std0 === 0.0, 0.001).otherwise(std0)
-    val rel = StatFns.normSf((col("_nlp") - mu) / std) * 2
+    val rel = sf((col("_nlp") - mu) / std) * 2
     val w = org.apache.spark.sql.expressions.Window.partitionBy("studyLocusId")
     ex.withColumn("_std", std)
       .withColumn("_rel", rel)

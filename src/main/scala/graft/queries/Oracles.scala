@@ -447,6 +447,45 @@ object Oracles {
     * a 155-variant locus — ~1e9 ulps of guard band against the ~1e-14
     * scale of summation-order drift); keep it green after any
     * replant. */
+  /** Mirrors Q.picsRelational / PICS.finemapFlat with the exp(−x²/2)
+    * sf surrogate: neglogp from the p-value codec (−(log10(m)+e), m/e
+    * derived from the groupBy key), the r² ≥ 0.5 / usable-neglogp
+    * filter, μ = nlp·r², σ = |√(1−(√r²)^6.4)·√nlp/2| (0 → 0.001),
+    * rel = 2·exp(−x²/2), per-locus window normalisation, and
+    * standardError = 10^−σ. Parenthesisation mirrors the engine's
+    * column expressions op for op; only q6 quantisation absorbs
+    * sub-ulp libm drift (pow/log10/exp). */
+  val picsRelational: String =
+    s"""WITH tags AS (
+      |  SELECT l_orderkey AS k,
+      |         'v' || CAST(l_partkey AS VARCHAR) AS variant_id,
+      |         l_discount * 10 AS r2,
+      |         -(log10(CAST((l_orderkey % 9) + 1 AS DOUBLE))
+      |           + CAST(-(l_orderkey % 12) - 4 AS DOUBLE)) AS nlp
+      |  FROM lineitem),
+      |base AS (
+      |  SELECT * FROM tags
+      |  WHERE r2 IS NOT NULL AND r2 >= 0.5
+      |    AND nlp IS NOT NULL AND nlp <> 0),
+      |calc AS (
+      |  SELECT *, nlp * r2 AS mu,
+      |         CASE WHEN abs(sqrt(1.0 - pow(sqrt(r2), 6.4)) * sqrt(nlp) / 2) = 0
+      |              THEN 0.001
+      |              ELSE abs(sqrt(1.0 - pow(sqrt(r2), 6.4)) * sqrt(nlp) / 2)
+      |         END AS sd
+      |  FROM base),
+      |rels AS (
+      |  SELECT *,
+      |         exp(-(((nlp - mu) / sd) * ((nlp - mu) / sd)) / 2) * 2 AS rel
+      |  FROM calc),
+      |tot AS (SELECT *, SUM(rel) OVER (PARTITION BY k) AS total FROM rels)
+      |SELECT 'L' || CAST(k AS VARCHAR) AS "studyLocusId",
+      |       variant_id AS "variantId",
+      |       ${q("r2", 6)} AS r2_q6,
+      |       ${q("pow(10.0, -sd)", 6)} AS se_q6,
+      |       ${q("CASE WHEN total <> 0 THEN rel / total END", 6)} AS pp_q6
+      |FROM tot""".stripMargin
+
   val credsetExtraction: String =
     s"""WITH vars AS (
       |  SELECT CAST(l_orderkey % 8 AS INT) AS k,
@@ -3686,6 +3725,7 @@ object Oracles {
     "q_gx_coloc" -> coloc,
     "q_gx_ecaviar" -> ecaviar,
     "q_gx_credset_extraction" -> credsetExtraction,
+    "q_gx_pics_relational" -> picsRelational,
     "q_gx_cluster_top1" -> clusterTop1,
     "q_gx_qc_metrics" -> qcMetrics,
     "q_p2_sanity_filter" -> sanityFilter,

@@ -1005,6 +1005,35 @@ object Q {
         col("posteriorProbability"))
   }
 
+  /** PICS relational wrapper under a SQL-expressible sf surrogate:
+    * the REAL [[PICS.finemapFlat]] path (r² ≥ 0.5 filter, p-value
+    * codec neglogp, μ/σ algebra, window normalisation, standardError
+    * projection) with only the Gaussian-sf kernel swapped for
+    * exp(−x²/2) — every op DuckDB computes with the same IEEE
+    * arithmetic, so the full wrapper gets a value-level oracle and
+    * only the erfc evaluation stays golden-locked (q_gx_pics).
+    * The lead p-value is derived from the groupBy key (not `first()`
+    * over lines) so the plant is partition-order independent; the ×2
+    * on rel cancels exactly in the normalisation (binary scaling) but
+    * is kept on both engines for op-identical evaluation. */
+  def picsRelational(s: SparkSession, dir: String): DataFrame = {
+    val locus = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(
+        concat(lit("v"), col("l_partkey")).as("tagVariantId"),
+        (col("l_discount") * 10).as("r2Overall"))).as("ldSet"))
+      .select(
+        concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
+        ((col("l_orderkey") % 9) + 1).cast("float").as("pValueMantissa"),
+        (-(col("l_orderkey") % 12) - 4).cast("int").as("pValueExponent"),
+        col("ldSet"))
+    PICS.finemapFlat(locus, sf = x => exp(-(x * x) / 2))
+      .select(col("studyLocusId"), col("variantId"),
+        q(col("r2Overall"), 6).as("r2_q6"),
+        q(col("standardError"), 6).as("se_q6"),
+        q(col("posteriorProbability"), 6).as("pp_q6"))
+  }
+
   /** CARMA→RAISS→SuSiE-inf fine-mapping chain end-to-end (no SQL
     * oracle — iterative per-locus numerics; locked by a committed
     * golden digest instead, and each kernel by its own golden spec).

@@ -38,6 +38,38 @@ object Steps {
   case class Step(name: String, description: String,
                   run: (SparkSession, StepArgs) => Unit)
 
+  /** Resolve `dedup_perfect_ld` for the SuSiE-chain steps, making the
+    * choice EXPLICIT rather than a silent caller convention.
+    *
+    * Guidance: set **dedup_perfect_ld=true for real LD panels** —
+    * perfectly-linked SNP groups (pairwise |r| ≈ 1) are common in
+    * high-LD regions, and every CARMA configuration containing such a
+    * pair is rank-deficient (non-finite likelihood → per-locus search
+    * expansion; see
+    * [[graft.finemap.DistributedFineMapper.perfectLdKeepIdx]]).
+    * Set **dedup_perfect_ld=false only for reference-parity runs**:
+    * the reference keeps |r|≈1 duplicates with split posterior mass
+    * (susie_finemapper.py:461-691 has no dedup), and the long-pinned
+    * golden digests lock that keep-both shape. The flag is verified
+    * byte-identical OFF and digest-changing ON against the goldens.
+    *
+    * When the caller does not pass the flag, the step still defaults
+    * to reference-parity OFF (so parity pipelines keep working
+    * unchanged) but says so on stderr with the recommendation — a
+    * real-panel user silently inheriting the degenerate class was the
+    * failure mode this resolver exists to close. */
+  private def resolveDedupPerfectLd(a: StepArgs, step: String): Boolean =
+    a.get("dedup_perfect_ld") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        System.err.println(s"[$step] dedup_perfect_ld not set — " +
+          "defaulting to false (reference-parity: keep |r|~1 duplicate " +
+          "variants with split posterior mass). For REAL LD panels set " +
+          "dedup_perfect_ld=true: perfectly-linked groups make every " +
+          "containing CARMA configuration rank-deficient.")
+        false
+    }
+
   private def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
@@ -103,7 +135,9 @@ object Steps {
       (s, a) => write(PICS.finemap(read(s, a("in"))), a("out"))),
 
     Step("susie_finemapping",
-      "Executor-parallel CARMA→RAISS→SuSiE-inf fine-mapping",
+      "Executor-parallel CARMA→RAISS→SuSiE-inf fine-mapping " +
+        "(dedup_perfect_ld=true recommended on real LD panels; " +
+        "false = reference parity — see resolveDedupPerfectLd)",
       (s, a) => write(
         DistributedFineMapper.finemapAll(s, read(s, a("in")),
           read(s, a("ld")),
@@ -112,11 +146,14 @@ object Steps {
           imputeMissing = a.bool("run_sumstat_imputation", false),
           imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
           ldScoreThreshold = a.double("ld_score_threshold", 5.0),
-          dedupPerfectLd = a.bool("dedup_perfect_ld", false)).toDF(),
+          dedupPerfectLd = resolveDedupPerfectLd(a, "susie_finemapping"))
+          .toDF(),
         a("out"))),
 
     Step("susie_credible_sets",
-      "Per-locus CARMA→RAISS→SuSiE-inf emitting one row per credible set",
+      "Per-locus CARMA→RAISS→SuSiE-inf emitting one row per credible " +
+        "set (dedup_perfect_ld=true recommended on real LD panels; " +
+        "false = reference parity — see resolveDedupPerfectLd)",
       (s, a) => write(
         DistributedFineMapper.finemapCredibleSets(s, read(s, a("in")),
           read(s, a("ld")),
@@ -131,7 +168,8 @@ object Steps {
           imputeMissing = a.bool("run_sumstat_imputation", false),
           imputedR2Threshold = a.double("imputed_r2_threshold", 0.9),
           ldScoreThreshold = a.double("ld_score_threshold", 5.0),
-          dedupPerfectLd = a.bool("dedup_perfect_ld", false)).toDF(),
+          dedupPerfectLd = resolveDedupPerfectLd(a, "susie_credible_sets"))
+          .toDF(),
         a("out"))),
 
     Step("variant_index",

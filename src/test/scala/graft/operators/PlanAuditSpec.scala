@@ -409,6 +409,10 @@ class PlanAuditSpec extends SparkSpec {
       "p-value threshold over fixture-derived mantissa/exponent"),
     "q_gx_locus_extract" -> (Map("unpushedScan" -> 2) ->
       "modulo-derived chromosome/position fixture columns"),
+    "q_gx_pics_relational" -> (Map("unpushedScan" -> 1) ->
+      ("usable-neglogp/r2 filter over fixture-derived p-value codec " +
+        "and l_discount arithmetic: modulo/log10 predicates have no " +
+        "source-filter form")),
     "q_gx_qc_battery_full" -> (Map("unpushedScan" -> 1) ->
       "z-score sanity bound over fixture-derived beta/se arithmetic"),
     "q_j6_ld_annotate" -> (Map("unpushedScan" -> 1) ->
