@@ -39,6 +39,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // small-exchange parallelism floor — same rationale and value as
+      // GraftSession.builder (CPU-dense small shuffles were AQE-
+      // coalesced to 1-3 tasks and ran serial; scale-neutral at
+      // production shuffle sizes where the advisory target decides)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -85,6 +91,10 @@ object Bench {
             SparkEntry.rehearsalQueries(name))(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           rep += 1
+          // per-rep diagnostic (stderr, not part of the artifact): how
+          // much of the recorded min is JIT/codegen warmup vs steady
+          // state is invisible from the single BENCHQ line
+          System.err.println(f"[bench] rep $name $rep sec=$sec%.2f")
           // keep repeating while a heavy query is still JIT-warming
           // (each rep improving the best by >20%) so the reported
           // number is the steady-state cost, not compiler residue;

@@ -24,6 +24,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing reasons in shuffle BYTES, but several operators
+      // here are CPU-dense per byte (window sorts + logsumexp over
+      // small compressed string/struct rows, per-group array kernels):
+      // with the default 1m floor a few-MB exchange coalesces to 1-3
+      // tasks and the downstream stage runs serial (measured: the
+      // q_gx_coloc window+agg stage at 3 tasks, wall ≈ cpu ≈ 2 s; the
+      // fine-mapper hit the same trap and pins an explicit repartition
+      // — DistributedFineMapper.bundleLoci). A 64k floor restores
+      // parallelism on exactly those small CPU-dense exchanges and is
+      // scale-neutral: at production shuffle sizes the advisory target
+      // (64m default) decides partitioning and a 64k floor never
+      // binds. Override via --conf for deployments that prefer the
+      // stock floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")

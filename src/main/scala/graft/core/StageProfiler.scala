@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 final class StageProfiler private (prefix: String) {
   private val stages = scala.collection.mutable.ArrayBuffer
-    .empty[(Int, Long, Long, Long, String)]
+    .empty[(Int, Long, Long, Long, Int, String)]
 
   private[core] def listener: org.apache.spark.scheduler.SparkListener =
     new org.apache.spark.scheduler.SparkListener {
@@ -29,7 +29,7 @@ final class StageProfiler private (prefix: String) {
           yield c - s).getOrElse(-1L)
         stages.synchronized {
           stages += ((si.stageId, wall, si.taskMetrics.executorRunTime,
-            si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten, si.numTasks,
             si.details.linesIterator.find(_.contains("graft"))
               .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(120)))
         }
@@ -39,9 +39,9 @@ final class StageProfiler private (prefix: String) {
   /** Print the top `n` collected stages by executor CPU and clear the
     * buffer; `label` names the unit of work just measured. */
   def dump(label: String, n: Int = 12): Unit = stages.synchronized {
-    stages.sortBy(-_._3).take(n).foreach { case (id, w, cpu, shuf, d) =>
+    stages.sortBy(-_._3).take(n).foreach { case (id, w, cpu, shuf, nt, d) =>
       System.err.println(f"[$prefix] $label stage=$id wall=${w / 1e3}%.2f " +
-        f"cpu=${cpu / 1e3}%.2f shufMB=${shuf / 1e6}%.1f $d")
+        f"cpu=${cpu / 1e3}%.2f shufMB=${shuf / 1e6}%.1f tasks=$nt $d")
     }
     stages.clear()
   }

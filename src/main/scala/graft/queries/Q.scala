@@ -30,16 +30,29 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Round-robin spread of a scan before a CPU-bound derivation. The
+  /** Spread a scan across cores before a CPU-bound derivation. The
     * driver's test tables are single-row-group parquet files, and
     * parquet splits only at row-group boundaries — so every
     * scan-rooted stage otherwise runs as ONE task no matter the core
     * count (measured: an 8.3 s single-task map stage in the rsID
     * mapping). Production tables arrive in many partitions and skip
     * this; the pattern itself (repartition when partitions ≪ cores
-    * before expensive per-row work) is production-valid. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * before expensive per-row work) is production-valid.
+    *
+    * r16: keyed HASH repartition over the caller-named deterministic
+    * high-cardinality key columns, replacing round-robin. A keyless
+    * `repartition(n)` first LOCALLY SORTS its input by full binary row
+    * (`spark.sql.execution.sortBeforeRepartition`, on by default since
+    * SPARK-23207, so retried tasks reproduce the row→partition map) —
+    * and on a single-row-group scan that sort runs serially inside the
+    * ONE scan task, exactly the stage spread() exists to shrink. Hash
+    * partitioning depends only on row content, needs no sort, stays
+    * retry-deterministic, and when the keys equal a downstream
+    * groupBy/window key the exchange is REUSED outright (optimization
+    * guide §2.4/§2.5). Keys must be (near-)unique per row for an even
+    * spread. */
+  private def spread(s: SparkSession, df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, keys: _*)
 
   // ---------------------------------------------------------------- scans
 
@@ -393,6 +406,20 @@ object Q {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
         "l_extendedprice", "l_quantity", "l_discount", "l_tax")
     t(s, dir, "lineitem")
+      // pre-partition on the window keys: without this the planner's
+      // rank-limit pushdown (Sort + WindowGroupLimit) runs BELOW the
+      // window exchange — i.e. a full 11-column sort of the table
+      // inside the ONE task the single-row-group scan gets (measured:
+      // 2.0 s wall ≈ cpu, serial, on the q_gx_coloc hot stage). The
+      // explicit hash repartition is reused by the window
+      // (ClusteredDistribution on the same keys), so the scan task
+      // only scans + projects + writes, and the sort/window/aggregate
+      // all run at full parallelism. Same exchange count; row_number
+      // is order-stable under the total tie-break.
+      .repartition(s.sparkContext.defaultParallelism,
+        concat(lit("L"), col("l_orderkey") % 20),
+        concat(lit("R"), col("l_partkey") % 10),
+        concat(lit("v"), col("l_partkey") % 200))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(
@@ -438,7 +465,8 @@ object Q {
     * building + downstream window/groupBy map sides otherwise run as
     * one task off the single-row-group file). */
   def synthSumstats(s: SparkSession, dir: String): DataFrame =
-    spread(s, t(s, dir, "lineitem")).select(
+    spread(s, t(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_linenumber")).select(
       concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
       (col("l_suppkey") % 3).cast("string").as("chromosome"),
       ((col("l_partkey") * 97) % 1000000).cast("int").as("position"),
@@ -865,7 +893,11 @@ object Q {
     // the invariant Coloc.colocaliseFused relies on (the raw synth has
     // ~0.01% duplicate (locus, variant) pairs); min() keeps the
     // synthesis deterministic and oracle-mirrorable
-    val cred = spread(s, t(s, dir, "lineitem"))
+    // keys = the groupBy keys below: the dedup groupBy then REUSES the
+    // spread exchange (one shuffle, complete agg in parallel) instead
+    // of a serial round-robin-sorted map side + a second exchange
+    val cred = spread(s, t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey", "l_partkey")
       .agg(min(col("l_extendedprice")).as("_price"),
         min(col("l_discount")).as("_disc"),
@@ -968,7 +1000,8 @@ object Q {
     // join side is cheaper than materialising a 60 MB columnar cache.
     // The stats columns matchedTagPairs projects are unused by peaks —
     // Catalyst prunes the literals away.
-    val tags = spread(s, t(s, dir, "lineitem"))
+    val tags = spread(s, t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       .select(
         concat(lit("L"), col("l_orderkey")).as("studyLocusId"),
         concat(lit("s"), col("l_orderkey") % 40).as("studyId"),
@@ -1055,12 +1088,17 @@ object Q {
     * partitioning and partition count (probed: digests identical at 4
     * and 8 CPUs). */
   def finemapE2e(s: SparkSession, dir: String): DataFrame = {
-    val vars = spread(s, t(s, dir, "lineitem"))
+    // filter BEFORE the spread: the slice keeps ~0.06% of lineitem, so
+    // spreading first shuffled the full 600k rows only to drop them
+    // (and l_orderkey <= 12000 / l_linenumber = 1 now push down into
+    // the parquet scan); the keyed spread then moves only the
+    // surviving rows
+    val vars = spread(s, t(s, dir, "lineitem")
       // fixed orderkey slice: the workload is CONSTANT across scale
       // factors (a correctness anchor for the per-locus numerics, not
       // a scan benchmark — the scan cost is negligible either way)
       .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1 &&
-        col("l_orderkey") <= 12000)
+        col("l_orderkey") <= 12000), col("l_orderkey"))
       .select(
         concat(lit("L"), col("l_orderkey") % 16).as("locusId"),
         concat(lit("v"), col("l_orderkey")).as("variantId"),
@@ -1738,7 +1776,9 @@ object Q {
 
   /** Shared synthetic credible sets for the L2G queries. */
   private def l2gCredSets(s: SparkSession, dir: String): DataFrame =
-    spread(s, t(s, dir, "lineitem"))
+    // spread key = the groupBy key: the aggregation reuses the spread
+    // exchange (one shuffle, complete agg in parallel)
+    spread(s, t(s, dir, "lineitem"), col("l_orderkey"))
       // min/deterministic aggregates so the lead variant (sentinel) is
       // reproducible across engines. Aggregate NUMERIC keys and build
       // the strings afterwards: min(string) has no mutable agg buffer,
@@ -1804,7 +1844,8 @@ object Q {
     // those duplicated source aggregations and their serial
     // materialisation jobs cost more than the feature math itself.
     val srcCache = graft.core.CacheHandle()
-    val flatCred = srcCache.persist(spread(s, t(s, dir, "lineitem"))
+    val flatCred = srcCache.persist(
+      spread(s, t(s, dir, "lineitem"), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(min(col("l_partkey")).as("_leadPart"),
         min(col("l_suppkey") % 3).as("_chrom"),
@@ -1887,7 +1928,9 @@ object Q {
     // re-explode (the costliest input materialisation at sf0.1); the
     // sentinel is a numeric window-min, one shuffle on the order key
     val tagW = Window.partitionBy(col("l_orderkey"))
-    val tags = spread(s, t(s, dir, "lineitem"))
+    // spread key = the window partition key: the sentinel window
+    // reuses the spread exchange
+    val tags = spread(s, t(s, dir, "lineitem"), col("l_orderkey"))
       .select(col("l_orderkey"), col("l_partkey"),
         (col("l_discount") * 10).as("posteriorProbability"),
         min(col("l_partkey")).over(tagW).as("_leadPart"))
@@ -2020,7 +2063,7 @@ object Q {
   def rsidGnomadMapping(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GwasCatalogAssociations
     val alleles = array(lit("A"), lit("C"), lit("G"), lit("T"))
-    val assoc = spread(s, t(s, dir, "orders")).select(
+    val assoc = spread(s, t(s, dir, "orders"), col("o_orderkey")).select(
       concat(lit("a"), col("o_orderkey")).as("rowId"),
       (col("o_custkey") % 3).cast("string").as("CHR_ID"),
       ((col("o_orderkey") * 61) % 100000).cast("string").as("CHR_POS"),
@@ -2029,7 +2072,8 @@ object Q {
       concat(lit("rs"), col("o_orderkey") % 5000, lit("-"),
         element_at(alleles, (col("o_orderkey") % 4 + 1).cast("int")))
         .as("STRONGEST SNP-RISK ALLELE"))
-    val vi = spread(s, t(s, dir, "lineitem")).select(
+    val vi = spread(s, t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber")).select(
       concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
         .as("variantId"),
       (col("l_suppkey") % 3).cast("string").as("chromosome"),
@@ -2424,8 +2468,9 @@ object Q {
     * CARMA→RAISS→SuSiE-inf chain are identical to the registered
     * query. */
   def finemapScaled(s: SparkSession, dir: String): DataFrame = {
-    val vars = spread(s, t(s, dir, "lineitem"))
-      .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1)
+    val vars = spread(s, t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1),
+      col("l_orderkey"))
       .select(
         concat(lit("L"), floor(col("l_orderkey") / 1000)).as("locusId"),
         concat(lit("v"), col("l_orderkey")).as("variantId"),
@@ -2510,7 +2555,7 @@ object Q {
     val posSpace = 100000L * f
     val rsSpace = 5000L * f
     val alleles = array(lit("A"), lit("C"), lit("G"), lit("T"))
-    val assoc = spread(s, t(s, dir, "orders")).select(
+    val assoc = spread(s, t(s, dir, "orders"), col("o_orderkey")).select(
       concat(lit("a"), col("o_orderkey")).as("rowId"),
       (col("o_custkey") % 3).cast("string").as("CHR_ID"),
       ((col("o_orderkey") * 61) % posSpace).cast("string").as("CHR_POS"),
@@ -2519,7 +2564,8 @@ object Q {
       concat(lit("rs"), col("o_orderkey") % rsSpace, lit("-"),
         element_at(alleles, (col("o_orderkey") % 4 + 1).cast("int")))
         .as("STRONGEST SNP-RISK ALLELE"))
-    val vi = spread(s, t(s, dir, "lineitem")).select(
+    val vi = spread(s, t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber")).select(
       concat(lit("v"), col("l_orderkey"), lit("_"), col("l_linenumber"))
         .as("variantId"),
       (col("l_suppkey") % 3).cast("string").as("chromosome"),
