@@ -552,14 +552,16 @@ object Q {
 
   /** Exact n-gram Jaccard near-dup pairs. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.ngramJaccardPairs(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
       shingleSize = 3, threshold = 0.4)
       .select(col("idA"), col("idB"), q(col("jaccard"), 6).as("jaccard_q6"))
 
   /** Directed shingle-containment pairs — near-supersets a Jaccard
     * threshold misses (short doc embedded in a long one). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.containmentPairs(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
       shingleSize = 3, threshold = 0.5)
       .select(col("idSub").as("id_sub"), col("idSuper").as("id_super"),
         q(col("containment"), 6).as("containment_q6"))
@@ -634,7 +636,8 @@ object Q {
     import s.implicits._
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
-    Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id", qs, k = 10)
+    Search.bm25TopK(spread(s, t(s, dir, "documents"), col("doc_id")),
+        "text", "doc_id", qs, k = 10)
       .select(col("query_id"), col("rank"), col("doc_id"),
         q(col("score"), 6).as("score_q6"))
   }
@@ -645,7 +648,7 @@ object Q {
     import s.implicits._
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     // one index build = one corpus tokenise pass shared by both
     // systems (bm25SearchIndex ≡ bm25TopK is spec-pinned)
     val idx = Search.bm25IndexBuild(docs, "text", "doc_id")
@@ -668,7 +671,8 @@ object Q {
     import s.implicits._
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
-    val lex = Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id", qs,
+    val lex = Search.bm25TopK(
+        spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id", qs,
         k = 10)
       .select("query_id", "rank", "doc_id")
     val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
@@ -695,7 +699,7 @@ object Q {
     * hashed-n-gram distribution best matches the English sub-corpus
     * (Gumbel-top-k over the target/corpus log-ratio weight). */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     ImportanceSampling.dsirSelect(docs, docs.filter(col("lang") === "en"),
         "text", "doc_id", k = 100, buckets = 4096)
       .select(col("doc_id"), col("lang"), col("logw_nano"),
@@ -704,13 +708,15 @@ object Q {
 
   /** c-TF-IDF cluster labelling: top-5 terms per source domain. */
   def textClusterTerms(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.clusterTopTerms(t(s, dir, "documents"), "source", "text",
+    TextAnalysis.clusterTopTerms(
+        spread(s, t(s, dir, "documents"), col("doc_id")), "source", "text",
         k = 5, minTermCount = 2)
       .select(col("cluster"), col("rank"), col("term"), col("ctf"),
         col("f_t"), q(col("score"), 6).as("score_q6"))
 
   def textCooccurrence(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.termCooccurrence(t(s, dir, "documents"), "text", "doc_id",
+    TextAnalysis.termCooccurrence(
+        spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
         minPairCount = 5, stopDfFrac = 0.9)
       .select(col("term_a"), col("term_b"), col("n_pairs"),
         col("df_a"), col("df_b"), q(col("pmi"), 6).as("pmi_q6"))
@@ -1226,7 +1232,7 @@ object Q {
     * of the LSH-blocked embeddingDupPairs path). */
   def embeddingDup(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceDupPairs(
-      t(s, dir, "embeddings")
+      spread(s, t(s, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("embedding")),
       threshold = 0.4)
@@ -1235,7 +1241,7 @@ object Q {
   /** Hard negatives for the first 5 vectors: top-5 cosine neighbours
     * excluding each query's own cosine-0.4 near-dup cluster. */
   def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = spread(s, t(s, dir, "embeddings"), col("vec_id"))
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("embedding"))
     val pairs = Similarity.bruteForceDupPairs(emb, threshold = 0.4)
@@ -1289,12 +1295,14 @@ object Q {
 
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.minhashDupPairs(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
 
   /** SimHash near-dup pairs (no SQL oracle). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDupPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashDupPairs(spread(s, t(s, dir, "documents"),
+      col("doc_id")), "text", "doc_id", maxHamming = 3)
 
   /** LSH ANN top-k. DuckDB-hash-checked end to end: the plane
     * components are two xxhash64-of-long rounds (the oracle replays
@@ -1388,13 +1396,15 @@ object Q {
 
   /** MinHash LSH pairs, md5-anchored variant (SQL oracle). */
   def minhashPairsMd5(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.minhashDupPairsMd5(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
 
   /** SimHash pairs, md5-anchored 60-bit variant (SQL oracle). */
   def simhashPairsMd5(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.simhashDupPairsMd5(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
       maxHamming = 3)
 
   /** Near-dup clusters: connected components over the md5-anchored
@@ -1403,7 +1413,8 @@ object Q {
     * a recursive CTE over the same SQL-derived pair list, pinning the
     * whole pairs→clusters path. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
+    val pairs = Dedup.minhashDupPairsMd5(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text",
       "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").cast("long").as("docId"),
@@ -1455,7 +1466,8 @@ object Q {
 
   /** Size histogram of the minhash near-dup clusters. */
   def dedupClusterHistogram(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
+    val pairs = Dedup.minhashDupPairsMd5(
+      spread(s, t(s, dir, "documents"), col("doc_id")), "text",
       "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.clusterSizeHistogram(pairs)
   }
@@ -1463,7 +1475,7 @@ object Q {
   /** Quality-aware dedup survivors: per minhash near-dup cluster keep
     * the longest document (ties → smallest id). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.keepClusterBest(docs, "doc_id", "n_chars", pairs)
@@ -1474,7 +1486,7 @@ object Q {
     * near-dup cluster representative, so dup clusters never straddle
     * a split boundary. */
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Mixing.assignSplitLeakageSafe(docs, "doc_id", pairs,
@@ -1510,7 +1522,7 @@ object Q {
     * full-corpus pair set restricted to pairs with ≥1 arrival
     * side). */
   def dedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     val index = IncrementalDedup.minhashIndex(
       docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
     val arrivals = IncrementalDedup.minhashIndex(
@@ -1522,7 +1534,7 @@ object Q {
   }
 
   def dedupIncrementalMinhashMd5(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     val index = IncrementalDedup.minhashIndex(
       docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", md5Base = true)
     val arrivals = IncrementalDedup.minhashIndex(
@@ -1619,7 +1631,7 @@ object Q {
     * benchmark document's distinct 3-gram shingles (benchmark = the
     * deterministic doc_id % 37 subset; self-matches excluded). */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     Decontamination.contaminationPairs(docs,
       docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
       .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
@@ -1632,7 +1644,7 @@ object Q {
     * and the exact join removes its false positives, so the result set
     * is identical; the query pins that equivalence end-to-end. */
   def decontaminationBloom(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
     Decontamination.contaminationPairsBloom(docs,
       docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
       .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
