@@ -552,16 +552,14 @@ object Q {
 
   /** Exact n-gram Jaccard near-dup pairs. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleSize = 3, threshold = 0.4)
       .select(col("idA"), col("idB"), q(col("jaccard"), 6).as("jaccard_q6"))
 
   /** Directed shingle-containment pairs — near-supersets a Jaccard
     * threshold misses (short doc embedded in a long one). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleSize = 3, threshold = 0.5)
       .select(col("idSub").as("id_sub"), col("idSuper").as("id_super"),
         q(col("containment"), 6).as("containment_q6"))
@@ -1295,14 +1293,12 @@ object Q {
 
   /** MinHash LSH near-dup pairs (xxhash64 — no SQL oracle). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairs(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+    Dedup.minhashDupPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
 
   /** SimHash near-dup pairs (no SQL oracle). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDupPairs(spread(s, t(s, dir, "documents"),
-      col("doc_id")), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashDupPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
 
   /** LSH ANN top-k. DuckDB-hash-checked end to end: the plane
     * components are two xxhash64-of-long rounds (the oracle replays
@@ -1396,15 +1392,13 @@ object Q {
 
   /** MinHash LSH pairs, md5-anchored variant (SQL oracle). */
   def minhashPairsMd5(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairsMd5(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+    Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("idA"), col("idB"), q(col("similarity"), 6).as("sim_q6"))
 
   /** SimHash pairs, md5-anchored 60-bit variant (SQL oracle). */
   def simhashPairsMd5(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDupPairsMd5(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+    Dedup.simhashDupPairsMd5(t(s, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
 
   /** Near-dup clusters: connected components over the md5-anchored
@@ -1413,8 +1407,7 @@ object Q {
     * a recursive CTE over the same SQL-derived pair list, pinning the
     * whole pairs→clusters path. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashDupPairsMd5(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text",
+    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
       "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").cast("long").as("docId"),
@@ -1466,8 +1459,7 @@ object Q {
 
   /** Size histogram of the minhash near-dup clusters. */
   def dedupClusterHistogram(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashDupPairsMd5(
-      spread(s, t(s, dir, "documents"), col("doc_id")), "text",
+    val pairs = Dedup.minhashDupPairsMd5(t(s, dir, "documents"), "text",
       "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.clusterSizeHistogram(pairs)
   }
@@ -1475,7 +1467,7 @@ object Q {
   /** Quality-aware dedup survivors: per minhash near-dup cluster keep
     * the longest document (ties → smallest id). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.keepClusterBest(docs, "doc_id", "n_chars", pairs)
@@ -1486,7 +1478,7 @@ object Q {
     * near-dup cluster representative, so dup clusters never straddle
     * a split boundary. */
   def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashDupPairsMd5(docs, "text", "doc_id",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Mixing.assignSplitLeakageSafe(docs, "doc_id", pairs,
@@ -1522,7 +1514,7 @@ object Q {
     * full-corpus pair set restricted to pairs with ≥1 arrival
     * side). */
   def dedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     val index = IncrementalDedup.minhashIndex(
       docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
     val arrivals = IncrementalDedup.minhashIndex(
@@ -1534,7 +1526,7 @@ object Q {
   }
 
   def dedupIncrementalMinhashMd5(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     val index = IncrementalDedup.minhashIndex(
       docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", md5Base = true)
     val arrivals = IncrementalDedup.minhashIndex(
@@ -1631,8 +1623,9 @@ object Q {
     * benchmark document's distinct 3-gram shingles (benchmark = the
     * deterministic doc_id % 37 subset; self-matches excluded). */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
-    Decontamination.contaminationPairs(docs,
+    val docs = t(s, dir, "documents")
+    Decontamination.contaminationPairs(
+      spread(s, docs, col("doc_id")),
       docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
       .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
       .select(col("corpusId"), col("benchId"), col("overlap"),
@@ -1644,8 +1637,9 @@ object Q {
     * and the exact join removes its false positives, so the result set
     * is identical; the query pins that equivalence end-to-end. */
   def decontaminationBloom(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
-    Decontamination.contaminationPairsBloom(docs,
+    val docs = t(s, dir, "documents")
+    Decontamination.contaminationPairsBloom(
+      spread(s, docs, col("doc_id")),
       docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
       .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
       .select(col("corpusId"), col("benchId"), col("overlap"),
