@@ -1054,7 +1054,13 @@ object Q {
     * on rel cancels exactly in the normalisation (binary scaling) but
     * is kept on both engines for op-identical evaluation. */
   def picsRelational(s: SparkSession, dir: String): DataFrame = {
-    val locus = t(s, dir, "lineitem")
+    // keyed spread = the groupBy key: the collect_list partial no
+    // longer runs inside the serial single-row-group scan task, and
+    // the aggregation reuses the spread exchange. Unlike q_gx_pics
+    // (whose lead p-value is a partition-order-dependent first()),
+    // everything here derives from the groupBy KEY, so ldSet order is
+    // free to change (per-tag math + a q6-quantised window sum).
+    val locus = spread(s, t(s, dir, "lineitem"), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(struct(
         concat(lit("v"), col("l_partkey")).as("tagVariantId"),
@@ -1750,6 +1756,13 @@ object Q {
     // deterministic synthesis: p-value injective in the variant key so
     // the running-window tie order cannot differ between engines
     val slim = t(s, dir, "lineitem")
+      // pre-partition on the groupBy keys so the synthesis aggregation
+      // runs in parallel off one reused exchange instead of a partial
+      // agg inside the serial single-row-group scan task (max() only —
+      // partition-order free)
+      .repartition(s.sparkContext.defaultParallelism,
+        col("l_partkey") % 2000, concat(lit("s"), col("l_orderkey") % 5),
+        (col("l_suppkey") % 3).cast("string"))
       .groupBy((col("l_partkey") % 2000).as("vKey"),
         concat(lit("s"), col("l_orderkey") % 5).as("studyId"),
         (col("l_suppkey") % 3).cast("string").as("chromosome"))
