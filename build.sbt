@@ -44,3 +44,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreted (3-4x slower than the same query in a fresh JVM)
   "-XX:ReservedCodeCacheSize=1g",
 )
+
+// Bench JSON contract (r17): the driver invokes `sbt "runMain graft.Bench"`
+// and reads a ~2000-char stdout tail, expecting the bench's one-line JSON
+// as a parseable line. sbt's default LoggedOutput strategy prefixes every
+// forked-run stdout line with "[info] " and appends its own
+// "[success] Total time: ..." line after the run — so the JSON line has
+// never parsed (BENCH_r*.json "parsed": null every round). StdoutOutput
+// passes the forked JVM's stdout through verbatim (stderr likewise), and
+// showSuccess=false drops the trailing [success] line, leaving the bench
+// JSON as the final, unprefixed line of the sbt process's stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// exclude it from the unused-key lint so the warning doesn't precede
+// every run
+Global / excludeLintKeys += showSuccess

@@ -41,10 +41,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // small-exchange parallelism floor — same rationale and value as
       // GraftSession.builder (CPU-dense small shuffles were AQE-
-      // coalesced to 1-3 tasks and ran serial; scale-neutral at
-      // production shuffle sizes where the advisory target decides)
+      // coalesced to 1-3 tasks and ran serial; see the blast-radius
+      // note there: with parallelismFirst=true the floor governs
+      // exchanges under ~parallelism × 1 MB total, by design).
+      // Env-overridable (r17) so floor-vs-stock A/B probes can
+      // interleave without a rebuild; default unchanged.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "64k")
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

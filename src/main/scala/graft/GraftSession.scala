@@ -32,11 +32,18 @@ object GraftSession {
       // q_gx_coloc window+agg stage at 3 tasks, wall ≈ cpu ≈ 2 s; the
       // fine-mapper hit the same trap and pins an explicit repartition
       // — DistributedFineMapper.bundleLoci). A 64k floor restores
-      // parallelism on exactly those small CPU-dense exchanges and is
-      // scale-neutral: at production shuffle sizes the advisory target
-      // (64m default) decides partitioning and a 64k floor never
-      // binds. Override via --conf for deployments that prefer the
-      // stock floor.
+      // parallelism on exactly those small CPU-dense exchanges.
+      // Production blast radius (r17, corrected): with
+      // coalescePartitions.parallelismFirst=true (the default) AQE
+      // targets max(totalShuffleBytes / defaultParallelism,
+      // minPartitionSize) — NOT the 64m advisory target — so this
+      // floor changes behaviour on any exchange totalling under
+      // ~(cluster parallelism × 1 MB): those coalesce toward
+      // parallelism-many tasks instead of 1 MB-sized ones. That is the
+      // intended trade (more tasks on small CPU-dense exchanges);
+      // exchanges past that band are governed by totalBytes /
+      // parallelism either way and never see the floor. Override via
+      // --conf for deployments that prefer the stock 1m floor.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

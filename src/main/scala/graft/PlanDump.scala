@@ -23,6 +23,14 @@ object PlanDump {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // mirror the two bench-child settings the dump session used to
+      // omit (r17): the AQE floor is runtime-only but belongs here for
+      // the claim to hold exactly, and a non-UTC host timezone can
+      // fold timestamp expressions differently at PLAN time, making a
+      // dumped plan diverge from the benched plan
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -37,8 +45,15 @@ object PlanDump {
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(outDir, s"$name.txt"), txt)
           // summary line: Exchange count + join operators, for a quick
-          // registry-wide scan of plan shapes
-          val exchanges = txt.linesIterator.count(_.contains("Exchange"))
+          // registry-wide scan of plan shapes. Count only the
+          // FormattedMode detail-section operator headers
+          // "(n) Exchange" / "(n) BroadcastExchange" (r17): the old
+          // substring count double-counted each exchange (tree line +
+          // detail line) and swept in ReusedExchange / AQEShuffleRead
+          // lines, so absolute counts read ~2x the real shuffle count.
+          val exchangeHdr = """^\(\d+\) (Exchange|BroadcastExchange)""".r
+          val exchanges = txt.linesIterator
+            .count(l => exchangeHdr.findFirstIn(l.trim).isDefined)
           val joins = txt.linesIterator
             .filter(l => l.contains("Join") && l.trim.startsWith("+-") ||
               l.contains("Join") && l.trim.startsWith(":") ||

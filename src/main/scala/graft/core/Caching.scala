@@ -29,11 +29,42 @@ import org.apache.spark.storage.StorageLevel
   */
 class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` at the handle's storage level and remember it. */
   def persist(df: DataFrame): DataFrame = synchronized {
     frames += df.persist(level)
     df
+  }
+
+  /** Persist `df` with PLAN TRUNCATION: a (lazy) local checkpoint.
+    *
+    * [[persist]] leaves an InMemoryRelation in the logical plan, and
+    * every scan site of the cached frame EMBEDS its full cached
+    * subtree — a frame scanned from 6 consumers contributes its plan
+    * 6 times to analysis/optimization/codegen (the q_ml_l2g_features
+    * formatted plan carried 51 embedded cache subtrees over 1,856
+    * lines; ~3-4 s of its ~6 s recorded cost was planning + codegen,
+    * not execution). A local checkpoint replaces the subtree with a
+    * leaf `LogicalRDD` (optimization guide §3: "materialising an
+    * intermediate result … truncates the plan"), so each consumer
+    * costs one scan-leaf node regardless of how complex the frame's
+    * own plan was. The checkpoint is NON-EAGER: no job runs here
+    * (under AQE the exchange stages of the frame's plan do run at
+    * first materialisation, exactly as the persist path pays them);
+    * [[materialize]] counts these frames like persisted ones. The
+    * trade: checkpointed partitions store row-based (vs columnar
+    * cache) and are not fault-tolerant to executor loss — at cluster
+    * scale a reliable checkpoint / write-and-read-back is the
+    * equivalent with the same plan-truncation property.
+    *
+    * Release discipline: `cacheManager.clearCache()` does NOT drop
+    * checkpointed RDDs, so frames persisted this way MUST be released
+    * through this handle (register it query-scoped). */
+  def persistTruncated(df: DataFrame): DataFrame = synchronized {
+    val cp = df.localCheckpoint(eager = false)
+    checkpointed += cp
+    cp
   }
 
   /** Compute and cache every registered frame NOW. Without this, the
@@ -59,7 +90,8 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
     * its parent no longer silently grows the duplicated-compute
     * window. */
   def materialize(): Unit = {
-    val fs = CacheHandle.parentsFirst(synchronized { frames.toList })
+    val fs = CacheHandle.parentsFirst(
+      synchronized { frames.toList ++ checkpointed.toList })
     if (fs.sizeIs <= 1) fs.foreach(_.count())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -77,12 +109,35 @@ class CacheHandle(level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   def release(blocking: Boolean = false): Unit = synchronized {
     frames.foreach(_.unpersist(blocking))
     frames.clear()
+    // checkpointed frames persist through their backing RDD, not the
+    // cache manager — unpersist the RDD behind the LogicalRDD leaf
+    checkpointed.foreach { cp =>
+      cp.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking)
+        case _ => ()
+      }
+    }
+    checkpointed.clear()
   }
 }
 
 object CacheHandle {
   def apply(): CacheHandle = new CacheHandle()
   def apply(level: StorageLevel): CacheHandle = new CacheHandle(level)
+
+  /** Global A/B gate for plan-truncating persists: ON by default;
+    * `-Dgraft.plan.truncate=off` / `GRAFT_PLAN_TRUNCATE=off` replays
+    * the plan-embedding InMemoryRelation shape (measurement hook for
+    * interleaved A/B legs without a rebuild). */
+  private[graft] def truncateOn: Boolean =
+    !sys.props.get("graft.plan.truncate")
+      .orElse(sys.env.get("GRAFT_PLAN_TRUNCATE")).contains("off")
+
+  /** [[CacheHandle.persistTruncated]] under the [[truncateOn]] gate. */
+  private[graft] def persistMaybeTruncated(h: CacheHandle,
+                                           df: DataFrame): DataFrame =
+    if (truncateOn) h.persistTruncated(df) else h.persist(df)
 
   /** Topological order for [[CacheHandle.materialize]]: parents (frames
     * whose analyzed plan is a subtree of another frame's plan) first.
@@ -126,6 +181,7 @@ object CacheHandle {
   /** No-op handle: `persist` passes through, nothing is cached. */
   val disabled: CacheHandle = new CacheHandle() {
     override def persist(df: DataFrame): DataFrame = df
+    override def persistTruncated(df: DataFrame): DataFrame = df
     override def materialize(): Unit = ()
     override def release(blocking: Boolean): Unit = ()
   }

@@ -525,11 +525,25 @@ object L2GFeatures {
     * per-family local aggregates have a single consumer and are never
     * persisted. Callers release via `cache.release()` after the
     * terminal action on the matrix. */
+  /** r17: the factory's shared frames are persisted PLAN-TRUNCATED by
+    * default — each shared frame goes through
+    * [[graft.core.CacheHandle.persistTruncated]] (lazy local
+    * checkpoint), so every one of its scan sites contributes a leaf
+    * node to the consumer plan instead of re-embedding the frame's
+    * full subtree (the r16 q_ml_l2g_features plan carried 51 embedded
+    * cache subtrees over 1,856 lines; planning + codegen were ~3-4 s
+    * of its ~6 s recorded cost). `GRAFT_PLAN_TRUNCATE=off` replays the
+    * r16 InMemoryRelation shape (A/B measurement hook, like
+    * GRAFT_L2G_MERGE). */
+  private[graft] def persistSharedFrame(cache: graft.core.CacheHandle,
+                                        df: DataFrame): DataFrame =
+    graft.core.CacheHandle.persistMaybeTruncated(cache, df)
+
   def computeFeatureMatrix(in: Inputs, persistShared: Boolean = true,
                            cache: graft.core.CacheHandle =
                              graft.core.CacheHandle()): DataFrame = {
     def shared(df: DataFrame): DataFrame =
-      if (persistShared) cache.persist(df) else df
+      if (persistShared) persistSharedFrame(cache, df) else df
     // tags feed exactly one join (the fused tag-family block) — no persist
     val tags = in.tags.getOrElse(explodedTags(in.credSets))
     val cons = in.variantIndex.map(vi => shared(explodedConsequences(vi)))
@@ -582,9 +596,20 @@ object L2GFeatures {
           when(col("biotype") === "protein_coding", lit(1.0))
             .otherwise(lit(0.0)))).as("isProteinCoding"))
       val aggs = distAggs ++ vepAggs
-      // single consumer (the window below reads it once) — no persist
-      val local = tags
-        .join(right, Seq("tagVariantId"))
+      // r17: when the neighbourhood window follows, pre-partition the
+      // joined tag block on studyLocusId — hash(studyLocusId) satisfies
+      // the groupBy(studyLocusId, geneId) clustering (subset rule,
+      // guide §2.4) AND the window's partitionBy(studyLocusId), so ONE
+      // exchange serves both where the old shape paid two
+      // (Exchange(sl,g) for the agg + Exchange(sl) for the window).
+      // The trade — the shared exchange moves raw joined rows instead
+      // of agg-reduced pairs — is cheap here: the (locus, gene) agg
+      // reduces rows <2x, far less than a full exchange costs.
+      val joined = tags.join(right, Seq("tagVariantId"))
+      val preparted =
+        if (in.genes.isDefined) joined.repartition(col("studyLocusId"))
+        else joined
+      val local = preparted
         .groupBy("studyLocusId", "geneId")
         .agg(aggs.head, aggs.tail: _*)
       frames += (in.genes match {

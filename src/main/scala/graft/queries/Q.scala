@@ -50,9 +50,24 @@ object Q {
     * retry-deterministic, and when the keys equal a downstream
     * groupBy/window key the exchange is REUSED outright (optimization
     * guide §2.4/§2.5). Keys must be (near-)unique per row for an even
-    * spread. */
-  private def spread(s: SparkSession, df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, keys: _*)
+    * spread.
+    *
+    * r17: conditional on the INPUT partitioning — a no-op when the
+    * source already carries >= defaultParallelism partitions, so the
+    * single-row-group rescue can never become a full-corpus reshuffle
+    * (plus a parallelism clamp) on a production table that arrives in
+    * thousands of input partitions. The partition count comes from the
+    * physical scan split (`df.rdd.getNumPartitions` — file listing
+    * only, no job). The signature requires at least one key: a
+    * zero-key call would silently fall back to RoundRobinPartitioning
+    * with its serial sortBeforeRepartition pass — exactly the
+    * pathology r16 removed. */
+  private def spread(s: SparkSession, df: DataFrame, key: Column,
+                     more: Column*): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, (key +: more): _*)
+  }
 
   // ---------------------------------------------------------------- scans
 
@@ -947,6 +962,15 @@ object Q {
     * each query's terminal action, so the tags frame stops occupying
     * storage memory for the remainder of a shared-session suite. */
   private val e2eTagsCache =
+    graft.core.CacheHandle.queryScoped(graft.core.CacheHandle())
+
+  /** Cache handle scoping [[l2gFullFeatures]]'s shared source frames
+    * to the most recent invocation (release-then-persist, exactly the
+    * [[e2eTagsCache]] discipline). Object-level + query-scoped is
+    * MANDATORY here, not just tidy: the r17 plan-truncating persists
+    * are backed by checkpointed RDDs that `cacheManager.clearCache()`
+    * cannot see — only this handle's release() drops them. */
+  private val l2gSrcCache =
     graft.core.CacheHandle.queryScoped(graft.core.CacheHandle())
 
   /** The r12 lifecycle chain's fine-mapping locus extraction as an
@@ -1862,8 +1886,18 @@ object Q {
     // lineitem groupBy once per persisted consumer — at bench scale
     // those duplicated source aggregations and their serial
     // materialisation jobs cost more than the feature math itself.
-    val srcCache = graft.core.CacheHandle()
-    val flatCred = srcCache.persist(
+    // r17: persists go through the plan-truncating gate (lazy local
+    // checkpoint — see L2GFeatures.truncatePlans): every scan site of
+    // a shared frame is then a LogicalRDD leaf instead of an embedded
+    // InMemoryRelation subtree, collapsing the 1,856-line / 51-cache-
+    // subtree formatted plan whose planning+codegen dominated this
+    // query's recorded cost. Checkpointed RDDs are NOT dropped by
+    // cacheManager.clearCache(), so the handle is object-level and
+    // query-scoped (release-then-persist, same discipline as
+    // e2eTagsCache).
+    l2gSrcCache.release()
+    val srcCache = l2gSrcCache
+    val flatCred = L2GFeatures.persistSharedFrame(srcCache,
       spread(s, t(s, dir, "lineitem"), col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(min(col("l_partkey")).as("_leadPart"),
@@ -1906,7 +1940,7 @@ object Q {
         (col("_sk") + 1000).as("studyId"))
     // tiny (500 rows) but read by the studyLoci union AND the study
     // index — persist so the orders aggregation runs once
-    val qtlLociP = srcCache.persist(qtlLoci)
+    val qtlLociP = L2GFeatures.persistSharedFrame(srcCache, qtlLoci)
     // both studyLoci and studyIndex now derive from the two caches
     // above — no separate persists or counts; each consumer pays a
     // cache scan plus a 500-row union

@@ -272,6 +272,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window rank leaked into bm25 plan:\n$p")
   }
 
+  test("spread() is conditional on input partitioning: the single-row-group " +
+    "rescue repartition disappears on a pre-partitioned corpus") {
+    // the r16 keyed spread() exists to rescue single-row-group test
+    // parquet (1 scan task regardless of cores); at 100 TB a corpus
+    // arrives in thousands of input partitions and the same call must
+    // be a NO-OP — not a full-corpus reshuffle into defaultParallelism
+    // partitions. One file per scan partition is forced via
+    // maxPartitionBytes so the small test files are not packed into a
+    // single split (openCost packing would hide the layout).
+    val dir = java.nio.file.Files.createTempDirectory("spread_guard").toString
+    val docs = (1L to 64L)
+      .map(i => (i, s"alpha beta corpus document number $i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    try {
+      withSQLConf("spark.sql.files.maxPartitionBytes" -> "16k") {
+        // single-partition layout: the rescue must fire
+        docs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        val p1 = plan(graft.queries.Q.searchBm25(spark, dir))
+        assert(p1.contains("REPARTITION_BY_NUM"),
+          s"spread() missing on a single-partition input:\n$p1")
+        // pre-partitioned layout (>= defaultParallelism files): no-op
+        docs.repartition(spark.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val p2 = plan(graft.queries.Q.searchBm25(spark, dir))
+        assert(!p2.contains("REPARTITION_BY_NUM"),
+          s"spread() fired on a pre-partitioned input:\n$p2")
+      }
+    } finally {
+      graft.core.CacheHandle.releaseQueryScoped()
+      spark.sharedState.cacheManager.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("chunkDocuments plans with zero exchanges — pure map-side work") {
     val p = plan(TextAnalysis.chunkDocuments(docs, "text", "doc_id",
       maxTokens = 3, overlapTokens = 1))
