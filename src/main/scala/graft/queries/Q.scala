@@ -649,7 +649,7 @@ object Q {
     import s.implicits._
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
-    Search.bm25TopK(spread(s, t(s, dir, "documents"), col("doc_id")),
+    Search.bm25TopK(t(s, dir, "documents"),
         "text", "doc_id", qs, k = 10)
       .select(col("query_id"), col("rank"), col("doc_id"),
         q(col("score"), 6).as("score_q6"))
@@ -661,7 +661,7 @@ object Q {
     import s.implicits._
     val qs = Seq((1L, "spark window agg"), (2L, "customer order query"),
       (3L, "vector hash join")).toDF("query_id", "qtext")
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     // one index build = one corpus tokenise pass shared by both
     // systems (bm25SearchIndex ≡ bm25TopK is spec-pinned)
     val idx = Search.bm25IndexBuild(docs, "text", "doc_id")
@@ -712,7 +712,7 @@ object Q {
     * hashed-n-gram distribution best matches the English sub-corpus
     * (Gumbel-top-k over the target/corpus log-ratio weight). */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(s, t(s, dir, "documents"), col("doc_id"))
+    val docs = t(s, dir, "documents")
     ImportanceSampling.dsirSelect(docs, docs.filter(col("lang") === "en"),
         "text", "doc_id", k = 100, buckets = 4096)
       .select(col("doc_id"), col("lang"), col("logw_nano"),
@@ -722,14 +722,14 @@ object Q {
   /** c-TF-IDF cluster labelling: top-5 terms per source domain. */
   def textClusterTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.clusterTopTerms(
-        spread(s, t(s, dir, "documents"), col("doc_id")), "source", "text",
+        t(s, dir, "documents"), "source", "text",
         k = 5, minTermCount = 2)
       .select(col("cluster"), col("rank"), col("term"), col("ctf"),
         col("f_t"), q(col("score"), 6).as("score_q6"))
 
   def textCooccurrence(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.termCooccurrence(
-        spread(s, t(s, dir, "documents"), col("doc_id")), "text", "doc_id",
+        t(s, dir, "documents"), "text", "doc_id",
         minPairCount = 5, stopDfFrac = 0.9)
       .select(col("term_a"), col("term_b"), col("n_pairs"),
         col("df_a"), col("df_b"), q(col("pmi"), 6).as("pmi_q6"))
@@ -1669,7 +1669,7 @@ object Q {
   def decontaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Decontamination.contaminationPairsBloom(
-      spread(s, docs, col("doc_id")),
+      docs,
       docs.filter(col("doc_id") % 37 === 0), "text", "doc_id")
       .filter(col("corpusId") =!= col("benchId") && col("coverage") >= 0.6)
       .select(col("corpusId"), col("benchId"), col("overlap"),
