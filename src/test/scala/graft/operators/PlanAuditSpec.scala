@@ -288,16 +288,18 @@ class PlanAuditSpec extends SparkSpec {
     try {
       withSQLConf("spark.sql.files.maxPartitionBytes" -> "16k") {
         // single-partition layout: the rescue must fire
+        // (q_dedup_decontaminate is a registered query that kept its
+        // corpus spread after the r17 A/B)
         docs.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
-        val p1 = plan(graft.queries.Q.searchBm25(spark, dir))
+        val p1 = plan(graft.queries.Q.decontamination(spark, dir))
         assert(p1.contains("REPARTITION_BY_NUM"),
           s"spread() missing on a single-partition input:\n$p1")
         // pre-partitioned layout (>= defaultParallelism files): no-op
         docs.repartition(spark.sparkContext.defaultParallelism,
             col("doc_id"))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        val p2 = plan(graft.queries.Q.searchBm25(spark, dir))
+        val p2 = plan(graft.queries.Q.decontamination(spark, dir))
         assert(!p2.contains("REPARTITION_BY_NUM"),
           s"spread() fired on a pre-partitioned input:\n$p2")
       }
